@@ -1,13 +1,211 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{RefOps, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB-equivalent in [[oracleSql]] with
+  * IDENTICAL output column names; the driver hash-compares both results on
+  * the sf0.01 parquet tables.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q3ShippingPriority(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ general
+    * relational surface). Keys are stable operator ids.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference-semantic operators (SURVEY.md §2) on `events`.
+    "topn" -> (RefOps.topn _),
+    "watermark_max" -> (RefOps.watermarkMax _),
+    "incremental_filter" -> (RefOps.incrementalFilter _),
+    "dedup_keep_latest" -> (RefOps.dedupKeepLatest _),
+    "union_sources" -> (RefOps.unionSources _),
+    "md5_id" -> (RefOps.md5Id _),
+    "parse_date_multi" -> (RefOps.parseDateMulti _),
+    "drop_tz" -> (RefOps.dropTz _),
+    "author_clean" -> (RefOps.authorClean _),
+    "split_extract" -> (RefOps.splitExtract _),
+    "upsert_merge" -> (RefOps.upsertMerge _),
+    "null_filters" -> (RefOps.nullFilters _),
+    "ingest_run" -> (RefOps.ingestRun _),
+    // General relational surface on the TPC-H-ish tables.
+    "q1_pricing" -> (Relational.q1PricingSummary _),
+    "q3_shipping" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "window_top_customers" -> (Relational.windowTopCustomers _),
+    "anti_join_no_orders" -> (Relational.customersWithoutOrders _),
+    "semi_join_big_parts" -> (Relational.partsWithBigShipments _),
+    "distinct_agg" -> (Relational.distinctAgg _),
+    "rollup_orders" -> (Relational.rollupOrders _),
+    "customer_order_stats" -> (Relational.customerOrderStats _),
+  )
+
+  /** DuckDB oracle for each query (same column names, same values). */
+  def oracleSql: Map[String, String] = Map(
+    "topn" ->
+      """SELECT event_id, user_id, event_type, value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM events ORDER BY ts DESC, event_id LIMIT 10""",
+    "watermark_max" ->
+      """SELECT coalesce(strftime(date_trunc('day', max(ts)), '%Y-%m-%dT%H:%M:%S'),
+                         '2025-07-25T00:00:00') AS watermark,
+                max(ts) IS NOT NULL AS is_incremental
+         FROM events""",
+    "incremental_filter" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'""",
+    "dedup_keep_latest" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM (SELECT user_id, event_id, ts,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
+    "union_sources" ->
+      """SELECT event_id, 'src_click' AS source_name FROM events
+         WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, 'src_purchase' AS source_name FROM events
+         WHERE event_type = 'purchase'""",
+    "md5_id" ->
+      """SELECT event_id,
+                md5('https://example.com/article/' || CAST(event_id AS VARCHAR))
+                  AS article_id
+         FROM events""",
+    "parse_date_multi" ->
+      """SELECT event_id,
+                strftime(try_strptime(strftime(ts, '%B %-d, %Y'), '%B %d, %Y'),
+                         '%Y-%m-%d %H:%M:%S') AS phocus_parsed,
+                strftime(try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                                      '%Y-%m-%dT%H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S') AS iso_parsed,
+                try_strptime('garbage', '%Y-%m-%d') IS NULL AS garbage_is_null
+         FROM events""",
+    "drop_tz" ->
+      """SELECT event_id,
+                strftime(try_strptime(
+                  regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                    || CASE WHEN event_id % 2 = 0 THEN '+05:00' ELSE 'Z' END,
+                    '([+-]\d{2}:?\d{2}|Z)$', ''),
+                  '%Y-%m-%dT%H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS naive
+         FROM events""",
+    "author_clean" ->
+      """SELECT event_id,
+                regexp_replace('By User' || CAST(user_id AS VARCHAR), '^By ', '')
+                  AS author
+         FROM events""",
+    "split_extract" ->
+      """SELECT event_id,
+                trim(split_part('By User' || CAST(user_id AS VARCHAR) || ' | '
+                                || strftime(ts, '%B %-d, %Y'), '|', 2))
+                  AS byline_date
+         FROM events""",
+    "upsert_merge" ->
+      """WITH stored AS (
+           SELECT user_id, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+         batch AS (
+           SELECT user_id, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+         SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM stored WHERE rn = 1
+           AND user_id NOT IN (SELECT user_id FROM batch WHERE rn = 1)
+         UNION ALL
+         SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM batch WHERE rn = 1""",
+    "null_filters" ->
+      """SELECT nullif(event_type, 'error') AS et, count(*) AS n
+         FROM events WHERE nullif(event_type, 'error') IS NOT NULL
+         GROUP BY 1""",
+    "ingest_run" ->
+      """WITH stored AS (
+           SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+         wm AS (SELECT date_trunc('day', max(ts)) AS wm FROM stored),
+         incoming AS (
+           SELECT e.* FROM events e, wm
+           WHERE e.ts >= TIMESTAMP '2024-01-20 00:00:00' AND e.ts >= wm.wm),
+         batch AS (
+           SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM incoming)
+           WHERE rn = 1),
+         stored_latest AS (
+           SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM stored)
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM stored_latest
+           WHERE user_id NOT IN (SELECT user_id FROM batch)
+           UNION ALL SELECT * FROM batch)
+         SELECT * FROM merged ORDER BY ts_s DESC, event_id LIMIT 5""",
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 2) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                o_orderpriority,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "window_top_customers" ->
+      """SELECT c_nationkey, rk, c_custkey, round(c_acctbal, 2) AS acctbal
+         FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                      row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS rk
+               FROM customer) WHERE rk <= 3""",
+    "anti_join_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "semi_join_big_parts" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)""",
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_suppkey) AS n_suppliers,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1""",
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "customer_order_stats" ->
+      """SELECT c_custkey, c_mktsegment, n_orders, spend
+         FROM (SELECT o_custkey, count(*) AS n_orders,
+                      round(sum(o_totalprice), 2) AS spend
+               FROM orders GROUP BY 1) o
+         JOIN customer ON o_custkey = c_custkey""",
+  )
 }

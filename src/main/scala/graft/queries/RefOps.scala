@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.funcs.Funcs
+
+/** The reference pipeline's operator inventory (SURVEY.md §2), re-targeted
+  * at the driver's `events` table so every entry is DuckDB-oracle-checkable:
+  * `ts` plays publish-time, `user_id`/`event_id` play the article key.
+  *
+  * Cross-engine determinism rules used throughout (Spark vs DuckDB):
+  * timestamps are rendered to second-granular strings (parquet ns truncates
+  * to µs in Spark but not DuckDB); sums/avgs of doubles are rounded;
+  * windows and top-Ns always carry a unique tie-break key.
+  */
+object RefOps {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  private def tsStr(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** T1 — top-N serving query: newest first, key tie-break
+    * (reference: database_utils/database_methods.py:109-130).
+    * TakeOrderedAndProject: per-partition bounded heap, no global sort.
+    */
+  def topn(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .orderBy(col("ts").desc, col("event_id"))
+      .limit(10)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), tsStr(col("ts")).as("ts_s"))
+
+  /** S5/A1 — watermark read: day-trunc'd MAX with cold-start fallback
+    * (reference: database_utils/database_methods.py:40-66).
+    */
+  def watermarkMax(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      coalesce(date_format(Funcs.truncToDay(max(col("ts"))),
+                           "yyyy-MM-dd'T'HH:mm:ss"),
+               lit("2025-07-25T00:00:00")).as("watermark"),
+      max(col("ts")).isNotNull.as("is_incremental"))
+
+  /** Q3 — incremental cutoff: strict `<` drops, `>=` passes
+    * (reference: PhocusWire/PhocusWireSource.py:180-185). The literal
+    * predicate is pushed into the parquet scan by Catalyst.
+    */
+  def incrementalFilter(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts_s"))
+
+  /** Q4 — keyed dedup keeping the newest row per key
+    * (reference: PhocusWire/PhocusWireSource.py:156-158; newest-first page
+    * order makes first-wins = newest-wins).
+    */
+  def dedupKeepLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), tsStr(col("ts")).as("ts_s"))
+  }
+
+  /** U1 — bag union of two per-source batches, tagged
+    * (reference: ingestion.ipynb extend calls).
+    */
+  def unionSources(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val a = e.filter(col("event_type") === "click")
+      .select(col("event_id"), lit("src_click").as("source_name"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("src_purchase").as("source_name"))
+    a.unionByName(b)
+  }
+
+  /** F1 — URL-derived MD5 identity (reference: helper_utils/helpers.py:40-50). */
+  def md5Id(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      Funcs.articleId(concat(lit("https://example.com/article/"),
+                             col("event_id"))).as("article_id"))
+
+  /** F2 — dual-format date parsing, null on failure
+    * (reference: helper_utils/helpers.py:4-24). Round-trips each event ts
+    * through the PhocusWire month-name format and ISO, then re-parses.
+    */
+  def parseDateMulti(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      col("event_id"),
+      date_format(col("ts"), "MMMM d, yyyy").as("phocus_raw"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_raw"))
+    e.select(
+      col("event_id"),
+      date_format(try_to_timestamp(col("phocus_raw"), lit("MMMM d, yyyy")),
+                  "yyyy-MM-dd HH:mm:ss").as("phocus_parsed"),
+      date_format(try_to_timestamp(col("iso_raw")),
+                  "yyyy-MM-dd HH:mm:ss").as("iso_parsed"),
+      try_to_timestamp(lit("garbage")).isNull.as("garbage_is_null"))
+  }
+
+  /** F3 — timezone *dropping* (not conversion)
+    * (reference: helper_utils/helpers.py:26-38): synthesize offset-suffixed
+    * ISO strings, drop the offset, keep wall-clock time.
+    */
+  def dropTz(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      col("event_id"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+             when(col("event_id") % 2 === 0, lit("+05:00"))
+               .otherwise(lit("Z"))).as("iso_offset"))
+    e.select(col("event_id"),
+             tsStr(Funcs.dropTimezone(col("iso_offset"))).as("naive"))
+  }
+
+  /** P5 — author cleanup: strip the "By " prefix
+    * (reference: PhocusWire/PhocusWireSource.py:160-163).
+    */
+  def authorClean(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      Funcs.cleanAuthor(concat(lit("By User"), col("user_id"))).as("author"))
+
+  /** P6 — byline split: date is the trimmed 2nd '|' segment
+    * (reference: PhocusWire/PhocusWireSource.py:166-173).
+    */
+  def splitExtract(spark: SparkSession, dir: String): DataFrame = {
+    val byline = concat(lit("By User"), col("user_id"), lit(" | "),
+                        date_format(col("ts"), "MMMM d, yyyy"))
+    events(spark, dir).select(
+      col("event_id"), Funcs.bylineDate(byline).as("byline_date"))
+  }
+
+  /** K1 — keyed upsert as anti-join + union
+    * (reference: database_utils/database_methods.py:68-107): "stored" is
+    * each user's newest first-half event, the "batch" is the newest
+    * second-half event; batch rows win. Batch side is broadcast — the
+    * stored (big) side never shuffles.
+    */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    def latestPerUser(df: DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), tsStr(col("ts")).as("ts_s"))
+    }
+    val stored = latestPerUser(e.filter(col("ts") < cut))
+    val batch = latestPerUser(e.filter(col("ts") >= cut))
+    stored.join(broadcast(batch.select("user_id")), Seq("user_id"), "left_anti")
+      .unionByName(batch)
+  }
+
+  /** Q1/Q2 — null-guard filters (reference: PhocusWire/PhocusWireSource.py:143-151):
+    * synthesize nulls with nullif, then drop them.
+    */
+  def nullFilters(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+              nullif(col("event_type"), lit("error")).as("et"))
+      .filter(col("et").isNotNull)
+      .groupBy(col("et")).agg(count(lit(1)).as("n"))
+
+  /** The full articles-pipeline analog on events, end-to-end: watermark
+    * from the "stored" half, strict-< cutoff on the "incoming" half, keyed
+    * dedup, upsert, top-N — the reference's whole notebook as one plan
+    * (reference: ingestion.ipynb cell 498c25c4).
+    */
+  def ingestRun(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    val stored = e.filter(col("ts") < cut)
+    // watermark = date_trunc(DAY, max(stored.ts)) — computed as a scalar
+    // subquery-free literal-ish plan: cross-join a 1-row agg (broadcast).
+    val wm = stored.agg(Funcs.truncToDay(max(col("ts"))).as("wm"))
+    val incoming = e.filter(col("ts") >= cut)
+      .join(broadcast(wm))
+      .filter(col("ts") >= col("wm"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = incoming
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), tsStr(col("ts")).as("ts_s"))
+    val storedLatest = {
+      val ws = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      stored.withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), tsStr(col("ts")).as("ts_s"))
+    }
+    storedLatest
+      .join(broadcast(batch.select("user_id")), Seq("user_id"), "left_anti")
+      .unionByName(batch)
+      .orderBy(col("ts_s").desc, col("event_id"))
+      .limit(5)
+  }
+}

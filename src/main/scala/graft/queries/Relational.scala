@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational capability showcase on the TPC-H-ish test tables —
+  * joins, grouped/distinct aggregation, windows, set ops. The reference
+  * needs none of these (SURVEY.md §2.5), but a complete engine does.
+  *
+  * Scale notes: small dimensions (region/nation, and filtered
+  * customer/supplier sides where applicable) are explicitly broadcast so
+  * the fact table (`lineitem`) never shuffles for them; grouped
+  * aggregations rely on partial (map-side) aggregation, which Spark plans
+  * automatically for all algebraic aggregates used here.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, n: String) = Tables(spark, dir, n)
+
+  /** TPC-H Q1-style pricing summary: the canonical wide-agg scan.
+    * Doubles are rounded at the edge for cross-engine hash stability.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: 3-way join, revenue per order, top 10.
+    * customer is the small side of the first join → broadcast; the
+    * orders↔lineitem join shuffles on the natural key.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-06-01 00:00:00").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+               date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+               col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way star join, revenue per nation. region and
+    * nation are tiny → broadcast; supplier/customer broadcast too at test
+    * SF (AQE would pick this at runtime; we declare intent for the 100 TB
+    * case where only region/nation/supplier stay broadcastable).
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val sup = t(spark, dir, "supplier")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window ranking: top-3 customers by account balance per nation.
+    * Single shuffle on the partition key; rank ties broken by key.
+    */
+  def windowTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+              round(col("c_acctbal"), 2).as("acctbal"))
+  }
+
+  /** Anti join: customers with no orders. Broadcast the distinct key set
+    * of the probe side is not safe at 100 TB — keep it a shuffled
+    * left-anti on the key (Catalyst picks SMJ/SHJ), which scales.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Semi join: parts that ship in any lineitem with quantity > 45. */
+  def partsWithBigShipments(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem").filter(col("l_quantity") > 45),
+            col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+
+  /** Distinct aggregation: suppliers and parts per return flag. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+           countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_rows"))
+
+  /** Grouped rollup: order counts and totals by status and priority. */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** Correlated-style existence via join + agg: per-customer order stats
+    * joined back to customer attributes (broadcast dim side).
+    */
+  def customerOrderStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("spend"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"), col("spend"))
+}

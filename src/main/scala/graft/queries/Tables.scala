@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loader for the driver's test dirs (TESTDATA.md). */
+object Tables {
+
+  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot map
+    * to TimestampType natively (SPARK-40819): read as raw nanos (long) and
+    * convert. Integer `div` — not double division — because ~1.7e18 ns
+    * exceeds 2^53 and a double round-trip would corrupt microseconds.
+    */
+  private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    nanosColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+  }
+}
