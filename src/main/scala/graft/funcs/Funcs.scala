@@ -26,8 +26,9 @@ object Funcs {
     * ISO-8601. `try_to_timestamp` matches the reference's None-on-failure.
     */
   def parseDate(raw: Column, sourceName: Column): Column =
-    when(sourceName === lit("Phocuswire"), try_to_timestamp(raw, lit(MonthDayYear)))
-      .otherwise(try_to_timestamp(raw))
+    when(sourceName === lit("Phocuswire"),
+         try_to_timestamp(trim(raw), lit(MonthDayYear)))
+      .otherwise(try_to_timestamp(trim(raw)))
 
   /** F3 — drop (do NOT convert) a trailing timezone offset from an ISO
     * string, keeping the local wall-clock time

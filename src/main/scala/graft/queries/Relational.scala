@@ -35,7 +35,9 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3-style: 3-way join, revenue per order, top 10.
-    * customer is the small side of the first join → broadcast; the
+    * No broadcast hint on customer: the BUILDING segment grows linearly
+    * with SF, so a hardcoded broadcast OOMs at scale — AQE picks broadcast
+    * at small SF and SMJ/SHJ at large SF from runtime stats. The
     * orders↔lineitem join shuffles on the natural key.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
@@ -45,7 +47,7 @@ object Relational {
     val li = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"),
                date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
                col("o_orderpriority"))
@@ -55,10 +57,11 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style: 6-way star join, revenue per nation. region and
-    * nation are tiny → broadcast; supplier/customer broadcast too at test
-    * SF (AQE would pick this at runtime; we declare intent for the 100 TB
-    * case where only region/nation/supplier stay broadcastable).
+  /** TPC-H Q5-style: 6-way star join, revenue per nation. Only region and
+    * nation are scale-invariant (25/5 rows at every SF) → broadcast hints;
+    * supplier and customer grow linearly with SF, so they carry no hint —
+    * AQE broadcasts them at small SF and falls back to shuffled joins at
+    * scale, where a hardcoded broadcast would OOM the executors.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
@@ -69,8 +72,8 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
     val li = t(spark, dir, "lineitem")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
         cust("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))

@@ -126,11 +126,14 @@ final class ArticleStore(spark: SparkSession, basePath: String,
 object ArticleStore {
   /** Q4 tie-breaking for one batch: one row per key, newest publish time
     * wins (matches the reference's newest-first page order where the first
-    * occurrence of a URL is kept — SURVEY.md §4 "Ordering").
+    * occurrence of a URL is kept — SURVEY.md §4 "Ordering"). News_link is a
+    * deterministic second tie-break so same-key same-time rows always pick
+    * the same winner across retries/partitionings.
     */
   def dedupeLatest(batch: DataFrame, keyCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(ArticleSchema.NewsPublishedTime).desc_nulls_last)
+      .orderBy(col(ArticleSchema.NewsPublishedTime).desc_nulls_last,
+               col(ArticleSchema.NewsLink).asc_nulls_last)
     batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
