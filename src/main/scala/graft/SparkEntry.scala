@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RefOps, Relational}
+import graft.queries.{DataOps, RefOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,18 @@ object SparkEntry {
     "distinct_agg" -> (Relational.distinctAgg _),
     "rollup_orders" -> (Relational.rollupOrders _),
     "customer_order_stats" -> (Relational.customerOrderStats _),
+    // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
+    "dedup_exact" -> (DataOps.dedupExact _),
+    "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
+    "ngram_jaccard" -> (DataOps.ngramJaccard _),
+    "dedup_simhash" -> (DataOps.dedupSimhash _),
+    "doc_fingerprint" -> (DataOps.docFingerprint _),
+    "doc_text_stats" -> (DataOps.docTextStats _),
+    "lang_id" -> (DataOps.langId _),
+    "doc_quality" -> (DataOps.docQuality _),
+    "token_counts" -> (DataOps.tokenCounts _),
+    "ann_cosine_topk" -> (DataOps.annCosineTopk _),
+    "ann_lsh_bucket" -> (DataOps.annLshBucket _),
   )
 
   /** DuckDB oracle for each query (same column names, same values). */
@@ -207,5 +219,5 @@ object SparkEntry {
                       round(sum(o_totalprice), 2) AS spend
                FROM orders GROUP BY 1) o
          JOIN customer ON o_custkey = c_custkey""",
-  )
+  ) ++ DataOps.oracles
 }

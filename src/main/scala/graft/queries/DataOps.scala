@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.VectorOps
+import graft.text.TextOps
+
+/** LLM-training-data pipeline operators over the driver's `documents`
+  * (doc_id, text, lang, source, n_chars) and `embeddings`
+  * (vec_id, embedding float[64], label) tables — the north-star components
+  * beyond the reference's own inventory (BASELINE.json): deduplication
+  * (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force and LSH-bucketed cosine top-k), text analysis (stats,
+  * lang-ID, quality, token counting) and document fingerprinting.
+  *
+  * Cross-engine determinism: every hash is md5-hex (identical bytes in
+  * Spark and DuckDB), every derived number is integer arithmetic or a
+  * double expression with the same textual shape as the oracle, and every
+  * threshold sits in an empirically-verified gap of the sf0.01 score
+  * distribution, so rounding can never flip a row in or out.
+  */
+object DataOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  /** doc_id + token array, the common front of every text operator. */
+  private def toks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("w"))
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact content dedup: group by md5(text), keep the smallest doc_id as
+    * the representative. One hash-shuffle on a 32-byte key regardless of
+    * document size — the 100 TB-safe exact-dedup shape.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
+
+  private val MinhashK = 12 // k = bands * rows
+  private val LshBands = 4
+  private val LshRows = 3
+
+  /** doc_id + distinct word-3-shingle set (docs with >= 3 tokens). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("w"), 3).as("sh"))
+
+  /** Near-duplicate detection, MinHash + banded LSH: shingle → 12-element
+    * md5-minhash signature → 4 bands of 3 → candidates = pairs sharing any
+    * band digest → exact Jaccard verification on candidates only, keep
+    * >= 0.8 (planted near-dups score >= 0.96; nothing else reaches 0.2 —
+    * verified gap).
+    *
+    * Scale shape: signatures are per-row codegen'd work (no shuffle);
+    * candidate generation is ONE shuffle on (band, digest) — never
+    * all-pairs; verification touches candidate pairs only. At 100 TB the
+    * only hazard is a hot band bucket (boilerplate docs) — salt the band
+    * key or cap bucket size upstream.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val sig = sh.select(col("doc_id") +: TextOps.minhashSig(col("sh"), MinhashK): _*)
+    val banded = sig.select(col("doc_id") +: TextOps.lshBands(LshBands, LshRows): _*)
+    val bandLong = banded.select(col("doc_id"), explode(array(
+      (0 until LshBands).map(b => struct(lit(b).as("b"), col(s"band$b").as("h"))): _*)).as("u"))
+      .select(col("doc_id"), col("u.b").as("b"), col("u.h").as("h"))
+    val cand = bandLong.as("a")
+      .join(bandLong.as("b"),
+        col("a.b") === col("b.b") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOnPairs(cand, sh, threshold = 0.8)
+  }
+
+  /** Exact Jaccard over candidate pairs: explode shingles of both sides,
+    * count the intersection, divide by the union size.
+    */
+  private def jaccardOnPairs(cand: DataFrame, sh: DataFrame,
+                             threshold: Double): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = cand
+      .join(ex.as("ea"), col("ea.doc_id") === col("doc_a"))
+      .join(ex.as("eb"), col("eb.doc_id") === col("doc_b") && col("eb.s") === col("ea.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 3)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram (word-bigram) Jaccard similarity join via an inverted
+    * index: pairs sharing at least one bigram, scored exactly, keep
+    * >= 0.5 (verified gap: nothing between 0.31 and 0.91 at sf0.01).
+    *
+    * Scale note: the inverted-index join is quadratic in the hottest
+    * n-gram's posting list — at 100 TB, prefix filtering (only the k
+    * rarest n-grams of each doc generate candidates) or the MinHash-LSH
+    * path above bounds it; this operator is the exact baseline.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val big = toks(spark, dir)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("sh"))
+      .cache()
+    val ex = big.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOnPairs(cand, big, threshold = 0.5)
+  }
+
+  /** SimHash near-dup detection: 16-bit fingerprint over distinct
+    * word-bigram features (unigrams collapse on this corpus's shared
+    * 31-token vocabulary), Hamming-≤1 pairs via 4-bit band candidate
+    * generation (pigeonhole: hamming ≤ 3 ⇒ some nibble equal, so ≤ 1 is
+    * fully covered — no pair is missed).
+    *
+    * Scale shape: fingerprints are one groupBy per (doc, bit); the pair
+    * join keys on (band, nibble) — 16 distinct values per band, so at
+    * 100 TB the nibble buckets are huge and a wider fingerprint (64-bit,
+    * 8-bit bands) is the real configuration; 16 bits keeps the oracle SQL
+    * tractable while exercising the identical plan shape.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val big = toks(spark, dir)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("g"))
+    val th = big.select(col("doc_id"), explode(col("g")).as("t"))
+      .select(col("doc_id"), TextOps.tokenHash16("sim:", col("t")).as("h"))
+    val bits = th.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("(shiftright(h, bit) & 1)") === 1, 1).otherwise(-1)).as("v"))
+    val fp = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+        .cast("long").as("fp"))
+    val bandl = fp.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("nib", expr("shiftright(fp, band * 4) & 15"))
+    val cand = bandl.as("a")
+      .join(bandl.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.fp").as("fp_a"),
+        col("b.doc_id").as("doc_b"), col("b.fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"), col("hamming"))
+  }
+
+  /** Order-sensitive document fingerprint: position-weighted 16-bit token
+    * hashes summed mod 1000003. Pure integer math (max ~2^35, no
+    * overflow), exactly reproducible; per-row work only.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir).select(col("doc_id"),
+      expr("""aggregate(
+               zip_with(w, sequence(1, size(w)),
+                 (t, i) -> cast(i AS bigint) *
+                   cast(conv(substring(md5(concat('fp:', t)), 1, 4), 16, 10) AS bigint)),
+               cast(0 AS bigint), (a, x) -> a + x) % 1000003""").as("fp"))
+
+  // -------------------------------------------------------- text analysis
+
+  /** Per-document token statistics: counts, distinct counts, mean token
+    * length, type-token ratio. All per-row array folds — no shuffle.
+    */
+  def docTextStats(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir).select(
+      col("doc_id"),
+      size(col("w")).as("n_tokens"),
+      size(array_distinct(col("w"))).as("n_distinct"),
+      round(expr("aggregate(transform(w, t -> length(t)), 0, (a, x) -> a + x)")
+        / size(col("w")).cast("double"), 4).as("avg_len"),
+      round(size(array_distinct(col("w"))) / size(col("w")).cast("double"), 4)
+        .as("ttr"))
+
+  /** Marker-token language ID. Each language's 3 most over-represented
+    * tokens (fit once on the corpus) vote by raw occurrence count; argmax
+    * with fixed lexicographic tie-break predicts the language.
+    *
+    * Honesty note: the synthetic corpus shares one 31-token vocabulary
+    * across languages and differs only in sampling frequency, so unigram
+    * markers reach ~28% accuracy (chance = 20%). On real multilingual text
+    * (disjoint character n-grams) the identical plan separates cleanly —
+    * the operator, not the corpus, is what's under test.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "big", "customer"),
+    "en" -> Seq("order", "window", "table"),
+    "es" -> Seq("agg", "slow", "merge"),
+    "fr" -> Seq("query", "scan", "data"),
+    "zh" -> Seq("the", "join", "fast"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(toks(spark, dir)) { case (df, (l, ms)) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      df.withColumn(s"s_$l", expr(s"size(filter(w, t -> t IN ($set)))"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.foldRight(lit(null).cast("string")) { (l, rest) =>
+      val beatsAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(beatsAll, lit(l)).otherwise(rest)
+    }
+    scored.select(
+      col("doc_id") +: langs.map(l => col(s"s_$l")) :+
+        pred.as("pred_lang") :+ col("lang") :+
+        (pred === col("lang")).as("correct"): _*)
+  }
+
+  /** Heuristic quality score in integer per-mille units (0..~1400):
+    * 400·length-score + 800·type-token ratio + 200·(1 − max-token-
+    * frequency share); keep >= 750. Pure integer arithmetic — a
+    * float-rounded score can land exactly on a .5 rounding boundary where
+    * engines' rounding modes disagree (observed at sf0.01), integer
+    * division cannot.
+    *
+    * The max-frequency term is an O(L²) per-row fold (L = doc tokens,
+    * bounded ~600 here); for unbounded docs switch to explode + groupBy —
+    * costs a shuffle but linearizes.
+    */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), size(col("w")).as("n"),
+        size(array_distinct(col("w"))).as("nd"),
+        expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
+          .as("mx"))
+      .select(col("doc_id"),
+        (expr("(400 * least(n, 50)) div 50") + expr("(800 * nd) div n")
+          + lit(200) - expr("(200 * mx) div n")).cast("long").as("score_milli"))
+      .withColumn("kept", col("score_milli") >= 750)
+
+  /** Token counting three ways: whitespace split, regex word extraction
+    * (the BPE-ish tokenizer stand-in), and a subword estimate
+    * (ceil(len/4) units per word — the ~4-chars-per-BPE-token rule).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_text"),
+      size(TextOps.tokens(col("text"))).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens"),
+      expr("""aggregate(transform(split(text, ' '), t -> (length(t) + 3) div 4),
+              cast(0 AS bigint), (a, x) -> a + x)""").as("subwords"))
+
+  // --------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 5)
+    * is broadcast; every partition scores its vectors locally and the
+    * window takes the per-query top 8. Ranking is on the ROUNDED score
+    * with vec_id tie-break so both engines rank identically.
+    *
+    * Scale: exact brute force is O(Q·N) — correct reranker, wrong
+    * first-stage at 100 TB; see [[annLshBucket]] for the candidate path.
+    */
+  def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("qe"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 8)
+  }
+
+  /** LSH-bucketed ANN: 4 sign-projection bits partition the space into 16
+    * buckets; each vector's top-3 neighbors are searched within its bucket
+    * only. One shuffle on the bucket id; per-bucket work is |bucket|² but
+    * buckets are data-independent hash cells — at 100 TB use more bits
+    * (buckets shrink geometrically) plus multi-probe for recall.
+    */
+  def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    val b = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.signBucket(col("embedding"), 4).as("bucket"))
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB 1.0 oracle SQL, one per query above, built from the same
+    * constants (salts, marker sets, thresholds) as the Spark plans.
+    */
+  val oracles: Map[String, String] = {
+    def hd(e: String, p: Int) = s"(instr('0123456789abcdef', substr($e, $p, 1)) - 1)"
+    val h16 = s"(${hd("hh", 1)}*4096 + ${hd("hh", 2)}*256 + ${hd("hh", 3)}*16 + ${hd("hh", 4)})"
+    val mh = (0 until MinhashK)
+      .map(j => s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS mh$j")
+      .mkString(", ")
+    val bands = (0 until LshBands)
+      .map(b => s"md5(mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2}) AS band$b")
+      .mkString(", ")
+    val bandStructs = (0 until LshBands)
+      .map(b => s"{'b': $b, 'h': band$b}").mkString(", ")
+    val markerScores = LangMarkers.map { case (l, ms) =>
+      s"len(list_filter(w, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS s_$l"
+    }.mkString(", ")
+    val langs = LangMarkers.map(_._1)
+    val predCase = "CASE " + langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ") + " END"
+    val dot = (a: String, bb: String) => s"list_dot_product($a::DOUBLE[], $bb::DOUBLE[])"
+    val cos = (a: String, bb: String) =>
+      s"round(${dot(a, bb)} / (sqrt(${dot(a, a)}) * sqrt(${dot(bb, bb)})), 4)"
+
+    Map(
+      "dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
+           count(*) AS n_docs FROM documents GROUP BY 1""",
+      "dedup_minhash_lsh" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        sig AS (SELECT doc_id, $mh FROM shx),
+        bnd AS (SELECT doc_id, $bands FROM sig),
+        bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bl a JOIN bl b ON a.u.b = b.u.b AND a.u.h = b.u.h
+                  AND a.doc_id < b.doc_id),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT i2.doc_a, i2.doc_b,
+               round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
+        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
+        JOIN sz sb ON sb.doc_id = i2.doc_b
+        WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8""",
+      "ngram_jaccard" -> """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS sh FROM toks WHERE len(w) >= 2),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT i2.doc_a, i2.doc_b,
+               round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
+        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
+        JOIN sz sb ON sb.doc_id = i2.doc_b
+        WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.5""",
+      "dedup_simhash" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        big AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS g FROM toks WHERE len(w) >= 2),
+        th AS (SELECT doc_id, unnest(list_transform(g, t -> md5('sim:' || t))) AS hh FROM big),
+        tb AS (SELECT doc_id, $h16 AS h FROM th),
+        bits AS (SELECT doc_id, b.b AS bit,
+                   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM tb, (SELECT unnest(range(0, 16)) AS b) b GROUP BY 1, 2),
+        fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS fp
+               FROM bits GROUP BY 1),
+        bandl AS (SELECT doc_id, fp, unnest(range(0, 4)) AS band FROM fp),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+                        b.doc_id AS doc_b, b.fp AS fp_b
+                 FROM bandl a JOIN bandl b ON a.band = b.band
+                  AND ((a.fp >> (a.band * 4)) & 15) = ((b.fp >> (b.band * 4)) & 15)
+                  AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, fp_a, fp_b, bit_count(xor(fp_a, fp_b)) AS hamming
+        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1""",
+      "doc_fingerprint" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        th AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                 i -> {'i': i, 'hh': md5('fp:' || w[i])})) AS u FROM toks),
+        tb AS (SELECT doc_id, u.i AS i,
+                 (${hd("u.hh", 1)}*4096 + ${hd("u.hh", 2)}*256 + ${hd("u.hh", 3)}*16 + ${hd("u.hh", 4)}) AS h
+               FROM th)
+        SELECT doc_id, (sum(i::BIGINT * h::BIGINT) % 1000003)::BIGINT AS fp
+        FROM tb GROUP BY 1""",
+      "doc_text_stats" -> """
+        SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+               round(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+                     / len(w)::DOUBLE, 4) AS avg_len,
+               round(len(list_distinct(w)) / len(w)::DOUBLE, 4) AS ttr
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""",
+      "lang_id" -> s"""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        sc AS (SELECT doc_id, lang, $markerScores FROM toks)
+        SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+               $predCase AS pred_lang, lang, ($predCase = lang) AS correct
+        FROM sc""",
+      "doc_quality" -> """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS mx
+              FROM toks)
+        SELECT doc_id,
+               ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                + 200 - (200 * mx) // n)::BIGINT AS score_milli,
+               ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                + 200 - (200 * mx) // n) >= 750 AS kept
+        FROM m""",
+      "token_counts" -> """
+        SELECT doc_id, length(text) AS n_chars_text,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+               list_aggregate(list_transform(string_split(text, ' '),
+                 t -> (length(t) + 3) // 4), 'sum')::BIGINT AS subwords
+        FROM documents""",
+      "ann_cosine_topk" -> s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT q_id, vec_id, ${cos("qe", "embedding")} AS cos
+              FROM q, embeddings WHERE vec_id != q_id),
+        rk AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+               FROM s)
+        SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 8""",
+      "ann_lsh_bucket" -> s"""
+        WITH b AS (SELECT vec_id, embedding,
+                 ${(0 until 4).map(k =>
+                    s"(CASE WHEN embedding[${k + 1}] > embedding[${k + 33}] THEN ${1 << k} ELSE 0 END)")
+                    .mkString(" + ")} AS bucket
+               FROM embeddings),
+        pairs AS (SELECT x.vec_id AS vec_id, x.bucket AS bucket,
+                    y.vec_id AS neighbor_id,
+                    ${cos("x.embedding", "y.embedding")} AS cos
+                  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+        rk AS (SELECT vec_id, bucket, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+               FROM pairs)
+        SELECT vec_id, bucket, neighbor_id, cos, rk FROM rk WHERE rk <= 3""",
+    )
+  }
+}

@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators
+  * (north-star components beyond the reference — BASELINE.json: dedup,
+  * text analysis, fingerprinting over the `documents` table).
+  *
+  * Everything is a composition of built-in, codegen'd array/string
+  * functions — no UDFs, so the whole token pipeline stays inside
+  * whole-stage codegen and runs per-row with zero shuffles. All hashing is
+  * md5-hex based (lowercase hex is identical across engines), which makes
+  * every derived signature exactly reproducible by the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. The corpus is single-space separated; a real
+    * corpus would pass a regex splitter here instead.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a token array; empty array when the
+    * doc has fewer than n tokens. Built with an index transform (not
+    * explode) so shingling is per-row work with no shuffle.
+    */
+  def shingles(w: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
+    when(size(w) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash value: the minimum md5 hex digest of `salt:shingle` over
+    * the shingle set. Lexicographic min over a uniform hash is a valid
+    * min-wise permutation; hex strings compare identically everywhere.
+    */
+  def minhash(sh: Column, salt: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** k independent MinHash signature columns mh0..mh{k-1}. */
+  def minhashSig(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map(j => minhash(sh, j).as(s"mh$j"))
+
+  /** LSH band digests over a k=b*r signature: band b hashes rows
+    * [b*r, b*r+r). Docs agreeing on any band become candidates — candidate
+    * generation is a shuffle on (band, digest), never an all-pairs join.
+    */
+  def lshBands(b: Int, r: Int): Seq[Column] =
+    (0 until b).map { band =>
+      md5(concat((0 until r).map(j => col(s"mh${band * r + j}")): _*)).as(s"band$band")
+    }
+
+  /** 16-bit token hash: the first 4 hex digits of md5(salt || token) as an
+    * int. `conv` base-16 → base-10 matches the oracle's per-digit
+    * arithmetic exactly for valid hex.
+    */
+  def tokenHash16(salt: String, t: Column): Column =
+    conv(substring(md5(concat(lit(salt), t)), 1, 4), 16, 10).cast("int")
+}
