@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DataOps, RefOps, Relational}
+import graft.queries.{DataOps, ExtractOps, RefOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,8 @@ object SparkEntry {
     "token_counts" -> (DataOps.tokenCounts _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
+    // HTML extraction layer (P1-P7) on synthesized two-site listing pages.
+    "html_extract" -> (ExtractOps.htmlExtract _),
   )
 
   /** DuckDB oracle for each query (same column names, same values). */
@@ -219,5 +221,5 @@ object SparkEntry {
                       round(sum(o_totalprice), 2) AS spend
                FROM orders GROUP BY 1) o
          JOIN customer ON o_custkey = c_custkey""",
-  ) ++ DataOps.oracles
+  ) ++ DataOps.oracles ++ ExtractOps.oracles
 }

@@ -1,0 +1,117 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.funcs.Funcs
+import graft.model.ArticleSchema
+
+/** The HTML extraction layer (P1–P7 in SURVEY.md §2.2): listing-page HTML
+  * → exploded article elements → field extraction → assembled article
+  * rows.
+  *
+  * The reference parses with BeautifulSoup CSS selectors
+  * (reference: PhocusWire/PhocusWireSource.py:131-173,
+  * Skift/SkiftSource.py:126-158); this engine re-expresses each selector
+  * as an RE2-compatible regex over the fixture shapes of FIXTURES.md §2 —
+  * no lookarounds or backreferences, so the same pattern runs under
+  * Spark's Java regex and the oracle's RE2, and the whole layer stays
+  * inside codegen'd built-ins (`regexp_extract_all` + `explode` +
+  * `regexp_extract`), no UDF, no jsoup (offline jar set).
+  *
+  * Scale shape: pages are rows; element explode is a Generator (one page
+  * → N elements) and every extraction is per-row projection work — the
+  * layer adds zero shuffles to an ingest plan.
+  */
+final case class SiteSpec(
+    sourceName: String,
+    /** P2 — one match per article element. */
+    elementRe: String,
+    /** P3 — group 1 = title text. */
+    titleRe: String,
+    /** P4 — group 1 = raw href. */
+    hrefRe: String,
+    /** P5 — group 1 = raw author text (may be absent ⇒ null). */
+    authorRe: String,
+    /** P6 — group 1 = raw date string. */
+    dateRe: String,
+    /** P4 — raw href → canonical link (byte-exact, no normalization). */
+    buildLink: Column => Column,
+    /** P5 — raw author → cleaned author. */
+    cleanAuthor: Column => Column,
+    /** F2/F3 — raw date string → TimestampType. */
+    parseDate: Column => Column)
+
+object Sites {
+
+  /** Skift listing shape (reference: Skift/SkiftSource.py:126-158): full
+    * `<time datetime>` timestamps whose tz offset is DROPPED, raw hrefs,
+    * author anchor text.
+    */
+  val skift: SiteSpec = SiteSpec(
+    sourceName = "Skift",
+    elementRe = "<article[\\s\\S]*?</article>",
+    titleRe = "<h3 class=\"c-tease__title\"><a href=\"[^\"]*\">([^<]*)</a>",
+    hrefRe = "<h3 class=\"c-tease__title\"><a href=\"([^\"]*)\">",
+    authorRe = "<a class=\"underline\">([^<]*)</a>",
+    dateRe = "<time datetime=\"([^\"]*)\"",
+    buildLink = href => href,
+    cleanAuthor = a => trim(a),
+    parseDate = d => Funcs.dropTimezone(d))
+
+  /** PhocusWire listing shape
+    * (reference: PhocusWire/PhocusWireSource.py:132-173): date-only
+    * byline after a '|', "By "-prefixed author, and the base+"/"+href
+    * double-slash link quirk preserved byte-exact (SURVEY.md §1.3).
+    * Elements must close with the author div (`</div></div>`), matching
+    * the fixture contract — a real crawler feeds this exact shape.
+    */
+  val phocuswire: SiteSpec = SiteSpec(
+    sourceName = "Phocuswire",
+    elementRe = "<div class=\"item\">[\\s\\S]*?</div>\\s*</div>",
+    titleRe = "<a class=\"title\" href=\"[^\"]*\">([^<]*)</a>",
+    hrefRe = "<a class=\"title\" href=\"([^\"]*)\">",
+    authorRe = "<span class=\"name\">([^<]*)</span>",
+    dateRe = "\\|([^<]*)</div>",
+    buildLink = href => concat(lit("https://www.phocuswire.com"), lit("/"), href),
+    cleanAuthor = a => Funcs.cleanAuthor(trim(a)),
+    parseDate = d =>
+      try_to_timestamp(trim(d), lit(ArticleSchema.MonthDayYear)))
+}
+
+object HtmlExtract {
+
+  /** P1+P2 — explode a page DataFrame into one row per article element. */
+  def elements(pages: DataFrame, htmlCol: String, spec: SiteSpec): DataFrame =
+    pages.select(
+      explode(regexp_extract_all(col(htmlCol), lit(spec.elementRe), lit(0)))
+        .as("element"))
+
+  private def grp(el: Column, re: String): Column =
+    nullif(regexp_extract(el, re, 1), lit(""))
+
+  /** P3–P7 + Q1/Q2 — extract fields from elements, drop rows missing a
+    * title or href (reference skip branches:
+    * PhocusWire/PhocusWireSource.py:143-151), assemble article columns.
+    * Output: Article_id, News_link, News_title, Author_name,
+    * News_published_time, Source_name (Processed_at is sink-side, F6).
+    */
+  def articles(pages: DataFrame, htmlCol: String, spec: SiteSpec): DataFrame = {
+    val el = elements(pages, htmlCol, spec)
+    val raw = el.select(
+      grp(col("element"), spec.titleRe).as("title"),
+      grp(col("element"), spec.hrefRe).as("href"),
+      grp(col("element"), spec.authorRe).as("author_raw"),
+      grp(col("element"), spec.dateRe).as("date_raw"))
+    val link = spec.buildLink(col("href"))
+    raw
+      .filter(col("title").isNotNull && col("href").isNotNull)
+      .select(
+        Funcs.articleId(link).as(ArticleSchema.ArticleId),
+        link.as(ArticleSchema.NewsLink),
+        col("title").as(ArticleSchema.NewsTitle),
+        spec.cleanAuthor(col("author_raw")).as(ArticleSchema.AuthorName),
+        spec.parseDate(col("date_raw")).as(ArticleSchema.NewsPublishedTime),
+        lit(spec.sourceName).as(ArticleSchema.SourceName))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.extract.{HtmlExtract, Sites}
+
+/** Golden-fixture tests for the HTML extraction layer over the two sites'
+  * shapes (FIXTURES.md §2), covering the cited edge branches: missing
+  * title anchor (Q1 skip), missing href (Q2 skip), missing author (P5 →
+  * null), malformed date (F2 → null), tz-dropping (F3), and the
+  * PhocusWire double-slash link quirk (byte-exact md5 identity, §1.3).
+  */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val skiftPage =
+    """<html><body>
+      |<article><h3 class="c-tease__title"><a href="https://skift.com/2025/08/01/a/">Article A</a></h3>
+      |<div class="c-tease__byline"><a class="underline">Jane Doe</a>
+      |<time datetime="2025-08-01T17:19:21+05:00"></time></div></article>
+      |<article><h3 class="c-tease__title"><a href="https://skift.com/2025/08/01/b/">Article B</a></h3>
+      |<div class="c-tease__byline"><time datetime="2025-08-01T09:00:00Z"></time></div></article>
+      |<article><h3 class="c-tease__title"></h3>
+      |<div class="c-tease__byline"><a class="underline">No Title</a>
+      |<time datetime="2025-08-01T10:00:00Z"></time></div></article>
+      |</body></html>""".stripMargin
+
+  private val phocusPage =
+    """<div class="article-list">
+      |<div class="item"><a class="title" href="/news/x">Item X</a>
+      |<div class="author"><span class="name">By John Smith</span> | July 28, 2025</div></div>
+      |<div class="item"><a class="title" href="/news/y">Item Y</a>
+      |<div class="author"> | July 29, 2025</div></div>
+      |<div class="item"><a class="title" href="/news/z">Item Z</a>
+      |<div class="author"><span class="name">By Ann</span> | not a date</div></div>
+      |</div>""".stripMargin
+
+  test("Skift: tz dropped not converted, null author, missing-title skipped") {
+    val out = HtmlExtract.articles(
+      Seq(skiftPage).toDF("html"), "html", Sites.skift)
+      .orderBy("News_link").collect()
+    out.length shouldBe 2 // third element has no title anchor (Q1)
+    val a = out(0)
+    a.getString(1) shouldBe "https://skift.com/2025/08/01/a/"
+    a.getString(2) shouldBe "Article A"
+    a.getString(3) shouldBe "Jane Doe"
+    // +05:00 dropped, NOT converted: wall-clock 17:19:21 survives
+    a.getTimestamp(4).toString shouldBe "2025-08-01 17:19:21.0"
+    a.getString(5) shouldBe "Skift"
+    val b = out(1)
+    b.getString(2) shouldBe "Article B"
+    assert(b.isNullAt(3)) // no author anchor => null (P5)
+    b.getTimestamp(4).toString shouldBe "2025-08-01 09:00:00.0"
+  }
+
+  test("PhocusWire: double-slash link + md5 id, By-strip, null-date branch") {
+    val out = HtmlExtract.articles(
+      Seq(phocusPage).toDF("html"), "html", Sites.phocuswire)
+      .orderBy("News_link").collect()
+    out.length shouldBe 3
+    val x = out.find(_.getString(2) == "Item X").get
+    // base + "/" + href where href starts with "/" => byte-exact double slash
+    x.getString(1) shouldBe "https://www.phocuswire.com//news/x"
+    x.getString(3) shouldBe "John Smith" // "By " prefix stripped
+    x.getTimestamp(4).toString shouldBe "2025-07-28 00:00:00.0" // date-only => midnight
+    val y = out.find(_.getString(2) == "Item Y").get
+    assert(y.isNullAt(3)) // missing author span
+    y.getTimestamp(4).toString shouldBe "2025-07-29 00:00:00.0"
+    val z = out.find(_.getString(2) == "Item Z").get
+    assert(z.isNullAt(4)) // malformed date => null, row survives extraction
+  }
+
+  test("missing href is skipped (Q2) and ids are md5 of the exact link") {
+    val page =
+      """<div class="item"><a class="title">No Href</a>
+        |<div class="author"> | July 1, 2025</div></div>
+        |<div class="item"><a class="title" href="/k">K</a>
+        |<div class="author"> | July 1, 2025</div></div>""".stripMargin
+    val out = HtmlExtract.articles(
+      Seq(page).toDF("html"), "html", Sites.phocuswire).collect()
+    out.length shouldBe 1
+    val link = "https://www.phocuswire.com//k"
+    out(0).getString(1) shouldBe link
+    out(0).getString(0) shouldBe
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(link.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("element explode yields one row per article element across pages") {
+    val n = HtmlExtract.elements(
+      Seq(skiftPage, skiftPage).toDF("html"), "html", Sites.skift).count()
+    n shouldBe 6
+  }
+}
