@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
 
 import graft.model.ArticleSchema
 import graft.sink.ArticleStore
+import graft.source.PaginatedSource
 
 /** The ingestion "query plan" — the Spark re-expression of the reference's
   * notebook driver (`ingestion.ipynb`, SURVEY.md §3.1):
   *
-  *   watermark scan → per-source extraction → union → watermark filter →
-  *   in-run dedup → keyed merge → top-N serving query.
+  *   watermark scan → per-source paginated scan + extraction → union →
+  *   watermark filter → in-run dedup → keyed merge → top-N serving query.
   *
-  * Sources arrive here as already-extracted article DataFrames (see
-  * [[graft.source.PaginatedSource]]); the union's branches are naturally
-  * parallel in Spark where the reference ran them sequentially.
+  * Sources are [[graft.source.PaginatedSource]]s (scrape mode, with the
+  * watermark early-stop pushed into the scan) or already-extracted
+  * article DataFrames; the union's branches are naturally parallel in
+  * Spark where the reference ran them sequentially.
   */
 object Pipeline {
 
@@ -40,6 +42,19 @@ object Pipeline {
     store.create()
     val (wm, _) = store.watermark()
     val batch = watermarkFilter(unionSources(sources), wm)
+    store.merge(batch)
+    store.topN(topN)
+  }
+
+  /** Scrape-mode incremental run: the watermark read from the sink is
+    * pushed into each paginated scan (pages past the cutoff are never
+    * fetched — O1), then the standard filter/merge/serve tail runs.
+    */
+  def runScrape(spark: SparkSession, store: ArticleStore,
+                sources: Seq[PaginatedSource], topN: Int = 5): DataFrame = {
+    store.create()
+    val (wm, _) = store.watermark()
+    val batch = watermarkFilter(unionSources(sources.map(_.load(wm))), wm)
     store.merge(batch)
     store.topN(topN)
   }
