@@ -2,10 +2,11 @@ package graft.sink
 
 import java.sql.Timestamp
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField}
 
 import graft.funcs.Funcs
 import graft.model.ArticleSchema
@@ -13,37 +14,46 @@ import graft.model.ArticleSchema
 /** The engine's keyed, upsertable serving table — the Spark re-expression of
   * the reference's SQLite `articles` sink (K1/K2/K3/S5/T1 in SURVEY.md §2).
   *
-  * Plain parquet has no keyed upsert, so merge is the classic
-  * anti-join + union rewrite (reference upsert:
-  * database_utils/database_methods.py:68-107) over immutable snapshots:
-  * each merge writes a complete new snapshot directory `v<N>` and then
-  * atomically swaps a pointer file — readers see either the old or the new
-  * snapshot, never a half-written one.
+  * Plain parquet has no keyed upsert, so merge is the anti-join + union
+  * rewrite (reference upsert: database_utils/database_methods.py:68-107)
+  * over a HASH-BUCKETED, MANIFEST-VERSIONED layout:
   *
-  * Scale notes (100 TB design):
-  *   - the incoming batch is broadcast (incremental batches are small by
-  *     construction — one run's worth of new articles), so the anti-join is
-  *     shuffle-free on the big side: a single pass over the stored table.
-  *   - the stored snapshot is written hash-distributed by the merge key
-  *     (`repartition(key)`), so key-colocation survives across merges and a
-  *     future co-partitioned (bucketed) merge path needs no re-shuffle.
-  *   - nothing here collects to the driver except the watermark scalar.
+  * {{{
+  *   base/_CURRENT          atomically-swapped pointer: current version N
+  *   base/vN/manifest       numBuckets + (bucket -> version holding its data)
+  *   base/vN/data/__bucket=i/part-*.parquet   buckets REWRITTEN at version N
+  * }}}
+  *
+  * A merge rewrites ONLY the buckets containing batch keys; every other
+  * bucket's manifest entry keeps pointing at the older version's files,
+  * which are never copied or rewritten. Incremental cost is
+  * O(affected buckets), not O(stored table) — at 100 TB with 2^10+ buckets
+  * an upsert of one run's articles touches a few GB, not the whole table.
+  *
+  * Concurrency contract: readers resolve a snapshot via one atomic pointer
+  * read and see a consistent version; the pointer swap is a true atomic
+  * rename (FileContext + OVERWRITE — no delete-then-rename window).
+  * Writers are single-writer by assumption (the reference is a single
+  * process; a multi-writer deployment would add optimistic locking on the
+  * pointer). GC retains the last [[ArticleStore.RetainVersions]] manifests
+  * and every version directory they reference, so readers up to K-1
+  * versions stale never lose files under them.
   */
 final class ArticleStore(spark: SparkSession, basePath: String,
                          keyCol: String = ArticleSchema.ArticleId,
-                         numFiles: Int = 0) {
+                         numBuckets: Int = 16) {
   import ArticleStore._
 
   private val base = new Path(basePath)
-  private def fs: FileSystem = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = base.getFileSystem(conf)
   private val pointer = new Path(base, "_CURRENT")
 
-  /** K2 — CREATE TABLE IF NOT EXISTS: an empty v0 snapshot. */
+  /** K2 — CREATE TABLE IF NOT EXISTS: an empty v0 with all buckets. */
   def create(): Unit = if (!fs.exists(pointer)) {
-    fs.mkdirs(base)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], ArticleSchema.schema)
-    writeSnapshot(empty, 0L)
+    fs.mkdirs(dataPath(0L))
+    writeManifest(0L, Array.fill(numBuckets)(0L))
+    publish(0L)
   }
 
   /** K3 — DROP TABLE. */
@@ -57,47 +67,111 @@ final class ArticleStore(spark: SparkSession, basePath: String,
     finally in.close()
   }
 
-  private def snapshotPath(v: Long) = new Path(base, s"v$v")
+  private def versionPath(v: Long) = new Path(base, s"v$v")
+  private def dataPath(v: Long) = new Path(versionPath(v), "data")
+  private def manifestPath(v: Long) = new Path(versionPath(v), "manifest")
 
-  /** S6 — serving-table scan of the current snapshot. */
-  def read(): DataFrame = spark.read.parquet(snapshotPath(currentVersion).toString)
+  private def writeManifest(v: Long, buckets: Array[Long]): Unit = {
+    val out = fs.create(manifestPath(v), true)
+    try out.write(s"${buckets.length}\n${buckets.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
 
-  private def writeSnapshot(df: DataFrame, v: Long): Unit = {
-    // Key-distributed layout: merges and key-lookups stay co-located.
-    val sized = if (numFiles > 0) df.repartition(numFiles, col(keyCol))
-                else df.repartition(col(keyCol))
-    sized.write.mode("overwrite").parquet(snapshotPath(v).toString)
+  private def readManifest(v: Long): Array[Long] = {
+    val in = fs.open(manifestPath(v))
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val lines = txt.trim.split("\n")
+    val buckets = lines(1).split(",").map(_.toLong)
+    require(buckets.length == lines(0).trim.toInt, s"corrupt manifest v$v")
+    buckets
+  }
+
+  /** Atomic pointer swap — rename with OVERWRITE, never delete-then-rename,
+    * so a concurrent reader always sees either the old or the new version.
+    */
+  private def publish(v: Long): Unit = {
     val tmp = new Path(base, s"_CURRENT.tmp$v")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, pointer)) { // first publish: pointer doesn't exist yet
-      fs.delete(pointer, false)
-      require(fs.rename(tmp, pointer), s"failed to publish snapshot v$v")
-    }
-    // GC all but the snapshot just published and its predecessor.
-    val keep = Set(s"v$v", s"v${v - 1}", "_CURRENT")
-    fs.listStatus(base).foreach { st =>
-      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
-    }
+    val fc = FileContext.getFileContext(fs.makeQualified(base).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer),
+      Options.Rename.OVERWRITE)
   }
+
+  /** Data-file schema: the article columns plus the bucket partition col. */
+  private def dataSchema =
+    org.apache.spark.sql.types.StructType(
+      ArticleSchema.schema.fields :+ StructField(BucketCol, IntegerType))
+
+  private def readBuckets(v: Long, buckets: Seq[Int]): DataFrame =
+    spark.read.schema(dataSchema).parquet(dataPath(v).toString)
+      .filter(col(BucketCol).isin(buckets: _*)) // prunes partition dirs
+
+  private def scanAt(v: Long): DataFrame = {
+    val man = readManifest(v)
+    man.zipWithIndex.groupBy(_._1).toSeq
+      .map { case (ver, bs) => readBuckets(ver, bs.map(_._2).toSeq) }
+      .reduce(_ unionByName _)
+  }
+
+  /** S6 — serving-table scan of the current snapshot. */
+  def read(): DataFrame =
+    scanAt(currentVersion).select(ArticleSchema.columns.map(col): _*)
 
   /** K1 — keyed upsert: new rows win over stored rows with the same key;
     * every surviving incoming row gets a fresh Processed_at
-    * (reference: database_utils/database_methods.py:84-94).
+    * (reference: database_utils/database_methods.py:84-94). Reads and
+    * rewrites ONLY the buckets containing batch keys.
     */
   def merge(batch: DataFrame): Unit = {
     create()
     val v = currentVersion
+    val man = readManifest(v)
     val stamped = dedupeLatest(batch, keyCol)
       .withColumn(ArticleSchema.ProcessedAt, Funcs.processedNow())
       .select(ArticleSchema.columns.map(col): _*)
-    val old = spark.read.parquet(snapshotPath(v).toString)
-    // Incremental batches are small: broadcast so the anti-join is a single
-    // shuffle-free pass over the (potentially huge) stored snapshot.
-    val merged = old
-      .join(broadcast(stamped.select(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(stamped)
-    writeSnapshot(merged, v + 1)
+      .withColumn(BucketCol, pmod(hash(col(keyCol)), lit(man.length)))
+      .cache()
+    try {
+      // The affected-bucket set is at most numBuckets ints — driver-safe.
+      val affected = stamped.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (affected.nonEmpty) {
+        val old = affected.groupBy(b => man(b)).toSeq
+          .map { case (ver, bs) => readBuckets(ver, bs.toSeq) }
+          .reduce(_ unionByName _)
+        // Incremental batches are small: broadcast the key set so the
+        // anti-join is a single shuffle-free pass over the stored buckets.
+        val merged = old
+          .join(broadcast(stamped.select(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(stamped)
+        merged.repartition(affected.length, col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol)
+          .parquet(dataPath(v + 1).toString)
+        val newMan = man.clone()
+        affected.foreach(b => newMan(b) = v + 1)
+        writeManifest(v + 1, newMan)
+        publish(v + 1)
+        gc(v + 1)
+      }
+    } finally { stamped.unpersist(); () }
+  }
+
+  /** Delete version directories referenced by none of the last
+    * [[RetainVersions]] manifests.
+    */
+  private def gc(v: Long): Unit = {
+    val retained = (math.max(0L, v - (RetainVersions - 1)) to v)
+      .filter(r => fs.exists(manifestPath(r)))
+    val referenced = retained.toSet ++ retained.flatMap(readManifest(_).toSet)
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit)
+          && !referenced.contains(n.drop(1).toLong))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** S5 — watermark read: `date_trunc(DAY, max(publish_time))`, cold-start
@@ -124,6 +198,14 @@ final class ArticleStore(spark: SparkSession, basePath: String,
 }
 
 object ArticleStore {
+  /** Hash-bucket partition column in the stored layout. */
+  val BucketCol = "__bucket"
+
+  /** Manifests (and every version dir they reference) kept for readers up
+    * to K-1 versions stale.
+    */
+  val RetainVersions = 3
+
   /** Q4 tie-breaking for one batch: one row per key, newest publish time
     * wins (matches the reference's newest-first page order where the first
     * occurrence of a URL is kept — SURVEY.md §4 "Ordering"). News_link is a
