@@ -65,4 +65,10 @@ object ArticleSchema {
 
   /** External column order, for stable selects at the serving edge. */
   val columns: Seq[String] = schema.fieldNames.toSeq
+
+  /** What a source emits: everything except the sink-side Processed_at
+    * (added by the merge, F6 — database_utils/database_methods.py:86,93).
+    */
+  val sourceSchema: StructType =
+    StructType(schema.fields.filterNot(_.name == ProcessedAt))
 }

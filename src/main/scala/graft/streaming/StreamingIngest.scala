@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.ArticleSchema
+import graft.query.Pipeline
+import graft.sink.ArticleStore
+
+/** W4 — the trigger model (SURVEY.md §2.9): the reference's "streaming" is
+  * a manual notebook re-run, one incremental batch per invocation; the
+  * Structured Streaming analog is `Trigger.AvailableNow` — process
+  * everything available as micro-batches, then stop.
+  *
+  * Shape: `readStream` over a landing directory of extracted article
+  * files (what a [[graft.source.PaginatedSource]] or any crawler drops) →
+  * the strict-< watermark filter (Q3, read ONCE from the sink at job
+  * start, like the reference reads SQLite MAX before scraping) →
+  * `foreachBatch { store.merge }`. Exactly-once-ish (W3) holds without
+  * streaming state: identity is the deterministic md5 key and the merge
+  * is an idempotent keyed upsert, so replayed micro-batches converge;
+  * the checkpoint prevents re-reading consumed files across invocations.
+  * No `withWatermark` is needed — there is no stateful operator to evict;
+  * the reference's lateness allowance IS the one-day overlap of the
+  * cutoff (W2).
+  */
+object StreamingIngest {
+
+  /** Run one AvailableNow ingest over the landing dir; blocks until the
+    * stream drains, then returns the top-N serving result.
+    */
+  def runAvailableNow(spark: SparkSession, store: ArticleStore,
+                      landingDir: String, checkpointDir: String,
+                      topN: Int = 5): DataFrame = {
+    store.create()
+    val (wm, _) = store.watermark()
+    val stream = spark.readStream
+      .schema(ArticleSchema.sourceSchema)
+      .parquet(landingDir)
+    val query = Pipeline.watermarkFilter(stream, wm)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => store.merge(batch) }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    query.awaitTermination()
+    store.topN(topN)
+  }
+}
