@@ -195,11 +195,32 @@ final class ArticleStore(spark: SparkSession, basePath: String,
     read().orderBy(col(ArticleSchema.NewsPublishedTime).desc,
                    col(ArticleSchema.ArticleId))
       .limit(n)
+
+  /** K4 — console sink: print the top-N rows in the reference's output
+    * format (reference: database_utils/database_methods.py:127-128).
+    */
+  def printTopN(n: Int = 5): Unit =
+    ArticleStore.renderServing(topN(n)).show(n, truncate = false)
 }
 
 object ArticleStore {
   /** Hash-bucket partition column in the stored layout. */
   val BucketCol = "__bucket"
+
+  /** Serving-edge rendering: timestamps back to the reference's two string
+    * formats — T-separated publish time, space-separated Processed_at
+    * (SURVEY.md §1.4) — so output is drop-in comparable with the golden
+    * data/articles.db rows.
+    */
+  def renderServing(df: DataFrame): DataFrame =
+    df.select(
+      col(ArticleSchema.ArticleId), col(ArticleSchema.NewsLink),
+      col(ArticleSchema.NewsTitle), col(ArticleSchema.AuthorName),
+      Funcs.isoWithT(col(ArticleSchema.NewsPublishedTime))
+        .as(ArticleSchema.NewsPublishedTime),
+      col(ArticleSchema.SourceName),
+      Funcs.isoWithSpace(col(ArticleSchema.ProcessedAt))
+        .as(ArticleSchema.ProcessedAt))
 
   /** Manifests (and every version dir they reference) kept for readers up
     * to K-1 versions stale.
