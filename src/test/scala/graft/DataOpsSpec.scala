@@ -52,10 +52,10 @@ class DataOpsSpec extends SparkSpec {
     out.count() should be > 0L // driver plants near-dups at every SF
   }
 
-  test("dedup_simhash pairs are hamming-close and fingerprints 16-bit") {
+  test("dedup_simhash pairs are hamming-close and fingerprints 32-bit") {
     val out = DataOps.dedupSimhash(spark, sf).cache()
-    out.filter(col("hamming") > 1).count() shouldBe 0L
-    out.filter(col("fp_a") < 0 || col("fp_a") > 65535).count() shouldBe 0L
+    out.filter(col("hamming") > 3).count() shouldBe 0L
+    out.filter(col("fp_a") < 0 || col("fp_a") > 0xFFFFFFFFL).count() shouldBe 0L
     // hamming recomputable from the emitted fingerprints
     out.filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) =!= col("hamming"))
       .count() shouldBe 0L
@@ -66,7 +66,7 @@ class DataOpsSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ng = DataOps.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 3-shingle near-dups at >=0.8 are bigram near-dups at >=0.9 and v.v.
+    // same shingle domain: LSH@>=0.8 pairs are exact-join@>=0.9 pairs here
     assert(ng.intersect(lsh).size >= (lsh.size * 0.8).toInt)
   }
 
