@@ -1,0 +1,166 @@
+package graft.source.v2
+
+import java.sql.Timestamp
+import java.util
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.extract.{SiteSpec, Sites}
+import graft.source.PaginatedSource
+
+/** DataSource V2 streaming source for the paginated listing scan
+  * (S1/S2/O1 as a real `MicroBatchStream`): one page = one offset, and
+  * the watermark early-stop lives INSIDE offset planning — `latestOffset`
+  * stops advancing at the first sub-watermark article, an empty page, or
+  * a fetch failure, so pages past the cutoff are never requested. This is
+  * the "pushdown below the plan" SURVEY.md §4 calls the one hand-built
+  * optimization; the driver-side
+  * [[graft.source.PaginatedSource]] is the batch binding of the same
+  * logic.
+  *
+  * Options: `pagesDir` (fixture mode: serves `page-N.html` files),
+  * `site` (`skift` | `phocuswire` — selects the probe's SiteSpec),
+  * `watermark` (`yyyy-MM-dd HH:mm:ss`), `maxPages`.
+  * Emits rows (page INT, html STRING); compose with
+  * [[graft.extract.HtmlExtract.articles]] downstream — explode +
+  * extraction are all streaming-supported expressions.
+  *
+  * Page fetching happens on the driver during offset probing (the page
+  * loop is inherently sequential); fetched page strings ship to
+  * executors inside the InputPartitions, so the distributed side never
+  * re-fetches. After a checkpoint restart the partitions re-read from
+  * the fixture dir deterministically.
+  */
+class PaginatedPageSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "paginated-pages"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PaginatedPageSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PageTable(new CaseInsensitiveStringMap(properties))
+}
+
+object PaginatedPageSource {
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("html", StringType, nullable = false)))
+}
+
+private[v2] class PageTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "paginated_pages"
+  override def schema(): StructType = PaginatedPageSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = PaginatedPageSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PageMicroBatchStream(options)
+    }
+}
+
+private[v2] case class PageOffset(page: Long) extends Offset {
+  override def json(): String = page.toString
+}
+
+private[v2] class PageMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val pagesDir = options.get("pagesDir")
+  require(pagesDir != null, "paginated-pages requires option pagesDir " +
+    "(an HTTP binding would plug a PageFetcher here)")
+  private val site: SiteSpec = options.get("site") match {
+    case "phocuswire" => Sites.phocuswire
+    case _ => Sites.skift
+  }
+  private val wm: Timestamp = Timestamp.valueOf(options.get("watermark"))
+  private val maxPages: Int =
+    Option(options.get("maxPages")).map(_.toInt).getOrElse(1000)
+
+  private val fetched = mutable.Map.empty[Int, String]
+  private var stopped = false
+  private var probedUpTo = 0
+  private var availableNowTarget: Option[Long] = None
+
+  private def fetch(page: Int): Option[String] = {
+    val p = java.nio.file.Paths.get(pagesDir, s"page-$page.html")
+    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p))
+    else None
+  }
+
+  /** O1 — probe forward until a stop condition; never look past it. */
+  private def advance(): Unit =
+    while (!stopped && probedUpTo < maxPages) {
+      fetch(probedUpTo + 1) match {
+        case None => stopped = true
+        case Some(html) =>
+          val dates = PaginatedSource.pageDates(site, html)
+          if (dates.isEmpty) stopped = true
+          else {
+            probedUpTo += 1
+            fetched(probedUpTo) = html
+            if (dates.exists(_.exists(_.before(wm)))) stopped = true
+          }
+      }
+    }
+
+  override def initialOffset(): Offset = PageOffset(0L)
+
+  override def latestOffset(): Offset = availableNowTarget match {
+    case Some(t) => PageOffset(t)
+    case None => advance(); PageOffset(probedUpTo.toLong)
+  }
+
+  /** Admission-control variant (SupportsTriggerAvailableNow extends
+    * SupportsAdmissionControl); page probing is already bounded by the
+    * early-stop, so the read limit needs no further clamping.
+    */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    advance()
+    availableNowTarget = Some(probedUpTo.toLong)
+  }
+
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page
+    ((s + 1) to e).map { p =>
+      val html = fetched.getOrElse(p.toInt, fetch(p.toInt).getOrElse(""))
+      PagePartition(p.toInt, html): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PagePartitionReaderFactory
+}
+
+private[v2] case class PagePartition(page: Int, html: String) extends InputPartition
+
+private[v2] object PagePartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[PagePartition]
+      private var consumed = false
+      override def next(): Boolean = if (consumed) false else { consumed = true; true }
+      override def get(): InternalRow =
+        InternalRow(p.page, UTF8String.fromString(p.html))
+      override def close(): Unit = ()
+    }
+}
