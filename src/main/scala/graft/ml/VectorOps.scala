@@ -7,14 +7,23 @@ import org.apache.spark.sql.functions._
   * (north-star components — BASELINE.json: ANN over the `embeddings`
   * table's `list<float>` column).
   *
-  * Pure `zip_with`/`aggregate` folds over the array column — codegen'd,
-  * no UDFs, no shuffles; the fold accumulates left-to-right in double
-  * precision, which the DuckDB oracle reproduces bit-for-bit.
+  * The dot product is a native Catalyst expression
+  * ([[graft.funcs.DotProduct]], codegen'd tight loop); everything
+  * accumulates left-to-right in double precision, which the DuckDB
+  * oracle reproduces bit-for-bit.
   */
 object VectorOps {
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Double-precision dot product of two float-array columns (native
+    * expression; [[foldDot]] is the built-ins-only reference semantics).
+    */
+  def dot(a: Column, b: Column): Column = graft.funcs.DotProduct(a, b)
+
+  /** The same fold out of built-in higher-order functions — kept as the
+    * executable specification for [[dot]] (HOFs are CodegenFallback, so
+    * the native expression is the hot-path form).
+    */
+  def foldDot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
