@@ -1,0 +1,65 @@
+package graft.funcs
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: DISTINCT word n-gram shingles of a token
+  * array, space-joined, first-occurrence order; empty array when the doc
+  * has fewer than n tokens.
+  *
+  * Why not `array_distinct(transform(sequence(...), concat_ws(...)))`:
+  * the higher-order chain is CodegenFallback — interpreted per document
+  * with boxed intermediaries, and it dominated the dedup operators'
+  * runtime (~5 s of a 7 s query at sf0.1). This expression runs one
+  * compiled loop per row via a static helper call emitted by
+  * `doGenCode`, with identical output (same strings, same order), so the
+  * DuckDB oracles are unchanged.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.funcs.WordShingles.compute($x, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Static so generated code can call it directly (one invoke per row,
+    * loop body is compiled Scala — no per-element expression dispatch).
+    */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[UTF8String]
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var k = 0
+      while (k < n) { parts(k) = tokens.getUTF8String(i + k); k += 1 }
+      seen += UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  /** Column-API binding. */
+  def apply(tokens: Column, n: Int): Column =
+    GraftSql.column(WordShingles(GraftSql.expression(tokens), n))
+}

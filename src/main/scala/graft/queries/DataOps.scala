@@ -59,6 +59,10 @@ object DataOps {
   private val LshBands = 4
   private val LshRows = 3
 
+  /** Test hook: the shingle frame used by the dedup operators. */
+  private[graft] def shingledForTest(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+
   /** doc_id + distinct word-3-shingle set (docs with >= 3 tokens). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     toks(spark, dir)

@@ -26,6 +26,23 @@ import graft.sink.ArticleStore
   */
 object StreamingIngest {
 
+  /** Stateful streaming analytics over an article stream: hourly publish
+    * counts per source with a real event-time watermark — late rows
+    * beyond `lateness` are dropped and window state older than it is
+    * evicted, the Structured Streaming surface the ingest path itself
+    * does not need (its lateness allowance is the overlap day, W2).
+    * Append output mode: a window emits once, when the watermark passes
+    * its end.
+    */
+  def windowedCounts(articles: DataFrame, lateness: String = "1 day"): DataFrame =
+    articles
+      .withWatermark(ArticleSchema.NewsPublishedTime, lateness)
+      .groupBy(
+        org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col(ArticleSchema.NewsPublishedTime), "1 hour"),
+        org.apache.spark.sql.functions.col(ArticleSchema.SourceName))
+      .count()
+
   /** Run one AvailableNow ingest over the landing dir; blocks until the
     * stream drains, then returns the top-N serving result.
     */

@@ -21,16 +21,12 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles of a token array; empty array when the
-    * doc has fewer than n tokens. Built with an index transform (not
-    * explode) so shingling is per-row work with no shuffle.
+    * doc has fewer than n tokens. Per-row work with no shuffle, compiled:
+    * binds the native [[graft.funcs.WordShingles]] expression (the
+    * equivalent `array_distinct(transform(sequence(...)))` chain is
+    * CodegenFallback and dominated the dedup operators' runtime).
     */
-  def shingles(w: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
-    when(size(w) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(w: Column, n: Int): Column = graft.funcs.WordShingles(w, n)
 
   /** One MinHash value: the minimum md5 hex digest of `salt:shingle` over
     * the shingle set. Lexicographic min over a uniform hash is a valid
@@ -39,9 +35,14 @@ object TextOps {
   def minhash(sh: Column, salt: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(s"$salt:"), s))))
 
-  /** k independent MinHash signature columns mh0..mh{k-1}. */
-  def minhashSig(sh: Column, k: Int): Seq[Column] =
-    (0 until k).map(j => minhash(sh, j).as(s"mh$j"))
+  /** k independent MinHash signature columns mh0..mh{k-1}, computed in
+    * one native pass ([[graft.funcs.MinHashSig]]) and unpacked — the
+    * per-j [[minhash]] fold is the executable specification.
+    */
+  def minhashSig(sh: Column, k: Int): Seq[Column] = {
+    val sig = graft.funcs.MinHashSig(sh, k)
+    (0 until k).map(j => element_at(sig, j + 1).as(s"mh$j"))
+  }
 
   /** LSH band digests over a k=b*r signature: band b hashes rows
     * [b*r, b*r+r). Docs agreeing on any band become candidates — candidate

@@ -38,6 +38,16 @@ class DataOpsSpec extends SparkSpec {
     one shouldBe "239e6a9b6265236e56fea1dca16dd3f1" // md5("0:a b c")
   }
 
+  test("native MinHashSig equals the per-salt array_min fold on real shingles") {
+    val sh = DataOps.shingledForTest(spark, sf).limit(40).cache()
+    val native = sh.select(col("doc_id"),
+      graft.funcs.MinHashSig(col("sh"), 12).as("sig"))
+    val folded = sh.select(col("doc_id"),
+      array((0 until 12).map(j => TextOps.minhash(col("sh"), j)): _*).as("sig"))
+    native.exceptAll(folded).count() shouldBe 0L
+    folded.exceptAll(native).count() shouldBe 0L
+  }
+
   test("dedup_exact covers every doc exactly once") {
     val out = DataOps.dedupExact(spark, sf)
     val total = out.agg(sum("n_docs")).head().getLong(0)
