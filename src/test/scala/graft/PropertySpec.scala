@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.funcs.Funcs
+import graft.model.{Article, ArticleSchema}
+import graft.query.Pipeline
+import graft.sink.ArticleStore
+import graft.text.TextOps
+
+/** Property-based invariants (SURVEY.md §5.3) over ScalaCheck-generated
+  * inputs with a fixed seed: identity hashing, shingling, dedup
+  * tie-breaking, the strict-< watermark boundary, and date-format
+  * round-trips. Each property evaluates as ONE Spark job over a
+  * generated batch, compared against a plain-Scala reference model.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  private val token: Gen[String] =
+    Gen.choose(1, 8).flatMap(l => Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
+
+  private val url: Gen[String] = for {
+    host <- Gen.oneOf("skift.com", "www.phocuswire.com")
+    parts <- Gen.listOfN(3, token)
+  } yield s"https://$host//${parts.mkString("/")}"
+
+  // second-granular timestamps, 1971..2099 (clear of format edge years)
+  private val ts: Gen[Timestamp] =
+    Gen.choose(31536000L, 4070908800L).map(s => new Timestamp(s * 1000))
+
+  test("property: articleId == java MD5 lowercase hex for arbitrary URLs") {
+    val urls = sample(url, 300).distinct
+    val got = urls.toDF("u").select(Funcs.articleId(col("u")).as("id"), col("u"))
+      .collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    urls.foreach { u =>
+      got(u) shouldBe java.security.MessageDigest.getInstance("MD5")
+        .digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
+  test("property: WordShingles == sliding-window distinct for arbitrary token arrays") {
+    val arrays = sample(Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, token)), 150)
+    for (n <- Seq(2, 3)) {
+      val got = arrays.toDF("w")
+        .select(TextOps.shingles(col("w"), n).as("sh"))
+        .collect().map(_.getSeq[String](0))
+      arrays.zip(got).foreach { case (toks, sh) =>
+        val expected =
+          if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+        sh shouldBe expected
+      }
+    }
+  }
+
+  test("property: native MinHashSig == per-salt fold for arbitrary shingle sets") {
+    val sets = sample(Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, token)), 100)
+      .map(_.distinct)
+    val df = sets.toDF("sh").cache()
+    val native = df.select(graft.funcs.MinHashSig(col("sh"), 6).as("sig")).collect()
+    val folded = df.select(
+      array((0 until 6).map(j => TextOps.minhash(col("sh"), j)): _*).as("sig")).collect()
+    native.map(_.getSeq[String](0)).toSeq shouldBe folded.map(_.getSeq[String](0)).toSeq
+  }
+
+  test("property: watermark filter keeps exactly ts >= wm (equal passes)") {
+    val stamps = sample(ts, 200)
+    val wm = stamps(57) // an arbitrary generated value, guaranteed present
+    val df = stamps.zipWithIndex.map { case (t, i) =>
+      Article(s"id$i", s"l$i", "t", None, t, "Skift", t)
+    }.toDS.toDF(ArticleSchema.columns: _*)
+    val kept = Pipeline.watermarkFilter(df, wm)
+      .select(ArticleSchema.NewsPublishedTime).collect().map(_.getTimestamp(0)).toSeq
+    kept.sortBy(_.getTime) shouldBe
+      stamps.filter(t => !t.before(wm)).sortBy(_.getTime)
+    assert(kept.contains(wm)) // the boundary row itself is re-ingested
+  }
+
+  test("property: dedupeLatest keeps max-(ts, min-link) row per key") {
+    val keyPool = (1 to 12).map(i => s"k$i")
+    val rows = sample(for {
+      k <- Gen.oneOf(keyPool)
+      t <- ts
+      l <- url
+    } yield (k, t, l), 250)
+    val df = rows.zipWithIndex.map { case ((k, t, l), i) =>
+      Article(k, l, s"t$i", None, t, "Skift", t)
+    }.toDS.toDF(ArticleSchema.columns: _*)
+    val got = ArticleStore.dedupeLatest(df, ArticleSchema.ArticleId)
+      .select(ArticleSchema.ArticleId, ArticleSchema.NewsLink)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = rows.groupBy(_._1).map { case (k, grp) =>
+      // newest publish time wins; equal times break on ascending link
+      k -> grp.minBy { case (_, t, l) => (-t.getTime, l) }._3
+    }
+    got shouldBe expected
+  }
+
+  test("property: ISO render/parse round-trips; month-name format loses time only") {
+    val stamps = sample(ts, 200)
+    val df = stamps.toDF("t").select(
+      col("t"),
+      Funcs.parseDate(Funcs.isoWithT(col("t")), lit("Skift")).as("iso_rt"),
+      Funcs.parseDate(date_format(col("t"), "MMMM d, yyyy"), lit("Phocuswire"))
+        .as("pw_rt"),
+      Funcs.truncToDay(col("t")).as("day"))
+    df.filter(col("iso_rt") =!= col("t")).count() shouldBe 0L
+    df.filter(col("pw_rt") =!= col("day")).count() shouldBe 0L
+  }
+}
