@@ -56,6 +56,7 @@ object SparkEntry {
     "token_counts" -> (DataOps.tokenCounts _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
+    "dedup_embedding" -> (DataOps.dedupEmbedding _),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.

