@@ -354,9 +354,15 @@ object DataOps {
   // --------------------------------------------------- similarity search
 
   /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 5)
-    * is broadcast; every partition scores its vectors locally and the
-    * window takes the per-query top 8. Ranking is on the ROUNDED score
-    * with vec_id tie-break so both engines rank identically.
+    * is broadcast; every partition scores its vectors locally. Ranking is
+    * on the ROUNDED score with vec_id tie-break so both engines rank
+    * identically.
+    *
+    * Top-k is TWO-PHASE: a salted local top-8 per (query, salt) cell,
+    * then the global top-8 over the survivors — a handful of query ids
+    * would otherwise hash the whole scored set onto that many tasks (the
+    * classic few-key window skew). Any global top-8 row is top-8 in its
+    * salt cell, so the result is provably identical.
     *
     * Scale: exact brute force is O(Q·N) — correct reranker, wrong
     * first-stage at 100 TB; see [[annLshBucket]] for the candidate path.
@@ -372,9 +378,14 @@ object DataOps {
       .select(col("q_id"), col("vec_id"),
         round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
           .as("cos"))
-    val w = Window.partitionBy(col("q_id"))
+    val local = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(32)))
       .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 8)
+    val survivors = scored
+      .withColumn("rk", row_number().over(local)).filter(col("rk") <= 8)
+      .drop("rk")
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    survivors.withColumn("rk", row_number().over(global)).filter(col("rk") <= 8)
   }
 
   /** LSH-bucketed ANN: 4 sign-projection bits partition the space into 16

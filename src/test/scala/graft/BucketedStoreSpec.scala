@@ -82,6 +82,20 @@ class BucketedStoreSpec extends SparkSpec {
     store.topN(3).count() shouldBe 3
   }
 
+  test("a reader resolved before merges still scans successfully (retention)") {
+    val dir = tmpDir("bucketed-reader")
+    val store = new ArticleStore(spark, dir, numBuckets = 4)
+    store.merge(toDf((1 to 16).map(i =>
+      art(s"https://example.com/$i", s"t$i", "2025-07-26 10:00:00")): _*))
+    // lazily-planned stale reader: files resolve at action time
+    val stale = store.read()
+    store.merge(toDf(art("https://example.com/1", "u1", "2025-07-27 10:00:00")))
+    store.merge(toDf(art("https://example.com/2", "u2", "2025-07-27 11:00:00")))
+    // two merges later (= retention window edge) the old snapshot's files
+    // are still referenced by a retained manifest and must be readable
+    stale.count() shouldBe 16
+  }
+
   test("empty batch is a no-op: no new version published") {
     val dir = tmpDir("bucketed-empty")
     val store = new ArticleStore(spark, dir, numBuckets = 4)
