@@ -34,6 +34,8 @@ object SparkEntry {
     "upsert_merge" -> (RefOps.upsertMerge _),
     "null_filters" -> (RefOps.nullFilters _),
     "ingest_run" -> (RefOps.ingestRun _),
+    "asof_join" -> (RefOps.asofJoin _),
+    "approx_distinct_kmv" -> (RefOps.approxDistinctKmv _),
     // General relational surface on the TPC-H-ish tables.
     "q1_pricing" -> (Relational.q1PricingSummary _),
     "q3_shipping" -> (Relational.q3ShippingPriority _),
@@ -168,6 +170,33 @@ object SparkEntry {
            WHERE user_id NOT IN (SELECT user_id FROM batch)
            UNION ALL SELECT * FROM batch)
          SELECT * FROM merged ORDER BY ts_s DESC, event_id LIMIT 5""",
+    "asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                p.p_id AS prior_purchase
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "approx_distinct_kmv" ->
+      ("""WITH h AS (SELECT DISTINCT event_type, (""" +
+        (1 to 15).map(i =>
+          s"(instr('0123456789abcdef', substr(md5(user_id::VARCHAR), $i, 1)) - 1)::BIGINT * ${java.lang.Long.parseLong("1" + "0" * (15 - i), 16)}")
+          .mkString(" + ") +
+        """) / 2.0^60 AS h
+           FROM events),
+         rk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM h),
+         kth AS (SELECT event_type,
+                   CASE WHEN cnt < 32 THEN cnt::DOUBLE
+                        ELSE round(31 / h, 2) END AS est_distinct
+                 FROM rk WHERE rn = least(32, cnt)),
+         exact AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                   FROM events GROUP BY 1)
+         SELECT exact.event_type, n_exact, est_distinct
+         FROM exact JOIN kth ON exact.event_type = kth.event_type"""),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

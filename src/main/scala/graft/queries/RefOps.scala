@@ -166,6 +166,69 @@ object RefOps {
       .filter(col("et").isNotNull)
       .groupBy(col("et")).agg(count(lit(1)).as("n"))
 
+  /** Event-time AS-OF join: each click joined to the user's latest
+    * purchase at-or-before it. Spark has no native as-of operator; the
+    * scale-right re-expression is union + ordered window with
+    * last(ignoreNulls) — ONE shuffle on the key and a linear scan per
+    * user, versus the range-join rewrite whose inequality predicate
+    * explodes quadratically per key. Purchases collapse to one row per
+    * (user, ts) first (max event_id) so the at-tie winner is
+    * deterministic in both engines; at equal timestamps the purchase
+    * sorts before the click (kind ordinal), matching ASOF's `>=`.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = p.select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("p_id"), lit(null).cast("bigint").as("event_id"))
+      .unionByName(c.select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("bigint").as("p_id"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("prior_purchase", last(col("p_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts_s"),
+        col("prior_purchase"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch, k=32: the estimate is
+    * (k−1) / h_(k) where h_(k) is the k-th smallest md5-derived hash
+    * fraction of the distinct values. Demonstrates sketch mechanics with
+    * an EXACTLY-reproducible estimator (HLL's approx_count_distinct — the
+    * real 100 TB choice — cannot hash-match a cross-engine oracle).
+    * Output carries the exact distinct count alongside for error
+    * inspection.
+    */
+  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val e = events(spark, dir)
+    // 15 hex digits = 60 bits; the bigint→double cast rounds identically
+    // (IEEE nearest) in both engines, and 2^60 is an exact double.
+    val h = e.select(col("event_type"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint") / pow(lit(2), lit(60))).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val wAll = Window.partitionBy(col("event_type"))
+    // under-full sketch (< k distinct values): it holds them all, so the
+    // estimate IS the exact count
+    val kth = h
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === least(lit(k), col("cnt")))
+      .select(col("event_type"),
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(round(lit(k - 1) / col("h"), 2)).as("est_distinct"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(kth, Seq("event_type"))
+  }
+
   /** The full articles-pipeline analog on events, end-to-end: watermark
     * from the "stored" half, strict-< cutoff on the "incoming" half, keyed
     * dedup, upsert, top-N — the reference's whole notebook as one plan

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.RefOps
+
+/** Invariants for the operators beyond the DuckDB hash-compare: as-of
+  * ordering semantics and KMV estimator sanity.
+  */
+class RefOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("asof_join: every matched prior purchase is at-or-before its click, same user") {
+    val out = RefOps.asofJoin(spark, sf).cache()
+    val e = graft.queries.Tables(spark, sf, "events")
+    val clicks = e.filter(col("event_type") === "click")
+    out.count() shouldBe clicks.count() // left as-of keeps every click
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("prior_purchase"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val joined = out.filter(col("prior_purchase").isNotNull)
+      .join(purchases, "prior_purchase")
+    joined.filter(col("user_id") =!= col("p_user")).count() shouldBe 0L
+    joined.filter(date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss") > col("ts_s"))
+      .count() shouldBe 0L
+    // and it is the LATEST such purchase: no other same-user purchase sits
+    // strictly between the matched one and the click
+    val better = joined.as("j").join(purchases.as("q"),
+      col("q.p_user") === col("j.user_id") &&
+        col("q.p_ts") > col("j.p_ts") &&
+        date_format(col("q.p_ts"), "yyyy-MM-dd HH:mm:ss") <= col("j.ts_s"))
+    better.count() shouldBe 0L
+  }
+
+  test("approx_distinct_kmv: estimate is positive and within 3x of exact") {
+    val out = RefOps.approxDistinctKmv(spark, sf).cache()
+    out.count() should be > 0L
+    out.filter(col("est_distinct") <= 0).count() shouldBe 0L
+    out.filter(col("est_distinct") > col("n_exact") * 3 ||
+      col("est_distinct") * 3 < col("n_exact")).count() shouldBe 0L
+  }
+}
