@@ -36,6 +36,7 @@ object SparkEntry {
     "ingest_run" -> (RefOps.ingestRun _),
     "asof_join" -> (RefOps.asofJoin _),
     "approx_distinct_kmv" -> (RefOps.approxDistinctKmv _),
+    "sessionize" -> (RefOps.sessionize _),
     // General relational surface on the TPC-H-ish tables.
     "q1_pricing" -> (Relational.q1PricingSummary _),
     "q3_shipping" -> (Relational.q3ShippingPriority _),
@@ -197,6 +198,20 @@ object SparkEntry {
                    FROM events GROUP BY 1)
          SELECT exact.event_type, n_exact, est_distinct
          FROM exact JOIN kth ON exact.event_type = kth.event_type"""),
+    "sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                 (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+               FROM o)
+         SELECT user_id, session_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+                count(*) AS n_events
+         FROM s GROUP BY 1, 2""",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

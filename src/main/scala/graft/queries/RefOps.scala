@@ -229,6 +229,27 @@ object RefOps {
     exact.join(kth, Seq("event_type"))
   }
 
+  /** Gap-based sessionization, batch form: a new session starts when the
+    * gap to the user's previous event exceeds 30 minutes. Classic
+    * lag + running-sum over one key-partitioned window — a single
+    * shuffle on user_id; ties broken by event_id in both engines. The
+    * streaming form with custom state lives in
+    * [[graft.streaming.Sessionizer]] and is equivalence-tested against
+    * this query.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    val o = events(spark, dir).withColumn("new_s",
+      when(prev.isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(prev) > 1800, 1).otherwise(0))
+    val s = o.withColumn("session_id",
+      sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    s.groupBy(col("user_id"), col("session_id"))
+      .agg(tsStr(min(col("ts"))).as("start_s"), tsStr(max(col("ts"))).as("end_s"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** The full articles-pipeline analog on events, end-to-end: watermark
     * from the "stored" half, strict-< cutoff on the "incoming" half, keyed
     * dedup, upsert, top-N — the reference's whole notebook as one plan

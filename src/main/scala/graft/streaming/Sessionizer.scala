@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization with CUSTOM STATE — the
+  * `flatMapGroupsWithState` path, for when built-in `session_window`
+  * can't express the semantics (here: carrying an open session with its
+  * running event count across micro-batches and emitting ONLY closed
+  * sessions). Works identically over a batch Dataset (one call per key,
+  * state discarded) and a stream (state persists across micro-batches).
+  *
+  * Contract: events within one group call are sorted by (ts, event_id)
+  * before folding; cross-batch arrival is assumed per-user-ordered (a
+  * production stream pairs this with a watermark + EventTimeTimeout to
+  * close idle sessions and bound state — noted, not needed for the
+  * drain-and-stop ingest model). Closed sessions are emitted when a
+  * later event exceeds the gap; the still-open session stays in state.
+  *
+  * Scale shape: state is O(1) per active user (open-session bounds +
+  * counter), grouped processing shuffles once on the key.
+  */
+object Sessionizer {
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                                event_id: Long)
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long, seq: Long)
+  final case class Session(user_id: Long, session_id: Long, start_s: String,
+                           end_s: String, n_events: Long)
+
+  private val Fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(ZoneOffset.UTC)
+  private def fmt(ms: Long): String =
+    Fmt.format(java.time.Instant.ofEpochMilli(ms))
+
+  def sessionize(user: Long, events: Iterator[SessionEvent],
+                 state: GroupState[OpenSession], gapSec: Long): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.endMs <= gapSec * 1000 =>
+          open = Some(s.copy(endMs = t, n = s.n + 1))
+        case Some(s) => // gap exceeded: close and start a new session
+          closed += Session(user, s.seq, fmt(s.startMs), fmt(s.endMs), s.n)
+          open = Some(OpenSession(t, t, 1, s.seq + 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1, 1))
+      }
+    }
+    open.foreach(state.update)
+    closed.result().iterator
+  }
+
+  /** Bind over a typed Dataset (batch or streaming). */
+  def sessions(ds: Dataset[SessionEvent], gapSec: Long = 1800): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          sessionize(user, events, state, gapSec)
+      }
+  }
+}

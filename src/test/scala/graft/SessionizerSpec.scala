@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries.{RefOps, Tables}
+import graft.streaming.Sessionizer
+import graft.streaming.Sessionizer.SessionEvent
+
+/** The custom-state sessionizer (flatMapGroupsWithState) against the
+  * declarative batch sessionize query: closed sessions must be
+  * identical; the open (final) session per user stays in state.
+  */
+class SessionizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("batch flatMapGroupsWithState == SQL sessionize minus each user's open session") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
+    val custom = Sessionizer.sessions(ev)
+      .select("user_id", "session_id", "start_s", "end_s", "n_events")
+    val sql = RefOps.sessionize(spark, sf)
+    // the custom path keeps each user's LAST session open (in state)
+    val lastPer = sql.groupBy("user_id").agg(max("session_id").as("session_id"))
+    val sqlClosed = sql.join(lastPer, Seq("user_id", "session_id"), "left_anti")
+    custom.exceptAll(sqlClosed).count() shouldBe 0L
+    sqlClosed.exceptAll(custom).count() shouldBe 0L
+  }
+
+  test("streaming: state carries an open session across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessions(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_stream")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: two events 10 min apart — one open session, nothing emitted
+    mem.addData(SessionEvent(7, t("2024-01-01 10:00:00"), 1),
+                SessionEvent(7, t("2024-01-01 10:10:00"), 2))
+    q.processAllAvailable()
+    spark.table("sessions_stream").count() shouldBe 0L
+    // batch 2: an event 2 h later closes the first session (2 events)
+    mem.addData(SessionEvent(7, t("2024-01-01 12:10:00"), 3))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_stream").collect()
+    rows.length shouldBe 1
+    rows(0).getLong(0) shouldBe 7L        // user_id
+    rows(0).getLong(1) shouldBe 1L        // session_id
+    rows(0).getString(2) shouldBe "2024-01-01 10:00:00"
+    rows(0).getString(3) shouldBe "2024-01-01 10:10:00"
+    rows(0).getLong(4) shouldBe 2L        // n_events
+    q.stop()
+  }
+}
