@@ -60,6 +60,8 @@ object SparkEntry {
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
     "dedup_embedding" -> (DataOps.dedupEmbedding _),
+    "redact_pii" -> (DataOps.redactPii _),
+    "corpus_select" -> (DataOps.corpusSelect _),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.

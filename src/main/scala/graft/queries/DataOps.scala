@@ -411,6 +411,45 @@ object DataOps {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
   }
 
+  /** PII redaction: emails and phone numbers masked with typed
+    * placeholders — per-row regexp work (RE2-safe patterns shared with
+    * the oracle), zero shuffles. The corpus carries no PII, so inputs
+    * are synthesized deterministically from events (same technique as
+    * html_extract).
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val raw = concat(lit("contact user"), col("user_id"),
+      lit("@example.com or +1-555-"),
+      lpad(col("event_id") % 10000, 4, "0"),
+      lit(" via https://ex.com/u/"), col("user_id"))
+    e.select(col("event_id"), raw.as("raw"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"),
+              "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+            "\\+[0-9][0-9-]{7,}", "<PHONE>"),
+          "https?://[^ ]+", "<URL>"))
+  }
+
+  /** The capstone corpus-selection query — what the pipeline exists to
+    * produce: documents passing the quality gate MINUS near-duplicate
+    * drop targets (the lexicographically-later member of every verified
+    * MinHash-LSH pair). Composes [[docQuality]] and [[dedupMinhashLsh]];
+    * the oracle nests both queries' SQL verbatim, so any semantic drift
+    * in either component fails this entry too.
+    */
+  def corpusSelect(spark: SparkSession, dir: String): DataFrame = {
+    val quality = docQuality(spark, dir).filter(col("kept")).select("doc_id")
+    val dropTargets = dedupMinhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs(spark, dir)
+      .join(quality, "doc_id")
+      .join(dropTargets, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -439,7 +478,7 @@ object DataOps {
     }.mkString(" ") + " END"
     val dot = (a: String, bb: String) => s"list_dot_product($a::DOUBLE[], $bb::DOUBLE[])"
 
-    Map(
+    val base = Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
            count(*) AS n_docs FROM documents GROUP BY 1""",
@@ -590,6 +629,28 @@ object DataOps {
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
                FROM pairs)
         SELECT vec_id, bucket, neighbor_id, cos, rk FROM rk WHERE rk <= 3""",
+    )
+    base ++ Map(
+      "redact_pii" -> """
+        SELECT event_id,
+               'contact user' || user_id || '@example.com or +1-555-'
+                 || lpad((event_id % 10000)::VARCHAR, 4, '0')
+                 || ' via https://ex.com/u/' || user_id AS raw,
+               regexp_replace(regexp_replace(regexp_replace(
+                 'contact user' || user_id || '@example.com or +1-555-'
+                   || lpad((event_id % 10000)::VARCHAR, 4, '0')
+                   || ' via https://ex.com/u/' || user_id,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>'),
+                 '\+[0-9][0-9-]{7,}', '<PHONE>'),
+                 'https?://[^ ]+', '<URL>') AS redacted
+        FROM events""",
+      // capstone: the same quality and near-dup queries, nested verbatim
+      "corpus_select" -> s"""
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN (${base("doc_quality")}) q ON q.doc_id = d.doc_id AND q.kept
+        WHERE d.doc_id NOT IN
+          (SELECT doc_b FROM (${base("dedup_minhash_lsh")}) dd)""",
     )
   }
 }

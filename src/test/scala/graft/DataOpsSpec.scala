@@ -121,6 +121,25 @@ class DataOpsSpec extends SparkSpec {
     out.filter(col("subwords") < col("ws_tokens")).count() shouldBe 0L
   }
 
+  test("redact_pii masks every email, phone, and URL") {
+    val out = DataOps.redactPii(spark, sf).cache()
+    out.filter(col("redacted").rlike("@")).count() shouldBe 0L
+    out.filter(col("redacted").rlike("\\+[0-9]")).count() shouldBe 0L
+    out.filter(col("redacted").rlike("https?://")).count() shouldBe 0L
+    out.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<PHONE>") ||
+      !col("redacted").contains("<URL>")).count() shouldBe 0L
+  }
+
+  test("corpus_select = quality-kept docs minus near-dup drop targets") {
+    val selected = DataOps.corpusSelect(spark, sf).select("doc_id").cache()
+    val kept = DataOps.docQuality(spark, sf).filter(col("kept")).select("doc_id")
+    val drops = DataOps.dedupMinhashLsh(spark, sf).select(col("doc_b").as("doc_id"))
+    selected.exceptAll(kept).count() shouldBe 0L // subset of quality-kept
+    selected.intersect(drops).count() shouldBe 0L // no drop targets survive
+    kept.exceptAll(selected).exceptAll(drops).count() shouldBe 0L // nothing else lost
+  }
+
   test("ann_cosine_topk: 8 ranked neighbors per query, cos in [-1,1], no self") {
     val out = DataOps.annCosineTopk(spark, sf).cache()
     out.groupBy("q_id").count().filter(col("count") =!= 8).count() shouldBe 0L
