@@ -68,6 +68,7 @@ object SparkEntry {
     "html_extract" -> (ExtractOps.htmlExtract _),
     // Multimodal BINARY-column plumbing (decode is a documented stub).
     "multimodal_meta" -> (graft.multimodal.MultimodalOps.multimodalMeta _),
+    "frame_sample" -> (graft.multimodal.MultimodalOps.frameSample _),
   )
 
   /** DuckDB oracle for each query (same column names, same values). */

@@ -85,7 +85,38 @@ object MultimodalOps {
       size(expr("sequence(1, length(payload), 256)")).as("n_frames"),
       md5(col("payload")).as("content_hash"))
 
+  /** Frame sampling, fully relational: explode the arithmetic frame
+    * offsets and slice the payload bytes per frame — 256-byte "frames"
+    * stand in for decoded media frames; each carries its index, byte
+    * range, and content hash. Payload bytes are touched only where a
+    * frame is materialized; the offsets themselves cost no I/O.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("format"), col("payload"),
+        explode(expr("sequence(1, length(payload), 256)")).as("frame_off"))
+      .select(col("doc_id"), col("format"),
+        ((col("frame_off") - 1) / 256).cast("int").as("frame_idx"),
+        length(expr("substring(payload, frame_off, 256)")).as("frame_bytes"),
+        md5(expr("substring(payload, frame_off, 256)")).as("frame_hash"))
+
   val oracles: Map[String, String] = Map(
+    // DuckDB 1.0 lacks substring over BLOB; the payload bytes ARE the
+    // ascii text bytes, so the oracle slices the VARCHAR — byte-identical.
+    "frame_sample" -> """
+      WITH media AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS format,
+               text AS payload
+        FROM documents),
+      fr AS (SELECT doc_id, format, payload,
+               unnest(range(1, length(payload) + 1, 256)) AS frame_off
+             FROM media)
+      SELECT doc_id, format,
+             ((frame_off - 1) // 256)::INT AS frame_idx,
+             length(substring(payload, frame_off::INT, 256)) AS frame_bytes,
+             md5(substring(payload, frame_off::INT, 256)) AS frame_hash
+      FROM fr""",
     "multimodal_meta" -> """
       WITH media AS (
         SELECT doc_id,
