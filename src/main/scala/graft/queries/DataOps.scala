@@ -339,17 +339,23 @@ object DataOps {
         round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
 
   /** Per-label embedding centroids, exploded form: (label, dim, centroid).
-    * One shuffle on (label, dim) with full map-side partial aggregation;
-    * the alternative — aggregating whole vectors — ships arrays through
-    * the shuffle and needs a custom merge; exploding keeps it all
-    * built-in and the row count is |labels|·dims regardless of input
-    * size.
+    * One shuffle on (label, dim); the mean is computed as a SORTED
+    * left-to-right double fold, not `avg` — partial-aggregation order is
+    * engine- and partitioning-dependent, and a last-ulp difference can
+    * flip the rounded value (observed at sf0.1). Sorting pins the
+    * accumulation order, so both engines produce bit-identical means.
+    * Production at 100 TB uses plain `avg` (collecting a group's values
+    * is bounded by group size); the sorted fold is the
+    * exact-reproducibility form.
     */
   def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(col("label"), col("dim"),
+        (round(expr("aggregate(vs, cast(0 AS double), (a, x) -> a + cast(x AS double))")
+          / size(col("vs")), 4) + lit(0.0)).as("centroid"))
 
   // --------------------------------------------------- similarity search
 
@@ -376,8 +382,8 @@ object DataOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
-          .as("cos"))
+        (round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+          + lit(0.0)).as("cos"))
     val local = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(32)))
       .orderBy(col("cos").desc, col("vec_id"))
     val survivors = scored
@@ -404,8 +410,8 @@ object DataOps {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("neighbor_id"),
-        round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+        (round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4) + lit(0.0)).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
@@ -601,14 +607,18 @@ object DataOps {
         WITH ex AS (SELECT label,
                unnest(list_transform(range(1, len(embedding) + 1),
                  i -> {'dim': i, 'v': embedding[i]})) AS u
-             FROM embeddings)
-        SELECT label, u.dim AS dim, round(avg(u.v::DOUBLE), 4) AS centroid
-        FROM ex GROUP BY label, u.dim""",
+             FROM embeddings),
+        g AS (SELECT label, u.dim AS dim, list_sort(list(u.v)) AS vs
+              FROM ex GROUP BY label, u.dim)
+        SELECT label, dim,
+               round(list_aggregate(list_transform(vs, x -> x::DOUBLE), 'sum')
+                     / len(vs), 4) + 0.0 AS centroid
+        FROM g""",
       "ann_cosine_topk" -> s"""
         WITH e AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm
                    FROM embeddings),
         q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 5),
-        s AS (SELECT q_id, vec_id, round(${dot("qe", "embedding")} / (qn * nrm), 4) AS cos
+        s AS (SELECT q_id, vec_id, round(${dot("qe", "embedding")} / (qn * nrm), 4) + 0.0 AS cos
               FROM q, e WHERE vec_id != q_id),
         rk AS (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
@@ -623,7 +633,7 @@ object DataOps {
                FROM embeddings),
         pairs AS (SELECT x.vec_id AS vec_id, x.bucket AS bucket,
                     y.vec_id AS neighbor_id,
-                    round(${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) AS cos
+                    round(${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) + 0.0 AS cos
                   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
         rk AS (SELECT vec_id, bucket, neighbor_id, cos,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
