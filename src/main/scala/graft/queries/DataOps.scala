@@ -97,25 +97,25 @@ object DataOps {
     jaccardOnPairs(cand, sh, threshold = 0.8)
   }
 
-  /** Exact Jaccard over candidate pairs: explode shingles of both sides,
-    * count the intersection, divide by the union size.
+  /** Exact Jaccard over candidate pairs: join each pair to its two shingle
+    * SETS and intersect per row (`array_intersect` on already-distinct
+    * arrays — same count as the exploded join+groupBy form, in 2 joins and
+    * 0 extra shuffles instead of 3 joins + an aggregation over exploded
+    * postings). Candidate pairs are few by construction and shingle arrays
+    * are bounded by document length, so the per-row set intersection is
+    * the cheap side at any scale.
     */
   private def jaccardOnPairs(cand: DataFrame, sh: DataFrame,
-                             threshold: Double): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inter = cand
-      .join(ex.as("ea"), col("ea.doc_id") === col("doc_a"))
-      .join(ex.as("eb"), col("eb.doc_id") === col("doc_b") && col("eb.s") === col("ea.s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+                             threshold: Double): DataFrame =
+    cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 3)
-          .as("jaccard"))
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double").as("i"),
+        (size(col("sa.sh")) + size(col("sb.sh"))).as("nn"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / (col("nn") - col("i")), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Exact n-gram (word 3-gram) Jaccard similarity join with PREFIX
     * FILTERING (SSJoin/PPJoin family): order each doc's shingles by
@@ -137,15 +137,24 @@ object DataOps {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val big = shingled(spark, dir).cache()
     val ex = big.select(col("doc_id"), explode(col("sh")).as("s"))
+    // No broadcast hint on freq: the global shingle-frequency table grows
+    // with the corpus (same hazard as broadcasting a growing dimension) —
+    // AQE broadcasts it at test scale and shuffle-joins at 100 TB.
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
-    val pref = ex.join(broadcast(freq), "s")
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(f, s))), x -> x.s)").as("os"))
-      .select(col("doc_id"),
-        expr("slice(os, 1, size(os) - cast(ceil(0.5 * size(os)) AS int) + 1)").as("pref"))
-    // Cached: the candidate self-join otherwise recomputes the frequency
-    // join + per-doc sort once per side.
-    val pex = pref.select(col("doc_id"), explode(col("pref")).as("s")).cache()
+    // Prefix selection stays in exploded form: rank each doc's shingles by
+    // (frequency, shingle) with ONE window shuffle on doc_id and keep the
+    // first |d| − ⌈t·|d|⌉ + 1 — same prefix set as sorting a collected
+    // array, without collect_list + per-row sort + re-explode.
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val pex = ex.join(freq, "s")
+      .select(col("doc_id"), col("s"),
+        row_number().over(byRarity).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      .filter(col("rk") <= col("n") - ceil(lit(0.5) * col("n")).cast("int") + 1)
+      .select(col("doc_id"), col("s"))
+      // Cached: the candidate self-join otherwise recomputes the frequency
+      // join + window once per side.
+      .cache()
     val cand = pex.as("a")
       .join(pex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -46,8 +46,13 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-06-01 00:00:00").cast("timestamp"))
     val li = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(cust, ord("o_custkey") === cust("c_custkey"))
+    // Join order: orders⋈customer first — both are ~1/8 of lineitem, and
+    // the segment filter cuts the result to ~20% of orders, so the big
+    // lineitem side joins ONE pre-shrunk build input (AQE broadcasts it at
+    // small SF; at 100 TB both joins shuffle on their natural keys with
+    // the smallest possible intermediate either way).
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(li, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"),
                date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
                col("o_orderpriority"))

@@ -62,9 +62,11 @@ final class HttpFetcher(
           java.net.http.HttpResponse.BodyHandlers.ofString())
         if (resp.statusCode() < 400) return Some(resp.body())
       } catch { case _: Exception => () }
+      // Reference policy (PhocusWire/PhocusWireSource.py:78): wait
+      // backoff_factor * 2^attempt starting at attempt = 0 (first wait is
+      // 1×), and the wait runs after EVERY failure including the last.
+      Thread.sleep((backoffFactor * math.pow(2, attempt.toDouble) * 1000).toLong)
       attempt += 1
-      if (attempt < maxRetries)
-        Thread.sleep((backoffFactor * math.pow(2, attempt.toDouble) * 1000).toLong)
     }
     None
   }

@@ -84,7 +84,12 @@ private[v2] class PageMicroBatchStream(options: CaseInsensitiveStringMap)
     case "phocuswire" => Sites.phocuswire
     case _ => Sites.skift
   }
-  private val wm: Timestamp = Timestamp.valueOf(options.get("watermark"))
+  private val wm: Timestamp = {
+    val raw = options.get("watermark")
+    require(raw != null,
+      "paginated-pages requires option watermark ('yyyy-MM-dd HH:mm:ss')")
+    Timestamp.valueOf(raw)
+  }
   private val maxPages: Int =
     Option(options.get("maxPages")).map(_.toInt).getOrElse(1000)
 
@@ -142,7 +147,13 @@ private[v2] class PageMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
     ((s + 1) to e).map { p =>
-      val html = fetched.getOrElse(p.toInt, fetch(p.toInt).getOrElse(""))
+      // A page inside a committed offset range MUST exist: after a
+      // checkpoint restart it re-reads from the fixture dir, and a missing
+      // file means fixture corruption or a checkpoint/dir mismatch —
+      // substituting empty html would silently extract zero articles.
+      val html = fetched.getOrElse(p.toInt, fetch(p.toInt).getOrElse(
+        throw new IllegalStateException(
+          s"committed page $p missing from $pagesDir")))
       PagePartition(p.toInt, html): InputPartition
     }.toArray
   }
