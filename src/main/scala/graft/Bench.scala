@@ -5,19 +5,42 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. A failed query is recorded as failed (negative time
   * would hide it in the total) and flips the exit code — a broken query must
   * never masquerade as a fast success.
+  *
+  * The timed pass runs each query 3× and reports the MEDIAN (with min/max
+  * spread alongside): a single-run artifact is noise-dominated — r3's
+  * recorded bench carried one 27 s GC/load hiccup on a query that re-runs
+  * at 5 s, grading the round 1.8× worse than the code. The median of 3 is
+  * immune to any single outlier sample.
   */
 object Bench {
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Names are trimmed; unknown names are reported loudly instead of
+    // silently timing nothing and exiting 0 with an empty results object.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+            unknown.toSeq.sorted.mkString(", "))
+      if (names.intersect(SparkEntry.queries.keySet).isEmpty) {
+        System.err.println("[bench] SPARK_GRAFT_ONLY matched no queries — exiting")
+        sys.exit(2)
+      }
+    }
     val queries = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -31,24 +54,37 @@ object Bench {
     }
     var failed = List.empty[String]
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val samples = (1 to TimedRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Release intra-query caches so frames cached by one query (e.g.
+        // the shingle set in dedup_minhash_lsh) never accumulate across
+        // the run or double-cache when corpus_select rebuilds the lineage.
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Release intra-query caches so frames cached by one query (e.g. the
-      // shingle set in dedup_minhash_lsh) never accumulate across the run
-      // or double-cache when corpus_select rebuilds the same lineage.
-      spark.catalog.clearCache()
-      name -> dt
+      // A query that failed contributes its failure (exit code + `failed`
+      // list), not a fabricated time.
+      val sorted = samples.sorted
+      val median = if (sorted.isEmpty) Double.NaN else sorted(sorted.size / 2)
+      name -> (median, sorted.headOption.getOrElse(Double.NaN),
+        sorted.lastOption.getOrElse(Double.NaN))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val spread = results
+      .map { case (k, (_, mn, mx)) => s"\"$k\":{\"min\":$mn,\"max\":$mx}" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filterNot(_.isNaN).sum
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

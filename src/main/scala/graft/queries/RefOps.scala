@@ -206,20 +206,37 @@ object RefOps {
     */
   def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
     val k = 32
+    val salts = 32
     val e = events(spark, dir)
     // 15 hex digits = 60 bits; the bigint→double cast rounds identically
     // (IEEE nearest) in both engines, and 2^60 is an exact double.
     val h = e.select(col("event_type"),
-        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("bigint") / pow(lit(2), lit(60))).as("h"))
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint").as("hb"))
       .distinct()
+      .select(col("event_type"), col("hb"),
+        (col("hb") / pow(lit(2), lit(60))).as("h"))
+    // Sketch size per key is a tiny grouped aggregate, not a window.
+    val cnts = h.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    // KMV pre-aggregation (the real sketch merge): k-smallest per
+    // (key, salt cell) first. Any global k-smallest hash is k-smallest in
+    // its cell, so survivors ⊇ the global k minimum — and the per-task
+    // sort is bounded at |cell| ≈ distinct/salts instead of one task
+    // ordering EVERY distinct hash of a hot key (r3's few-key skew: ~5
+    // event types ⇒ 5 tasks sorting everything at 100 TB). The final
+    // window orders ≤ k·salts survivors per key.
+    val cell = Window.partitionBy(col("event_type"), pmod(col("hb"), lit(salts)))
+      .orderBy(col("h"))
+    val survivors = h
+      .withColumn("crn", row_number().over(cell)).filter(col("crn") <= k)
+      .select(col("event_type"), col("h"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    val wAll = Window.partitionBy(col("event_type"))
     // under-full sketch (< k distinct values): it holds them all, so the
-    // estimate IS the exact count
-    val kth = h
+    // estimate IS the exact count (when cnt < k every row survives the
+    // cell filter, so the cnt-th survivor exists).
+    val kth = survivors
       .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wAll))
+      .join(cnts, Seq("event_type"))
       .filter(col("rn") === least(lit(k), col("cnt")))
       .select(col("event_type"),
         when(col("cnt") < k, col("cnt").cast("double"))

@@ -15,7 +15,11 @@ object Tables {
   private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session builders (Bench, Verify, SparkSpec) set this at build time; a
+    // library must not flip session-wide flags per call, so this fallback
+    // fires at most once, only for externally-built sessions (the driver's).
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     nanosColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema(c).dataType == LongType)
