@@ -127,12 +127,16 @@ object DataOps {
       .distinct()
   }
 
+  /** Candidate generation + exact Jaccard verification on a shingle
+    * frame; the cap-equivalence spec runs this at different caps.
+    */
+  private[graft] def dedupOnShingles(sh: DataFrame, cap: Int): DataFrame =
+    jaccardOnPairs(lshCandidates(sh, cap), sh, threshold = 0.8)
+
   /** The graded operator on the test corpus; see [[lshCandidates]]. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    cachedScope(sh) {
-      jaccardOnPairs(lshCandidates(sh, BandBucketCap), sh, threshold = 0.8)
-    }
+    cachedScope(sh) { dedupOnShingles(sh, BandBucketCap) }
   }
 
   /** Exact Jaccard over candidate pairs: join each pair to its two shingle

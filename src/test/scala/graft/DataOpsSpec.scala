@@ -86,6 +86,73 @@ class DataOpsSpec extends SparkSpec {
     out.filter(col("cos") < 0.4 - 1e-4 || col("cos") > 1.0).count() shouldBe 0L
   }
 
+  test("dedup_embedding block-partitioned join equals naive all-pairs; no nested-loop in plan") {
+    val out = DataOps.dedupEmbedding(spark, sf)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // executed plan (post-AQE): an equi-join on cell ids, never a
+    // broadcast-nested-loop or cartesian — the r3 form died at 100×.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    // naive reference: the exact all-pairs the oracle computes
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(graft.ml.VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val naive = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+        (graft.ml.VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("keep_id"), col("drop_id"), round(col("cos_raw"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe naive
+  }
+
+  test("hot-band cap bounds boilerplate buckets and preserves the dedup decision") {
+    import spark.implicits._
+    // 120 near-identical docs: a shared 31-token body + one unique tail
+    // token each (pairwise Jaccard 28/32 = 0.875 >= 0.8) — the planted
+    // boilerplate that makes every band bucket hot.
+    val base = (0 until 31).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 120).map(i => (i.toLong, s"$base u$i")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh")).cache()
+    val full = DataOps.lshCandidates(sh, Int.MaxValue).cache()
+    val capped = DataOps.lshCandidates(sh, 4).cache()
+    // uncapped: hot buckets emit ~all C(120,2) = 7140 pairs; capped:
+    // only each bucket's 4 smallest ids generate, bounding candidates at
+    // ~cap x |bucket| per band.
+    full.count() should be >= 6000L
+    capped.count() should be <= (4L * 120 * 4)
+    // the dedup DECISION (which docs get dropped) survives the cap:
+    // every over-cap member still pairs with its bucket's minimum.
+    val dropFull = DataOps.dedupOnShingles(sh, Int.MaxValue)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val dropCapped = DataOps.dedupOnShingles(sh, 4)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    dropCapped shouldBe dropFull
+    dropFull shouldBe (2L to 120L).toSet // everything but the min-id keeper
+    sh.unpersist(); full.unpersist(); capped.unpersist()
+  }
+
+  test("graded cap (32) is invisible on the real corpus: equals the uncapped output") {
+    val sh = DataOps.shingledForTest(spark, sf).cache()
+    val capped = DataOps.dedupOnShingles(sh, DataOps.BandBucketCap)
+    val uncapped = DataOps.dedupOnShingles(sh, Int.MaxValue)
+    capped.exceptAll(uncapped).count() shouldBe 0L
+    uncapped.exceptAll(capped).count() shouldBe 0L
+    sh.unpersist()
+  }
+
+  test("dedup operators leave no cached frames behind (operator-scoped caches)") {
+    spark.catalog.clearCache()
+    DataOps.dedupMinhashLsh(spark, sf).count()
+    DataOps.ngramJaccard(spark, sf).count()
+    DataOps.dedupSimhash(spark, sf).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an operator leaked a cached frame past its own scope")
+  }
+
   test("doc_fingerprint is stable, bounded, and order-sensitive") {
     val out = DataOps.docFingerprint(spark, sf).cache()
     out.count() shouldBe 500L
