@@ -25,6 +25,16 @@ import graft.model.ArticleSchema
   */
 final case class SiteSpec(
     sourceName: String,
+    /** P2 — listing-container scope, applied BEFORE [[elementRe]]: the
+      * reference selects `div.article-list  div.item`
+      * (PhocusWire/PhocusWireSource.py:132), so an "item" div in a
+      * sidebar or nav must NOT be extracted. Regex form: the scope is
+      * everything from the container's open tag onward (group 0); a page
+      * with no container yields no elements, matching the CSS selector's
+      * empty result. None ⇒ whole page (Skift selects bare `article`
+      * tags, Skift/SkiftSource.py:127).
+      */
+    containerRe: Option[String],
     /** P2 — one match per article element. */
     elementRe: String,
     /** P3 — group 1 = title text. */
@@ -50,6 +60,7 @@ object Sites {
     */
   val skift: SiteSpec = SiteSpec(
     sourceName = "Skift",
+    containerRe = None,
     elementRe = "<article[\\s\\S]*?</article>",
     titleRe = "<h3 class=\"c-tease__title\"><a href=\"[^\"]*\">([^<]*)</a>",
     hrefRe = "<h3 class=\"c-tease__title\"><a href=\"([^\"]*)\">",
@@ -68,6 +79,7 @@ object Sites {
     */
   val phocuswire: SiteSpec = SiteSpec(
     sourceName = "Phocuswire",
+    containerRe = Some("<div class=\"article-list\">[\\s\\S]*"),
     elementRe = "<div class=\"item\">[\\s\\S]*?</div>\\s*</div>",
     titleRe = "<a class=\"title\" href=\"[^\"]*\">([^<]*)</a>",
     hrefRe = "<a class=\"title\" href=\"([^\"]*)\">",
@@ -81,11 +93,21 @@ object Sites {
 
 object HtmlExtract {
 
-  /** P1+P2 — explode a page DataFrame into one row per article element. */
-  def elements(pages: DataFrame, htmlCol: String, spec: SiteSpec): DataFrame =
+  /** P1+P2 — explode a page DataFrame into one row per article element,
+    * scoped to the site's listing container first (a decoy element
+    * outside it — sidebar, nav — is never extracted; a page with no
+    * container yields nothing, like the reference's CSS selector).
+    * `regexp_extract` returns "" on no match, and extracting elements
+    * from "" is the empty array — no null-handling branch needed.
+    */
+  def elements(pages: DataFrame, htmlCol: String, spec: SiteSpec): DataFrame = {
+    val scoped = spec.containerRe
+      .map(re => regexp_extract(col(htmlCol), re, 0))
+      .getOrElse(col(htmlCol))
     pages.select(
-      explode(regexp_extract_all(col(htmlCol), lit(spec.elementRe), lit(0)))
+      explode(regexp_extract_all(scoped, lit(spec.elementRe), lit(0)))
         .as("element"))
+  }
 
   private def grp(el: Column, re: String): Column =
     nullif(regexp_extract(el, re, 1), lit(""))

@@ -53,8 +53,18 @@ object ExtractOps {
         lit(" | "), date_format(col("ts"), "MMMM d, yyyy"),
         lit("</div></div>")).as("el"))
 
+    // PhocusWire pages carry a DECOY item in a sidebar before the listing
+    // container — a fully-valid element that the container scope
+    // (`div.article-list div.item`, PhocusWireSource.py:132) must
+    // exclude; without scoping it would be extracted and the oracle
+    // would catch the divergence.
+    val pwPages = pages(pwEl).select(concat(
+      lit("<aside><div class=\"item\"><a class=\"title\" href=\"/decoy\">Sidebar promo</a>" +
+        "<div class=\"author\"><span class=\"name\">By Nobody</span> | January 1, 2020" +
+        "</div></div></aside><div class=\"article-list\">"),
+      col("html"), lit("</div>")).as("html"))
     val sk = HtmlExtract.articles(pages(skEl), "html", Sites.skift)
-    val pw = HtmlExtract.articles(pages(pwEl), "html", Sites.phocuswire)
+    val pw = HtmlExtract.articles(pwPages, "html", Sites.phocuswire)
     sk.unionByName(pw).select(
       col("Article_id").as("article_id"),
       col("News_link").as("news_link"),
@@ -103,10 +113,15 @@ object ExtractOps {
             '<span class="name">By User ' || user_id || '</span>' END ||
           ' | ' || strftime(ts, '%B %-d, %Y') || '</div></div>' AS el
         FROM events WHERE event_id % 2 = 1),
-      pw_pages AS (SELECT string_agg(el, '' ORDER BY event_id) AS html
+      pw_pages AS (SELECT '<aside><div class="item"><a class="title" href="/decoy">Sidebar promo</a>'
+                     || '<div class="author"><span class="name">By Nobody</span> | January 1, 2020'
+                     || '</div></div></aside><div class="article-list">'
+                     || string_agg(el, '' ORDER BY event_id) || '</div>' AS html
                    FROM pw_el GROUP BY page),
+      pw_scoped AS (SELECT regexp_extract(html, '<div class="article-list">[\s\S]*') AS html
+                    FROM pw_pages),
       pw_elem AS (SELECT unnest(regexp_extract_all(html, '<div class="item">[\s\S]*?</div>\s*</div>')) AS element
-                  FROM pw_pages),
+                  FROM pw_scoped),
       pw_raw AS (SELECT
           nullif(regexp_extract(element, '<a class="title" href="[^"]*">([^<]*)</a>', 1), '') AS title,
           nullif(regexp_extract(element, '<a class="title" href="([^"]*)">', 1), '') AS href,

@@ -142,10 +142,18 @@ object PaginatedSource {
     * the early-stop probe; the authoritative parse is the Column path in
     * [[graft.extract.HtmlExtract]] with identical regex strings.
     */
-  def pageDates(spec: SiteSpec, html: String): Seq[Option[Timestamp]] =
-    spec.elementRe.r.findAllIn(html).map { el =>
+  def pageDates(spec: SiteSpec, html: String): Seq[Option[Timestamp]] = {
+    // Same container scoping as HtmlExtract.elements: the probe must see
+    // exactly the elements the distributed path extracts, or the
+    // early-stop decision and the extraction could diverge on a page
+    // with decoy elements outside the listing container.
+    val scoped = spec.containerRe
+      .map(re => re.r.findFirstIn(html).getOrElse(""))
+      .getOrElse(html)
+    spec.elementRe.r.findAllIn(scoped).map { el =>
       spec.dateRe.r.findFirstMatchIn(el).map(_.group(1)).flatMap(parse(spec, _))
     }.toSeq
+  }
 
   private def parse(spec: SiteSpec, raw: String): Option[Timestamp] =
     try {

@@ -16,7 +16,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.extract.{SiteSpec, Sites}
-import graft.source.PaginatedSource
+import graft.source.{HttpFetcher, PageFetcher, PaginatedSource}
 
 /** DataSource V2 streaming source for the paginated listing scan
   * (S1/S2/O1 as a real `MicroBatchStream`): one page = one offset, and
@@ -28,7 +28,13 @@ import graft.source.PaginatedSource
   * [[graft.source.PaginatedSource]] is the batch binding of the same
   * logic.
   *
-  * Options: `pagesDir` (fixture mode: serves `page-N.html` files),
+  * Options: exactly ONE of `pagesDir` (fixture mode: serves
+  * `page-N.html` files) or `urlTemplate` (HTTP mode: a
+  * `String.format` template with one `%d` page slot, fetched through
+  * [[graft.source.HttpFetcher]] — the reference's production mode,
+  * PhocusWire/PhocusWireSource.py:121-129 — honoring `maxRetries`,
+  * `backoffFactor`, `timeoutSeconds`, `minDelaySeconds`,
+  * `maxDelaySeconds`, `userAgent`);
   * `site` (`skift` | `phocuswire` — selects the probe's SiteSpec),
   * `watermark` (`yyyy-MM-dd HH:mm:ss`), `maxPages`.
   * Emits rows (page INT, html STRING); compose with
@@ -78,8 +84,29 @@ private[v2] class PageMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val pagesDir = options.get("pagesDir")
-  require(pagesDir != null, "paginated-pages requires option pagesDir " +
-    "(an HTTP binding would plug a PageFetcher here)")
+  private val urlTemplate = options.get("urlTemplate")
+  require((pagesDir != null) != (urlTemplate != null),
+    "paginated-pages requires exactly one of pagesDir (fixture mode) or " +
+      "urlTemplate (HTTP mode, one %d page slot)")
+  private def opt(key: String): Option[String] = Option(options.get(key))
+  /** The page provider: fixture files or the reference's HTTP
+    * retry/backoff/throttle policy — the offset-planning early-stop is
+    * identical either way, so pages past the cutoff are never read from
+    * disk NOR requested over the network.
+    */
+  private val fetcher: PageFetcher =
+    if (pagesDir != null) { page: Int =>
+      val p = java.nio.file.Paths.get(pagesDir, s"page-$page.html")
+      if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p))
+      else None
+    } else new HttpFetcher(
+      urlForPage = page => urlTemplate.format(page),
+      headers = opt("userAgent").map(ua => Map("User-Agent" -> ua)).getOrElse(Map.empty),
+      maxRetries = opt("maxRetries").map(_.toInt).getOrElse(3),
+      backoffFactor = opt("backoffFactor").map(_.toDouble).getOrElse(1.0),
+      timeoutSeconds = opt("timeoutSeconds").map(_.toInt).getOrElse(10),
+      minDelaySeconds = opt("minDelaySeconds").map(_.toDouble).getOrElse(1.0),
+      maxDelaySeconds = opt("maxDelaySeconds").map(_.toDouble).getOrElse(3.0))
   private val site: SiteSpec = options.get("site") match {
     case "phocuswire" => Sites.phocuswire
     case _ => Sites.skift
@@ -98,11 +125,7 @@ private[v2] class PageMicroBatchStream(options: CaseInsensitiveStringMap)
   private var probedUpTo = 0
   private var availableNowTarget: Option[Long] = None
 
-  private def fetch(page: Int): Option[String] = {
-    val p = java.nio.file.Paths.get(pagesDir, s"page-$page.html")
-    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p))
-    else None
-  }
+  private def fetch(page: Int): Option[String] = fetcher.fetch(page)
 
   /** O1 — probe forward until a stop condition; never look past it. */
   private def advance(): Unit =
@@ -148,12 +171,14 @@ private[v2] class PageMicroBatchStream(options: CaseInsensitiveStringMap)
     val e = end.asInstanceOf[PageOffset].page
     ((s + 1) to e).map { p =>
       // A page inside a committed offset range MUST exist: after a
-      // checkpoint restart it re-reads from the fixture dir, and a missing
-      // file means fixture corruption or a checkpoint/dir mismatch —
+      // checkpoint restart it re-reads from the fixture dir (or re-fetches
+      // over HTTP, like the reference's re-scrape), and a missing page
+      // means fixture corruption or a checkpoint/source mismatch —
       // substituting empty html would silently extract zero articles.
       val html = fetched.getOrElse(p.toInt, fetch(p.toInt).getOrElse(
         throw new IllegalStateException(
-          s"committed page $p missing from $pagesDir")))
+          s"committed page $p missing from " +
+            (if (pagesDir != null) pagesDir else urlTemplate))))
       PagePartition(p.toInt, html): InputPartition
     }.toArray
   }

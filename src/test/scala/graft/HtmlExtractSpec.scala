@@ -71,12 +71,34 @@ class HtmlExtractSpec extends SparkSpec {
     assert(z.isNullAt(4)) // malformed date => null, row survives extraction
   }
 
+  test("container scoping: a decoy item outside div.article-list is never extracted") {
+    val decoyPage =
+      """<div class="sidebar"><div class="item"><a class="title" href="/decoy">Promo</a>
+        |<div class="author"><span class="name">By Ad Bot</span> | July 1, 2025</div></div></div>
+        |<div class="article-list">
+        |<div class="item"><a class="title" href="/news/real">Real</a>
+        |<div class="author"><span class="name">By Jo</span> | July 2, 2025</div></div>
+        |</div>""".stripMargin
+    val out = HtmlExtract.articles(
+      Seq(decoyPage).toDF("html"), "html", Sites.phocuswire).collect()
+    out.length shouldBe 1 // sidebar decoy excluded (PhocusWireSource.py:132 CSS scope)
+    out(0).getString(2) shouldBe "Real"
+    // and a page with no container yields nothing, like the CSS selector
+    val noContainer =
+      """<div class="item"><a class="title" href="/x">X</a>
+        |<div class="author"> | July 1, 2025</div></div>""".stripMargin
+    HtmlExtract.articles(
+      Seq(noContainer).toDF("html"), "html", Sites.phocuswire).count() shouldBe 0
+  }
+
   test("missing href is skipped (Q2) and ids are md5 of the exact link") {
     val page =
-      """<div class="item"><a class="title">No Href</a>
+      """<div class="article-list">
+        |<div class="item"><a class="title">No Href</a>
         |<div class="author"> | July 1, 2025</div></div>
         |<div class="item"><a class="title" href="/k">K</a>
-        |<div class="author"> | July 1, 2025</div></div>""".stripMargin
+        |<div class="author"> | July 1, 2025</div></div>
+        |</div>""".stripMargin
     val out = HtmlExtract.articles(
       Seq(page).toDF("html"), "html", Sites.phocuswire).collect()
     out.length shouldBe 1

@@ -50,6 +50,47 @@ class PageSourceV2Spec extends SparkSpec {
     arts.filter(col("News_title") === "T p3a").count() shouldBe 0L
   }
 
+  test("HTTP mode: early-stop means pages past the cutoff are never requested over the wire") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val pages = Map(
+      1 -> (skiftEl("h1a", "2025-08-03T10:00:00") + skiftEl("h1b", "2025-08-02T09:00:00")),
+      2 -> (skiftEl("h2a", "2025-08-01T08:00:00") + skiftEl("h2b", "2025-07-30T07:00:00")),
+      3 -> skiftEl("h3a", "2025-08-04T06:00:00")) // past the stop: never requested
+    val requested = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", { ex =>
+      requested.synchronized { requested += ex.getRequestURI.getPath }
+      val page = "/list/(\\d+)".r.findFirstMatchIn(ex.getRequestURI.getPath)
+        .map(_.group(1).toInt)
+      page.flatMap(pages.get) match {
+        case Some(html) =>
+          val b = html.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b)
+        case None => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val q = spark.readStream.format("paginated-pages")
+        .option("urlTemplate", s"http://localhost:${server.getAddress.getPort}/list/%d")
+        .option("site", "skift")
+        .option("watermark", "2025-08-01 00:00:00")
+        .option("minDelaySeconds", "0").option("maxDelaySeconds", "0")
+        .option("maxRetries", "1").option("backoffFactor", "0")
+        .load()
+        .writeStream.format("memory").queryName("pages_http")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("ckpt-http"))
+        .start()
+      q.awaitTermination()
+      spark.table("pages_http").orderBy("page")
+        .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2)
+      requested.toSeq shouldBe Seq("/list/1", "/list/2") // page 3: no HTTP request
+    } finally server.stop(0)
+  }
+
   test("batch boundaries respect offsets across restarts (checkpointed)") {
     val dir = tmpDir("pages2")
     writePages(dir, Seq(skiftEl("q1", "2025-08-03T10:00:00")))
