@@ -9,13 +9,14 @@ import graft.queries.Tables
   * as opaque BINARY columns with typed metadata alongside; decode /
   * feature-extract / frame-sample run per-partition against the bytes.
   *
-  * The decode step is a STUB — this container ships no image/audio
-  * codecs, so [[DecodeStub.decode]] derives deterministic fake features
-  * (a 16-bin byte histogram) from the payload bytes. Everything around it
-  * is the real plumbing a production binding drops into: the BINARY
-  * schema, the iterator-per-partition batch shape (no per-row JNI/codec
-  * setup — one decoder instance per partition), and the typed Dataset
-  * boundary. Swap `decode` for a codec call and nothing else changes.
+  * The IMAGE decode path is REAL: [[Bmp]] synthesizes deterministic
+  * 24-bit BMP payloads (pure JDK byte layout) and [[Decode.decode]] runs
+  * them through `javax.imageio.ImageIO` — actual raster decoding, pixel
+  * features from the decoded image, zero external jars. Audio/video
+  * remain byte-histogram stubs (the JDK ships no such codecs); the
+  * plumbing — BINARY schema, iterator-per-partition batch shape (one
+  * decoder per partition, not per row), typed Dataset boundary — is
+  * identical for all three, so a production codec drops in per format.
   *
   * Scale shape: payload bytes never shuffle for metadata-only queries
   * (pruned at the scan); feature extraction is embarrassingly parallel
@@ -30,9 +31,45 @@ object MultimodalOps {
     */
   final case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
 
-  /** Extracted features: byte histogram as the stand-in embedding. */
+  /** Extracted features: for decoded images, width/height are the raster
+    * dimensions and `hist` a 16-bin luminance histogram over DECODED
+    * pixels (mass = width·height); for undecoded formats width=height=0
+    * and `hist` is the byte histogram (mass = n_bytes).
+    */
   final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
-                                 hist: Array[Long])
+                                 width: Int, height: Int, hist: Array[Long])
+
+  /** Minimal 24-bit uncompressed BMP writer — enough container for
+    * `ImageIO.read` to produce a real `BufferedImage`. Pure JDK byte
+    * layout: 14-byte file header + 40-byte DIB header, bottom-up rows,
+    * BGR order, rows padded to 4 bytes.
+    */
+  object Bmp {
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+      val rowSize = (3 * width + 3) & ~3
+      val dataSize = rowSize * height
+      val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)
+      out.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = height - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val i = (y * width + x) * 3
+          out.put(rgb(i + 2)).put(rgb(i + 1)).put(rgb(i)) // BGR
+          x += 1
+        }
+        var pad = rowSize - 3 * width
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      out.array()
+    }
+  }
 
   /** The media table: documents.text as bytes + a deterministic modality
     * tag. BINARY column + metadata, the multimodal storage shape.
@@ -44,23 +81,67 @@ object MultimodalOps {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
       col("text").cast("binary").as("payload"))
 
-  object DecodeStub {
-    /** STUB decode: one "decoder" per partition, deterministic 16-bin
-      * byte histogram per payload. A real binding opens the codec here
-      * once per partition and emits frames/spectrograms instead.
+  object Decode {
+    private def isBmp(p: Array[Byte]): Boolean =
+      p.length > 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+
+    /** Per-partition decode: BMP payloads go through a REAL
+      * `javax.imageio.ImageIO.read` — the features come from the decoded
+      * raster (dimensions + 16-bin luminance histogram over pixels).
+      * Non-image payloads fall back to the deterministic byte histogram
+      * (audio/video codecs don't ship in the JDK; this is the one
+      * remaining stub, and it's format-scoped).
       */
     def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
       // per-partition decoder setup would go here (expensive, once)
       rows.map { r =>
-        val hist = new Array[Long](16)
-        var i = 0
-        while (i < r.payload.length) {
-          hist((r.payload(i) & 0xFF) >> 4) += 1
-          i += 1
+        if (r.format == "image" && isBmp(r.payload)) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
+              hist(lum >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, w, h, hist)
+        } else {
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < r.payload.length) {
+            hist((r.payload(i) & 0xFF) >> 4) += 1
+            i += 1
+          }
+          MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, 0, 0, hist)
         }
-        MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, hist)
       }
     }
+  }
+
+  private val ImgW = 16
+  private val ImgH = 8
+
+  /** The image rows of [[mediaTable]] with REAL payloads: each doc's text
+    * bytes cycled into a 16×8 RGB raster and wrapped in a BMP container —
+    * deterministic, distributed (a typed map, no driver work), and
+    * decodable by the stock JDK.
+    */
+  def imageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter(col("format") === lit("image")).as[MediaRow]
+      .map { r =>
+        val n = ImgW * ImgH * 3
+        val rgb = Array.tabulate(n)(i =>
+          if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
+        MediaRow(r.doc_id, "image", Bmp.encode(ImgW, ImgH, rgb))
+      }
   }
 
   /** Feature extraction over the BINARY column: typed mapPartitions with
@@ -69,7 +150,13 @@ object MultimodalOps {
     */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRow].mapPartitions(DecodeStub.decode _)
+    mediaTable(spark, dir).as[MediaRow].mapPartitions(Decode.decode _)
+  }
+
+  /** The real-decode path: BMP image payloads → ImageIO raster features. */
+  def extractImageFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    imageTable(spark, dir).mapPartitions(Decode.decode _)
   }
 
   /** Metadata + frame-sampling query over the BINARY column, fully

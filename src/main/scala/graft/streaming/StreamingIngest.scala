@@ -43,6 +43,22 @@ object StreamingIngest {
         org.apache.spark.sql.functions.col(ArticleSchema.SourceName))
       .count()
 
+  /** Streaming keyed dedup with bounded state — the streaming form of Q4
+    * (in-run dedup). `dropDuplicatesWithinWatermark` keeps the FIRST row
+    * seen per `Article_id` (the reference's first-wins rule: pages arrive
+    * newest-first, so first-seen IS newest —
+    * PhocusWire/PhocusWireSource.py:156-158) while the event-time
+    * watermark evicts each key's state once it ages past `lateness`, so
+    * state never grows unboundedly on an endless stream. The ingest path
+    * itself doesn't need this operator — merge idempotence (W3) already
+    * absorbs replays — but it's the standard Spark form of Q4 at
+    * streaming scale.
+    */
+  def dedupedStream(articles: DataFrame, lateness: String = "1 day"): DataFrame =
+    articles
+      .withWatermark(ArticleSchema.NewsPublishedTime, lateness)
+      .dropDuplicatesWithinWatermark(ArticleSchema.ArticleId)
+
   /** Run one AvailableNow ingest over the landing dir; blocks until the
     * stream drains, then returns the top-N serving result.
     */

@@ -32,6 +32,40 @@ class MultimodalSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("Bmp.encode round-trips exact pixels through javax.imageio") {
+    // 2x2 with known colors: red, green / blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalOps.Bmp.encode(2, 2, rgb)))
+    img.getWidth shouldBe 2
+    img.getHeight shouldBe 2
+    (img.getRGB(0, 0) & 0xFFFFFF) shouldBe 0xFF0000
+    (img.getRGB(1, 0) & 0xFFFFFF) shouldBe 0x00FF00
+    (img.getRGB(0, 1) & 0xFFFFFF) shouldBe 0x0000FF
+    (img.getRGB(1, 1) & 0xFFFFFF) shouldBe 0xFFFFFF
+  }
+
+  test("image decode is real: ImageIO raster features from BMP payloads") {
+    import spark.implicits._
+    val f = MultimodalOps.extractImageFeatures(spark, sf).cache()
+    val nImages = MultimodalOps.mediaTable(spark, sf)
+      .filter(col("format") === "image").count()
+    f.count() shouldBe nImages
+    // every row decoded: raster dims from the codec, histogram mass =
+    // decoded pixel count (NOT payload byte count - proves the features
+    // came from the raster, not the bytes)
+    f.filter(r => r.width != 16 || r.height != 8).count() shouldBe 0L
+    f.map(r => r.hist.sum).filter(_ != 16L * 8).count() shouldBe 0L
+    // deterministic across runs
+    val a = f.map(r => (r.doc_id, r.hist.toSeq)).orderBy("_1").collect()
+    val b = MultimodalOps.extractImageFeatures(spark, sf)
+      .map(r => (r.doc_id, r.hist.toSeq)).orderBy("_1").collect()
+    a shouldBe b
+    f.unpersist()
+  }
+
   test("metadata query is consistent with the feature extraction") {
     val meta = MultimodalOps.multimodalMeta(spark, sf)
     val f = MultimodalOps.extractFeatures(spark, sf)

@@ -54,6 +54,42 @@ class StreamingIngestSpec extends SparkSpec {
     streamed.watermark() shouldBe batched.watermark()
   }
 
+  test("streaming keyed dedup: duplicate keys across micro-batches converge to one row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Article]
+    val articles = mem.toDF().toDF(ArticleSchema.columns: _*)
+    val q = StreamingIngest.dedupedStream(articles)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-dedup"))
+      .start()
+    val batch1 = Seq(
+      art("https://skift.com/a/", "a-first", "2025-08-01 12:00:00"),
+      art("https://skift.com/b/", "b", "2025-08-01 13:00:00"))
+    val batch2 = Seq(
+      art("https://skift.com/a/", "a-dup", "2025-08-01 12:30:00"), // same key, later batch
+      art("https://skift.com/c/", "c", "2025-08-01 14:00:00"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_stream")
+    out.count() shouldBe 3 // the duplicate key collapsed across micro-batches
+    // first-wins (the reference's newest-first page order makes first-seen
+    // the newest): batch 1's title survives
+    out.filter(col(ArticleSchema.ArticleId) === batch1.head.articleId)
+      .select(ArticleSchema.NewsTitle).collect().map(_.getString(0))
+      .toSeq shouldBe Seq("a-first")
+    // equivalence with the batch path: same surviving key set as a batch
+    // dropDuplicates over the union of both micro-batches
+    val batchDedup = sourceDf(batch1 ++ batch2: _*)
+      .dropDuplicates(ArticleSchema.ArticleId)
+    out.select(ArticleSchema.ArticleId).collect().map(_.getString(0)).toSet shouldBe
+      batchDedup.select(ArticleSchema.ArticleId).collect().map(_.getString(0)).toSet
+  }
+
   test("second invocation merges only new files (checkpointed), idempotently") {
     val landing = tmpDir("landing2")
     val ckpt = tmpDir("ckpt2")
