@@ -425,6 +425,20 @@ object DataOps {
         round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
         round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
 
+  /** The 100 TB binding of [[lengthPercentiles]]: `approx_percentile`
+    * (t-digest) — one streaming pass, partial-aggregable, no per-group
+    * sort. Not oracle-gradable (sketch results differ across engines by
+    * construction); the spec bounds it against the exact form instead.
+    */
+  def lengthPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)").as("p"))
+      .select(col("lang"), col("n_docs"),
+        col("p")(0).as("p50"), col("p")(1).as("p90"), col("p")(2).as("p99"))
+
   /** Per-label embedding centroids, exploded form: (label, dim, centroid).
     * One shuffle on (label, dim); the mean is computed as a SORTED
     * left-to-right double fold, not `avg` — partial-aggregation order is
@@ -443,6 +457,18 @@ object DataOps {
       .select(col("label"), col("dim"),
         (round(expr("aggregate(vs, cast(0 AS double), (a, x) -> a + cast(x AS double))")
           / size(col("vs")), 4) + lit(0.0)).as("centroid"))
+
+  /** The 100 TB binding of [[embeddingCentroids]]: plain `avg` — partial
+    * aggregation (map-side combine), no group collect, no per-group sort.
+    * Accumulation order is partitioning-dependent, so the rounded value
+    * can differ from the sorted fold in the last ulp — the spec bounds
+    * the two against each other instead of an oracle hash.
+    */
+  def embeddingCentroidsProd(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(avg(col("v").cast("double")).as("centroid_raw"))
 
   // --------------------------------------------------- similarity search
 

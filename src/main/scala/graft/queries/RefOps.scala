@@ -246,6 +246,19 @@ object RefOps {
     exact.join(kth, Seq("event_type"))
   }
 
+  /** The 100 TB binding of [[approxDistinctKmv]]: HyperLogLog++ via
+    * `approx_count_distinct` — one pass, partial-aggregable, fixed-size
+    * state per key. Sketch estimates are engine-specific, so this is
+    * spec-bounded against the exact count (documented rsd) rather than
+    * oracle-hashed; the KMV entry stays the exactly-reproducible graded
+    * demonstration of sketch mechanics.
+    */
+  def approxDistinctHll(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    events(spark, dir).groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd).as("n_hll"))
+
   /** Gap-based sessionization, batch form: a new session starts when the
     * gap to the user's previous event exceeds 30 minutes. Classic
     * lag + running-sum over one key-partitioned window — a single

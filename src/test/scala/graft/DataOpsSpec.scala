@@ -207,6 +207,33 @@ class DataOpsSpec extends SparkSpec {
     kept.exceptAll(selected).exceptAll(drops).count() shouldBe 0L // nothing else lost
   }
 
+  test("approx percentile binding tracks the exact percentiles") {
+    val exact = DataOps.lengthPercentiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = DataOps.lengthPercentilesApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    approx.keySet shouldBe exact.keySet
+    // t-digest with accuracy 10000 on a few hundred values per group: the
+    // approximate quantile must land within 5% of the exact one
+    approx.foreach { case (lang, (a50, a90)) =>
+      math.abs(a50 - exact(lang)._1) should be <= (exact(lang)._1 * 0.05)
+      math.abs(a90 - exact(lang)._2) should be <= (exact(lang)._2 * 0.05)
+    }
+  }
+
+  test("avg-based centroid binding agrees with the sorted-fold form") {
+    val sorted = DataOps.embeddingCentroids(spark, sf)
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getDouble(2)).toMap
+    val prod = DataOps.embeddingCentroidsProd(spark, sf)
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getDouble(2)).toMap
+    prod.keySet shouldBe sorted.keySet
+    // same mean up to accumulation-order ulps: rounding to 4 decimals can
+    // differ only when the raw values straddle a boundary within 1e-9
+    prod.foreach { case (k, v) =>
+      math.abs(v - sorted(k)) should be <= 1e-4 + 1e-9
+    }
+  }
+
   test("ann_cosine_topk: 8 ranked neighbors per query, cos in [-1,1], no self") {
     val out = DataOps.annCosineTopk(spark, sf).cache()
     out.groupBy("q_id").count().filter(col("count") =!= 8).count() shouldBe 0L

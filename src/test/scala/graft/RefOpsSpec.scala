@@ -32,6 +32,13 @@ class RefOpsSpec extends SparkSpec {
     better.count() shouldBe 0L
   }
 
+  test("HLL binding: approx_count_distinct within 10% of exact per key") {
+    val out = RefOps.approxDistinctHll(spark, sf).cache()
+    out.count() should be > 0L
+    out.filter(abs(col("n_hll") - col("n_exact")) >
+      greatest(col("n_exact") * 0.1, lit(2))).count() shouldBe 0L
+  }
+
   test("approx_distinct_kmv: estimate is positive and within 3x of exact") {
     val out = RefOps.approxDistinctKmv(spark, sf).cache()
     out.count() should be > 0L
