@@ -217,29 +217,23 @@ object DataOps {
     * generation (pigeonhole: 4 bands, so hamming ≤ 3 ⇒ some band byte
     * equal — no pair is missed).
     *
-    * Scale shape: fingerprints are ONE groupBy with 32 vote columns (no
-    * per-bit explode); the pair join keys on (band, byte) — 256 cells per
-    * band cut sf0.1 candidate collisions ~400× vs 4-bit bands (measured
-    * 7.5 s → 1.3 s). At 100 TB widen to 64 bits / 8-bit bands — same
-    * plan, geometrically smaller cells.
+    * Scale shape: fingerprints are a ZERO-shuffle per-row pass — the
+    * native [[graft.funcs.SimHashFp]] expression votes all 32 bits in one
+    * codegen'd loop ([[simhashFpSpec]] is the built-ins executable
+    * specification: explode + 32-vote-column groupBy, identical integers,
+    * one full shuffle of every hashed feature — measured 1.1-1.5 s vs
+    * 0.6 s native at sf0.1). The pair join keys on (band, byte) — 256
+    * cells per band cut sf0.1 candidate collisions ~400× vs 4-bit bands
+    * (measured 7.5 s → 1.3 s). At 100 TB widen to 64 bits / 8-bit
+    * bands — same plan, geometrically smaller cells.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val big = toks(spark, dir)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("g"))
-    val th = big.select(col("doc_id"), explode(col("g")).as("t"))
-      .select(col("doc_id"), TextOps.tokenHash32("sim:", col("t")).as("h"))
-    // One groupBy with 32 vote columns (not a per-bit explode): identical
-    // integers, 1/32nd of the shuffled rows.
-    val voteCols = (0 until SimhashBits).map(k =>
-      sum(when(expr(s"(shiftright(h, $k) & 1)") === 1, 1).otherwise(-1)).as(s"v$k"))
-    val votes = th.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
     // One row per doc — cached so the band self-join below reads it twice
     // instead of recomputing the whole hash+vote lineage per side.
-    val fp = votes.select(col("doc_id"),
-      (0 until SimhashBits)
-        .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-        .reduce(_ + _).cast("long").as("fp"))
+    val fp = big.select(col("doc_id"), graft.funcs.SimHashFp(col("g")).as("fp"))
     cachedScope(fp) {
       val bandl = fp.select(col("doc_id"), col("fp"),
           explode(sequence(lit(0), lit(SimhashBits / SimhashBandBits - 1))).as("band"))
@@ -257,6 +251,29 @@ object DataOps {
         .filter(col("hamming") <= 3)
         .distinct()
     }
+  }
+
+  /** Test hook: the bigram frame [[dedupSimhash]] fingerprints. */
+  private[graft] def simhashShingledForTest(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("g"))
+
+  /** The built-ins executable specification of [[graft.funcs.SimHashFp]]:
+    * explode + 32 vote columns + bit fold. Identical integers to the
+    * native expression (equality-tested), but shuffles every hashed
+    * feature once — kept as the semantic reference, not the hot path.
+    */
+  private[graft] def simhashFpSpec(big: DataFrame): DataFrame = {
+    val th = big.select(col("doc_id"), explode(col("g")).as("t"))
+      .select(col("doc_id"), TextOps.tokenHash32("sim:", col("t")).as("h"))
+    val voteCols = (0 until SimhashBits).map(k =>
+      sum(when(expr(s"(shiftright(h, $k) & 1)") === 1, 1).otherwise(-1)).as(s"v$k"))
+    val votes = th.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col("doc_id"),
+      (0 until SimhashBits)
+        .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long").as("fp"))
   }
 
   /** Order-sensitive document fingerprint: position-weighted 16-bit token

@@ -71,6 +71,15 @@ class DataOpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("native SimHashFp equals the explode+groupBy vote specification") {
+    val big = DataOps.simhashShingledForTest(spark, sf).cache()
+    val native = big.select(col("doc_id"), graft.funcs.SimHashFp(col("g")).as("fp"))
+    val spec = DataOps.simhashFpSpec(big)
+    native.exceptAll(spec).count() shouldBe 0L
+    spec.exceptAll(native).count() shouldBe 0L
+    big.unpersist()
+  }
+
   test("ngram_jaccard agrees with minhash-LSH on the high end") {
     val lsh = DataOps.dedupMinhashLsh(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
