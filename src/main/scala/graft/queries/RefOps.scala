@@ -45,12 +45,15 @@ object RefOps {
       max(col("ts")).isNotNull.as("is_incremental"))
 
   /** Q3 — incremental cutoff: strict `<` drops, `>=` passes
-    * (reference: PhocusWire/PhocusWireSource.py:180-185). The literal
-    * predicate is pushed into the parquet scan by Catalyst.
+    * (reference: PhocusWire/PhocusWireSource.py:180-185). The cutoff is
+    * applied via [[Tables.eventsSince]] to the RAW nanos column so it
+    * reaches the parquet scan as a pushable long comparison (row-group
+    * pruning on old data) — filtering the converted timestamp pushes
+    * only IsNotNull.
     */
   def incrementalFilter(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+    Tables.eventsSince(spark, dir,
+        java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
       .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts_s"))
 
   /** Q4 — keyed dedup keeping the newest row per key

@@ -27,4 +27,28 @@ object Tables {
       else d
     }
   }
+
+  /** Events scan with an incremental cutoff applied to the RAW nanos
+    * column BEFORE the timestamp conversion. The converted predicate
+    * `timestamp_micros(ts div 1000) >= T` cannot reach parquet (only
+    * IsNotNull pushes — the scan reads every row group); the conversion
+    * is monotone and T is µs-exact, so `ts_ns >= T·10⁶` is exactly
+    * equivalent — a plain long comparison parquet evaluates against
+    * row-group statistics, skipping whole row groups of old data. This is
+    * the scan-level analog of the source's pagination early-stop (O1):
+    * at 100 TB an incremental run touches only the new tail of the
+    * table, not all of history.
+    */
+  def eventsSince(spark: SparkSession, dir: String,
+                  cutoff: java.sql.Timestamp): DataFrame = {
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType) {
+      val cutoffNs = Math.multiplyExact(cutoff.getTime, 1000000L)
+      raw.filter(col("ts") >= cutoffNs)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else
+      raw.filter(col("ts") >= lit(cutoff))
+  }
 }

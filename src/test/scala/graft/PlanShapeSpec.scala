@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.{Relational, RefOps}
+
+/** Physical-plan pins for the properties that matter at 100 TB: filters
+  * reaching the parquet scan, small dimensions broadcast. A semantics-
+  * preserving refactor that silently un-pushes a filter or turns a
+  * broadcast join into a shuffle fails here, not in a benchmark three
+  * rounds later.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("incremental_filter: the cutoff is a pushed parquet filter, columns pruned") {
+    val df = RefOps.incrementalFilter(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // raw-nanos rewrite: the cutoff reaches the scan as a plain long
+    // comparison (row-group pruning); the converted-timestamp form pushed
+    // only IsNotNull and read every row group
+    plan should include("GreaterThanOrEqual(ts")
+    plan should include("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>")
+  }
+
+  test("q3_shipping: dimension sides broadcast, no shuffle of the big fact side twice") {
+    val df = Relational.q3ShippingPriority(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q1_pricing: shipdate predicate reaches the lineitem scan") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("LessThanOrEqual(l_shipdate")
+  }
+}
