@@ -109,7 +109,11 @@ object HtmlExtract {
         .as("element"))
   }
 
-  private def grp(el: Column, re: String): Column =
+  /** The built-ins executable specification of the field extraction —
+    * [[graft.funcs.FirstGroups]] computes the same values in one native
+    * pass and is equality-tested against this form.
+    */
+  private[graft] def grp(el: Column, re: String): Column =
     nullif(regexp_extract(el, re, 1), lit(""))
 
   /** P3–P7 + Q1/Q2 — extract fields from elements, drop rows missing a
@@ -117,14 +121,20 @@ object HtmlExtract {
     * PhocusWire/PhocusWireSource.py:143-151), assemble article columns.
     * Output: Article_id, News_link, News_title, Author_name,
     * News_published_time, Source_name (Processed_at is sink-side, F6).
+    * All four field regexes run in ONE native pass per element
+    * ([[graft.funcs.FirstGroups]]): one string materialization instead of
+    * four — the extraction layer is regex-bound, so this is where its
+    * time goes.
     */
   def articles(pages: DataFrame, htmlCol: String, spec: SiteSpec): DataFrame = {
     val el = elements(pages, htmlCol, spec)
+    val fields = graft.funcs.FirstGroups(col("element"),
+      Seq(spec.titleRe, spec.hrefRe, spec.authorRe, spec.dateRe))
     val raw = el.select(
-      grp(col("element"), spec.titleRe).as("title"),
-      grp(col("element"), spec.hrefRe).as("href"),
-      grp(col("element"), spec.authorRe).as("author_raw"),
-      grp(col("element"), spec.dateRe).as("date_raw"))
+      element_at(fields, 1).as("title"),
+      element_at(fields, 2).as("href"),
+      element_at(fields, 3).as("author_raw"),
+      element_at(fields, 4).as("date_raw"))
     val link = spec.buildLink(col("href"))
     raw
       .filter(col("title").isNotNull && col("href").isNotNull)

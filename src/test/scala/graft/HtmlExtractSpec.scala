@@ -109,6 +109,19 @@ class HtmlExtractSpec extends SparkSpec {
         .digest(link.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  test("native FirstGroups equals the per-field regexp_extract specification") {
+    val spec = Sites.phocuswire
+    val el = HtmlExtract.elements(Seq(phocusPage).toDF("html"), "html", spec)
+    val res = Seq(spec.titleRe, spec.hrefRe, spec.authorRe, spec.dateRe)
+    val native = el.select(graft.funcs.FirstGroups(col("element"), res).as("g"))
+      .select((1 to 4).map(i => element_at(col("g"), i).as(s"f$i")): _*)
+    val builtin = el.select(
+      res.zipWithIndex.map { case (re, i) =>
+        HtmlExtract.grp(col("element"), re).as(s"f${i + 1}") }: _*)
+    native.exceptAll(builtin).count() shouldBe 0L
+    builtin.exceptAll(native).count() shouldBe 0L
+  }
+
   test("element explode yields one row per article element across pages") {
     val n = HtmlExtract.elements(
       Seq(skiftPage, skiftPage).toDF("html"), "html", Sites.skift).count()
