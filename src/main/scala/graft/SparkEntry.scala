@@ -62,6 +62,11 @@ object SparkEntry {
     "dedup_embedding" -> (DataOps.dedupEmbedding _),
     "redact_pii" -> (DataOps.redactPii _),
     "corpus_select" -> (DataOps.corpusSelect _),
+    // Dataset-assembly operators: sampling, splits, packing, decontamination.
+    "stratified_sample" -> (DataOps.stratifiedSample _),
+    "split_assign" -> (DataOps.splitAssign _),
+    "pack_sequences" -> (DataOps.packSequences _),
+    "decontaminate" -> (DataOps.decontaminate _),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.

@@ -547,6 +547,85 @@ object DataOps {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
   }
 
+  // ------------------------------------------ dataset assembly operators
+
+  private val SampleK = 50
+
+  /** Deterministic stratified sample: the k docs per language with the
+    * smallest `md5(doc_id)` — a reproducible uniform draw whose
+    * membership is independent of data order (re-running on a reshuffled
+    * corpus selects the same docs). Two-phase top-k: local top-k per
+    * (lang, salt cell), then global over ≤ 32k survivors — a handful of
+    * languages never funnels the whole corpus through one task (the same
+    * salt trick as [[annCosineTopk]] and the KMV pre-aggregation).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val local = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("h"), col("doc_id"))
+    val survivors = d.withColumn("crn", row_number().over(local))
+      .filter(col("crn") <= SampleK).drop("crn")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w)).filter(col("rn") <= SampleK)
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
+  /** Deterministic train/val/test split (90/5/5) by salted hash bucket:
+    * membership is a pure function of the doc id, so it is stable under
+    * any reordering, repartitioning, or incremental append — the
+    * property a leakage-safe split needs. Per-row, zero shuffles.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("bigint") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+
+  private val PackBudget = 2048
+
+  /** Greedy token-budget sequence packing: docs stream in doc_id order
+    * within a (lang, shard) cell and `bin = ⌊preceding-cumsum / budget⌋`
+    * groups consecutive docs into ~budget-token training sequences. The
+    * shard key keeps the running sum parallel (32 cells per language,
+    * matching how production packs per output shard); a single global
+    * sequence would serialize the corpus through one task.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir).select(col("doc_id"), col("lang"),
+      size(col("w")).as("n_tokens"),
+      pmod(col("doc_id"), lit(32)).cast("long").as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackBudget").cast("bigint").as("bin"))
+  }
+
+  /** Benchmark decontamination: flag every training doc that shares ANY
+    * 3-shingle with the eval set (`doc_id % 97 == 0` plays the held-out
+    * benchmark). The overlap test is a semi-join shuffled on the shingle
+    * string — never a broadcast (the benchmark suite grows too). Docs
+    * with < 3 tokens carry no shingles and cannot be contaminated.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    cachedScope(ex) {
+      val evalSh = ex.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+      val contaminated = ex.filter(col("doc_id") % 97 =!= 0)
+        .join(evalSh, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs(spark, dir).filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated.withColumn("c", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("c"), lit(false)).as("contaminated"))
+    }
+  }
+
   /** PII redaction: emails and phone numbers masked with typed
     * placeholders — per-row regexp work (RE2-safe patterns shared with
     * the oracle), zero shuffles. The corpus carries no PII, so inputs
@@ -770,7 +849,41 @@ object DataOps {
                FROM pairs)
         SELECT vec_id, bucket, neighbor_id, cos, rk FROM rk WHERE rk <= 3""",
     )
+    val splitH = (0 until 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5('split:' || doc_id::VARCHAR), ${i + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
     base ++ Map(
+      "stratified_sample" -> s"""
+        SELECT lang, doc_id, rn FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          FROM documents) WHERE rn <= $SampleK""",
+      "split_assign" -> s"""
+        SELECT doc_id, lang, b AS bucket,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang, ($splitH) % 100 AS b FROM documents)""",
+      "pack_sequences" -> s"""
+        WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                     (doc_id % 32)::BIGINT AS shard FROM documents),
+        c AS (SELECT doc_id, lang, shard, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, lang, shard, n_tokens,
+               ((cum - n_tokens) // $PackBudget)::BIGINT AS bin FROM c""",
+      "decontaminate" -> """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM toks WHERE len(w) >= 3),
+        ev AS (SELECT DISTINCT s FROM shx WHERE doc_id % 97 = 0),
+        bad AS (SELECT DISTINCT shx.doc_id FROM shx JOIN ev USING (s)
+                WHERE shx.doc_id % 97 != 0)
+        SELECT d.doc_id, d.lang,
+               (d.doc_id IN (SELECT doc_id FROM bad)) AS contaminated
+        FROM documents d WHERE d.doc_id % 97 != 0""",
       "redact_pii" -> """
         SELECT event_id,
                'contact user' || user_id || '@example.com or +1-555-'

@@ -197,6 +197,54 @@ class DataOpsSpec extends SparkSpec {
     out.filter(col("subwords") < col("ws_tokens")).count() shouldBe 0L
   }
 
+  test("stratified_sample: exactly k per language, membership independent of run") {
+    val out = DataOps.stratifiedSample(spark, sf).cache()
+    out.groupBy("lang").count().filter(col("count") =!= 50).count() shouldBe 0L
+    val again = DataOps.stratifiedSample(spark, sf).select("lang", "doc_id")
+    out.select("lang", "doc_id").exceptAll(again).count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("split_assign: exhaustive, ~90/5/5, buckets in range") {
+    val out = DataOps.splitAssign(spark, sf).cache()
+    out.count() shouldBe 500L
+    out.filter(col("bucket") < 0 || col("bucket") > 99).count() shouldBe 0L
+    val m = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    m("train") should be > 400L
+    (m.getOrElse("val", 0L) + m.getOrElse("test", 0L)) should be < 100L
+    out.unpersist()
+  }
+
+  test("pack_sequences: bins start at 0 per cell and never exceed budget + one doc") {
+    val out = DataOps.packSequences(spark, sf).cache()
+    out.groupBy("lang", "shard").agg(min("bin").as("b0"))
+      .filter(col("b0") =!= 0).count() shouldBe 0L
+    val maxDoc = out.agg(max("n_tokens")).head().getInt(0)
+    // greedy packing overshoots a bin only by the doc that crossed the line
+    out.groupBy("lang", "shard", "bin").agg(sum("n_tokens").as("tok"))
+      .filter(col("tok") >= 2048 + maxDoc).count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("decontaminate: eval docs excluded, flags match an independent recompute") {
+    val out = DataOps.decontaminate(spark, sf).cache()
+    out.filter(col("doc_id") % 97 === 0).count() shouldBe 0L
+    val flagged = out.filter(col("contaminated")).count()
+    flagged should be > 0L
+    flagged should be < out.count()
+    // independent recompute via array_intersect against the union of eval shingles
+    val sh = DataOps.shingledForTest(spark, sf)
+    val evalAll = sh.filter(col("doc_id") % 97 === 0)
+      .agg(array_distinct(flatten(collect_list(col("sh")))).as("es"))
+    val expect = sh.filter(col("doc_id") % 97 =!= 0).crossJoin(evalAll)
+      .select(col("doc_id"), expr("size(array_intersect(sh, es)) > 0").as("c"))
+      .filter(col("c")).select("doc_id")
+    out.filter(col("contaminated")).select("doc_id").exceptAll(expect).count() shouldBe 0L
+    expect.exceptAll(out.filter(col("contaminated")).select("doc_id")).count() shouldBe 0L
+    out.unpersist()
+  }
+
   test("redact_pii masks every email, phone, and URL") {
     val out = DataOps.redactPii(spark, sf).cache()
     out.filter(col("redacted").rlike("@")).count() shouldBe 0L
