@@ -64,6 +64,7 @@ object SparkEntry {
     "corpus_select" -> (DataOps.corpusSelect _),
     // Dataset-assembly operators: sampling, splits, packing, decontamination.
     "stratified_sample" -> (DataOps.stratifiedSample _),
+    "dedup_cluster" -> (DataOps.dedupCluster _),
     "split_assign" -> (DataOps.splitAssign _),
     "pack_sequences" -> (DataOps.packSequences _),
     "decontaminate" -> (DataOps.decontaminate _),

@@ -605,6 +605,42 @@ object DataOps {
         expr(s"(cum - n_tokens) div $PackBudget").cast("bigint").as("bin"))
   }
 
+  /** Near-duplicate CLUSTERS from the verified LSH pairs: connected
+    * components by iterative min-label propagation — each node adopts the
+    * minimum label among itself and its neighbors until fixpoint, ≤
+    * component-diameter iterations of one join + one groupBy each, with
+    * lineage cut per iteration by an executor-local checkpoint. Pair-based
+    * dropping (keep doc_a, drop doc_b) over-drops when near-dup chains
+    * overlap; cluster dedup keeps exactly ONE doc — the minimum id — per
+    * component. At 100 TB swap the loop body for the large-star/small-star
+    * rewrite (O(log n) rounds on skewed graphs); the skeleton — iterate,
+    * checkpoint, converge on a changed-count of zero — is identical. The
+    * per-iteration `count()` is convergence control, not data collection.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    try {
+      edges.cache()
+      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("rep", col("doc_id")).localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
+          .select(col("doc_b").as("doc_id"), col("rep"))
+        val next = labels.unionByName(nbrMin)
+          .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+          .filter(col("rep") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("doc_id"), col("rep").as("cluster_rep"),
+        (col("doc_id") === col("rep")).as("keeper"))
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Benchmark decontamination: flag every training doc that shares ANY
     * 3-shingle with the eval set (`doc_id % 97 == 0` plays the held-out
     * benchmark). The overlap test is a semi-join shuffled on the shingle
@@ -873,6 +909,20 @@ object DataOps {
               FROM t)
         SELECT doc_id, lang, shard, n_tokens,
                ((cum - n_tokens) // $PackBudget)::BIGINT AS bin FROM c""",
+      // Recursive min-reachable-id CTE: every (node, reachable-rep) pair
+      // accumulates; min per node = the component's minimum id — the same
+      // fixpoint the Spark label-propagation loop converges to.
+      "dedup_cluster" -> s"""
+        WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM (${base("dedup_minhash_lsh")}) q),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                  UNION ALL SELECT doc_b, doc_a FROM pr),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        r AS (SELECT doc_id, doc_id AS rep FROM nodes
+              UNION
+              SELECT e.dst AS doc_id, r.rep FROM r JOIN edges e ON e.src = r.doc_id)
+        SELECT doc_id, min(rep)::BIGINT AS cluster_rep,
+               (doc_id = min(rep)) AS keeper
+        FROM r GROUP BY doc_id""",
       "decontaminate" -> """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         shx AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),

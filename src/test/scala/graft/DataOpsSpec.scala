@@ -197,6 +197,28 @@ class DataOpsSpec extends SparkSpec {
     out.filter(col("subwords") < col("ws_tokens")).count() shouldBe 0L
   }
 
+  test("dedup_cluster: components match a driver-side transitive closure of the pairs") {
+    val pairs = DataOps.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = DataOps.dedupCluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expect = parent.keys.map { n =>
+      n -> parent.keys.filter(m => find(m) == find(n)).min
+    }.toMap
+    out shouldBe expect
+    // exactly one keeper per cluster, and it is the minimum id
+    val keepers = DataOps.dedupCluster(spark, sf).filter(col("keeper"))
+      .collect().map(_.getLong(0)).toSet
+    keepers shouldBe expect.values.toSet
+  }
+
   test("stratified_sample: exactly k per language, membership independent of run") {
     val out = DataOps.stratifiedSample(spark, sf).cache()
     out.groupBy("lang").count().filter(col("count") =!= 50).count() shouldBe 0L
