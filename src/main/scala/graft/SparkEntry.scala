@@ -65,6 +65,8 @@ object SparkEntry {
     // Dataset-assembly operators: sampling, splits, packing, decontamination.
     "stratified_sample" -> (DataOps.stratifiedSample _),
     "dedup_cluster" -> (DataOps.dedupCluster _),
+    "keyword_search" -> (DataOps.keywordSearch _),
+    "inverted_index" -> (DataOps.invertedIndex _),
     "split_assign" -> (DataOps.splitAssign _),
     "pack_sequences" -> (DataOps.packSequences _),
     "decontaminate" -> (DataOps.decontaminate _),

@@ -662,6 +662,58 @@ object DataOps {
     }
   }
 
+  private val SearchTerms = Seq("query", "window", "join")
+
+  /** Conjunctive keyword search: docs containing ALL query terms, ranked
+    * by total term frequency (doc_id tie-break) — the serving-side
+    * retrieval primitive over the corpus. Pure integer scoring (tf sums)
+    * so both engines rank identically; a float scorer (tf-idf/BM25's
+    * `ln`) is libm-dependent and cannot hash-match across engines — at
+    * 100 TB the float scorer re-ranks THIS operator's candidate set.
+    * One shuffle on doc_id; the term filter prunes the exploded postings
+    * before it.
+    */
+  def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+    val hits = toks(spark, dir)
+      .select(col("doc_id"),
+        expr(s"filter(w, t -> t IN ($terms))").as("m"))
+      .select(col("doc_id"), size(col("m")).as("tf"),
+        size(array_distinct(col("m"))).as("n_terms"))
+      .filter(col("n_terms") === SearchTerms.length)
+    val w = Window.orderBy(col("tf").desc, col("doc_id"))
+    // single global top-20: the candidate set after the ALL-terms filter
+    // is small by construction; a salted two-phase form (annCosineTopk)
+    // drops in if the query ever matches a large corpus fraction
+    hits.withColumn("rank", row_number().over(w)).filter(col("rank") <= 20)
+  }
+
+  /** Inverted-index construction: term → document frequency + the first
+    * 10 postings (doc_id order, comma-joined) for terms appearing in
+    * ≥ 100 docs. df is a plain partial-aggregable count; the posting
+    * prefix is a salted two-phase smallest-10 (local per (term, salt)
+    * cell, then global over ≤ 320 survivors) so a Zipfian head term never
+    * funnels its whole posting list through one task — the index-build
+    * shape that survives at 100 TB, where the full list per hot term is
+    * what you shard, not what you collect.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ex = toks(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
+    val dfreq = ex.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val local = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("doc_id"))
+    val survivors = ex.withColumn("crn", row_number().over(local))
+      .filter(col("crn") <= 10)
+    val global = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = survivors
+      .withColumn("rn", row_number().over(global)).filter(col("rn") <= 10)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+    dfreq.filter(col("df") >= 100).join(postings, Seq("term"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
   /** PII redaction: emails and phone numbers masked with typed
     * placeholders — per-row regexp work (RE2-safe patterns shared with
     * the oracle), zero shuffles. The corpus carries no PII, so inputs
@@ -909,6 +961,22 @@ object DataOps {
               FROM t)
         SELECT doc_id, lang, shard, n_tokens,
                ((cum - n_tokens) // $PackBudget)::BIGINT AS bin FROM c""",
+      "keyword_search" -> s"""
+        WITH hits AS (
+          SELECT doc_id,
+                 len(list_filter(w, t -> t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")}))) AS tf,
+                 len(list_distinct(list_filter(w, t -> t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})))) AS n_terms
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        SELECT doc_id, tf, n_terms,
+               row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+        FROM hits WHERE n_terms = ${SearchTerms.length}
+        QUALIFY rank <= 20""",
+      "inverted_index" -> """
+        WITH ex AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+                    FROM documents)
+        SELECT term, count(*) AS df,
+               array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+        FROM ex GROUP BY term HAVING count(*) >= 100""",
       // Recursive min-reachable-id CTE: every (node, reachable-rep) pair
       // accumulates; min per node = the component's minimum id — the same
       // fixpoint the Spark label-propagation loop converges to.

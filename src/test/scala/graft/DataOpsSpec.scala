@@ -267,6 +267,29 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("keyword_search: every hit contains all terms, ranking is tf-desc then id") {
+    val out = DataOps.keywordSearch(spark, sf).cache()
+    out.count() should be <= 20L
+    out.filter(col("n_terms") =!= 3).count() shouldBe 0L
+    val rows = out.orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(0)))
+    rows.sliding(2).foreach { case Array((tf1, id1), (tf2, id2)) =>
+      assert(tf1 > tf2 || (tf1 == tf2 && id1 < id2))
+    case _ => }
+    out.unpersist()
+  }
+
+  test("inverted_index: postings are the df's smallest 10 doc_ids, ascending") {
+    val out = DataOps.invertedIndex(spark, sf).cache()
+    out.filter(col("df") < 100).count() shouldBe 0L
+    out.collect().foreach { r =>
+      val ids = r.getString(2).split(",").map(_.toLong)
+      ids.length should be <= 10
+      ids.sorted.toSeq shouldBe ids.toSeq
+      if (r.getLong(1) >= 10) ids.length shouldBe 10
+    }
+    out.unpersist()
+  }
+
   test("redact_pii masks every email, phone, and URL") {
     val out = DataOps.redactPii(spark, sf).cache()
     out.filter(col("redacted").rlike("@")).count() shouldBe 0L
