@@ -47,6 +47,7 @@ object SparkEntry {
     "distinct_agg" -> (Relational.distinctAgg _),
     "rollup_orders" -> (Relational.rollupOrders _),
     "customer_order_stats" -> (Relational.customerOrderStats _),
+    "pivot_events" -> (Relational.pivotEvents _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -281,6 +282,14 @@ object SparkEntry {
                       round(sum(o_totalprice), 2) AS spend
                FROM orders GROUP BY 1) o
          JOIN customer ON o_custkey = c_custkey""",
+    "pivot_events" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'view') AS view,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY user_id""",
   ) ++ DataOps.oracles ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

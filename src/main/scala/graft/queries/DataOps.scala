@@ -631,10 +631,21 @@ object DataOps {
           .select(col("doc_b").as("doc_id"), col("rep"))
         val next = labels.unionByName(nbrMin)
           .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+        // Pointer jump (Shiloach–Vishkin style): rep := min(rep,
+        // label(rep)). Every rep is itself a node (it is the min doc_id
+        // seen so far), so chasing one hop halves the remaining chain —
+        // convergence in O(log diameter) rounds instead of O(diameter),
+        // which is the difference between 8 and 250 rounds on a long
+        // near-dup chain.
+        val jumped = next.as("a")
+          .join(next.select(col("doc_id").as("r"), col("rep").as("rrep")).as("b"),
+            col("a.rep") === col("b.r"), "left")
+          .select(col("a.doc_id").as("doc_id"),
+            least(col("a.rep"), coalesce(col("b.rrep"), col("a.rep"))).as("rep"))
           .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        changed = jumped.join(labels.withColumnRenamed("rep", "old"), "doc_id")
           .filter(col("rep") =!= col("old")).count()
-        labels = next
+        labels = jumped
       }
       labels.select(col("doc_id"), col("rep").as("cluster_rep"),
         (col("doc_id") === col("rep")).as("keeper"))

@@ -133,6 +133,22 @@ object Relational {
       .agg(count(lit(1)).as("n"),
            round(sum(col("o_totalprice")), 2).as("total"))
 
+  /** Pivot: per-user event counts with the event types as columns. The
+    * pivot value list is EXPLICIT — the two-argument `pivot(col)` form
+    * first collects the distinct values to the driver, a hidden job and
+    * an unbounded column explosion on a high-cardinality key at scale.
+    * Absent cells are 0, not null (`na.fill`), matching the oracle's
+    * FILTER counts.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0, types)
+  }
+
   /** Correlated-style existence via join + agg: per-customer order stats
     * joined back to customer attributes (broadcast dim side).
     */
