@@ -35,6 +35,7 @@ object SparkEntry {
     "null_filters" -> (RefOps.nullFilters _),
     "ingest_run" -> (RefOps.ingestRun _),
     "asof_join" -> (RefOps.asofJoin _),
+    "range_join" -> (RefOps.rangeJoin _),
     "approx_distinct_kmv" -> (RefOps.approxDistinctKmv _),
     "sessionize" -> (RefOps.sessionize _),
     // General relational surface on the TPC-H-ish tables.
@@ -191,6 +192,17 @@ object SparkEntry {
                 strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                 p.p_id AS prior_purchase
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "range_join" ->
+      """WITH c AS (SELECT user_id, event_id AS c_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase')
+         SELECT c.c_id, c.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s,
+                p.p_id, strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+                (epoch_us(c.ts) - epoch_us(p_ts))::BIGINT AS dt_us
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND abs(epoch_us(c.ts) - epoch_us(p_ts)) <= 3600000000""",
     "approx_distinct_kmv" ->
       ("""WITH h AS (SELECT DISTINCT event_type, (""" +
         (1 to 15).map(i =>

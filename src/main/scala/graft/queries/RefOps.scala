@@ -249,6 +249,35 @@ object RefOps {
     exact.join(kth, Seq("event_type"))
   }
 
+  /** Event-time RANGE join: every (click, purchase) pair of the same
+    * user within ±1 hour. The naive inequality join plans a nested loop
+    * at any scale; the scale-right form buckets event time by the window
+    * width W and EQUI-joins on (user, bucket) with each purchase
+    * replicated into its 3 adjacent buckets — |t_c − t_p| ≤ W forces
+    * bucket(p) ∈ {bucket(c)−1, bucket(c), bucket(c)+1}, so the exact
+    * |dt| filter after the hash join is lossless. One shuffle on
+    * (user, bucket), 3× replication of the smaller side. All arithmetic
+    * in integer MICROSECONDS (`unix_micros` / oracle `epoch_us`) — the
+    * corpus timestamps are sub-second, and a seconds-truncating
+    * comparison would disagree with the oracle at window edges.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 3600L * 1000000L
+    val e = events(spark, dir)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts"),
+        expr(s"unix_micros(ts) div $winUs").as("bk"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("bk", explode(array(Seq(-1L, 0L, 1L).map(d =>
+        expr(s"unix_micros(p_ts) div $winUs") + lit(d)): _*)))
+    c.join(p, Seq("user_id", "bk"))
+      .filter(abs(unix_micros(col("ts")) - unix_micros(col("p_ts"))) <= winUs)
+      .select(col("c_id"), col("user_id"), tsStr(col("ts")).as("c_ts_s"),
+        col("p_id"), tsStr(col("p_ts")).as("p_ts_s"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("dt_us"))
+  }
+
   /** The 100 TB binding of [[approxDistinctKmv]]: HyperLogLog++ via
     * `approx_count_distinct` — one pass, partial-aggregable, fixed-size
     * state per key. Sketch estimates are engine-specific, so this is

@@ -32,6 +32,22 @@ class RefOpsSpec extends SparkSpec {
     better.count() shouldBe 0L
   }
 
+  test("range_join: bucketed equi-join equals the naive inequality join, no nested loop") {
+    val out = RefOps.rangeJoin(spark, sf)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val e = graft.queries.Tables(spark, sf, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val naive = c.join(p, col("user_id") === col("p_user") &&
+        abs(unix_micros(col("c_ts")) - unix_micros(col("p_ts"))) <= 3600L * 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toSet
+    got shouldBe naive
+  }
+
   test("HLL binding: approx_count_distinct within 10% of exact per key") {
     val out = RefOps.approxDistinctHll(spark, sf).cache()
     out.count() should be > 0L
