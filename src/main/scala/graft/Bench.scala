@@ -86,16 +86,19 @@ object Bench {
       // A query that failed contributes its failure (exit code + `failed`
       // list), not a fabricated time.
       val sorted = samples.sorted
-      val median = if (sorted.isEmpty) Double.NaN else sorted(sorted.size / 2)
-      name -> (median, sorted.headOption.getOrElse(Double.NaN),
-        sorted.lastOption.getOrElse(Double.NaN))
+      name -> sorted
     }
-    val qs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
+    // A query with zero successful samples appears ONLY in `failed` — a
+    // bare NaN in the JSON would invalidate the whole artifact for strict
+    // parsers, destroying every other query's record.
+    val timed = results.collect { case (k, s) if s.nonEmpty =>
+      k -> (s(s.size / 2), s.head, s.last) }
+    val qs = timed.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results
+    val spread = timed
       .map { case (k, (_, mn, mx)) => s"\"$k\":{\"min\":$mn,\"max\":$mx}" }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).filterNot(_.isNaN).sum
+    val total = timed.values.map(_._1).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

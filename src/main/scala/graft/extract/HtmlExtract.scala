@@ -31,8 +31,14 @@ final case class SiteSpec(
       * sidebar or nav must NOT be extracted. Regex form: the scope is
       * everything from the container's open tag onward (group 0); a page
       * with no container yields no elements, matching the CSS selector's
-      * empty result. None ⇒ whole page (Skift selects bare `article`
-      * tags, Skift/SkiftSource.py:127).
+      * empty result. The scope is deliberately ONE-SIDED — regexes
+      * cannot find a nested tag's matching close, so a decoy placed
+      * AFTER the listing container (footer promos) would still match;
+      * the sites' real pages put nav/sidebar markup before the listing,
+      * which is the case this guards (a two-sided scope needs an HTML
+      * parser at the codec boundary, same trade as the multimodal
+      * decode). None ⇒ whole page (Skift selects bare `article` tags,
+      * Skift/SkiftSource.py:127).
       */
     containerRe: Option[String],
     /** P2 — one match per article element. */

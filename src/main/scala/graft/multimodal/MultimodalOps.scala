@@ -95,9 +95,18 @@ object MultimodalOps {
     def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
       // per-partition decoder setup would go here (expensive, once)
       rows.map { r =>
-        if (r.format == "image" && isBmp(r.payload)) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
+        // ImageIO returns null (or throws) for payloads that merely START
+        // with the BMP magic — e.g. text bytes beginning "BM" — so an
+        // unparseable stream falls back to the byte histogram rather than
+        // failing the task.
+        val decoded =
+          if (r.format == "image" && isBmp(r.payload))
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: java.io.IOException => None }
+          else None
+        decoded match {
+          case Some(img) =>
           val (w, h) = (img.getWidth, img.getHeight)
           val hist = new Array[Long](16)
           var y = 0
@@ -112,7 +121,7 @@ object MultimodalOps {
             y += 1
           }
           MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, w, h, hist)
-        } else {
+          case None =>
           val hist = new Array[Long](16)
           var i = 0
           while (i < r.payload.length) {

@@ -97,10 +97,16 @@ object DataOps {
     * pairs (candidates ≤ cap·|bucket| instead of |bucket|²). Buckets at
     * or under the cap are exhaustive, so with the observed maximum bucket
     * of 4 at sf0.1 (cap = 32, 8× headroom) the output is byte-identical
-    * to the uncapped form; in an over-cap boilerplate bucket every member
-    * still pairs with the bucket's minimum, so the kept/dropped decision
-    * (what [[corpusSelect]] consumes) is preserved — the planted-
-    * boilerplate spec asserts both properties.
+    * to the uncapped form. In an over-cap BOILERPLATE bucket (members
+    * mutually similar, the case the cap exists for) every member still
+    * pairs with the bucket's minimum, so the kept/dropped decision (what
+    * [[corpusSelect]] consumes) is preserved — the planted-boilerplate
+    * spec asserts both properties. The cap is a recall trade in one
+    * adversarial shape: a drift CHAIN longer than the cap whose far
+    * members clear the Jaccard threshold with each other but not with
+    * the bucket minimum would lose those far-pair edges; LSH banding
+    * already makes no recall guarantee, and the 8× headroom keeps the
+    * trade dormant on any observed data.
     */
   private[graft] val BandBucketCap = 32
 
@@ -228,9 +234,7 @@ object DataOps {
     * bands — same plan, geometrically smaller cells.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val big = toks(spark, dir)
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("g"))
+    val big = simhashShingled(spark, dir)
     // One row per doc — cached so the band self-join below reads it twice
     // instead of recomputing the whole hash+vote lineage per side.
     val fp = big.select(col("doc_id"), graft.funcs.SimHashFp(col("g")).as("fp"))
@@ -253,8 +257,11 @@ object DataOps {
     }
   }
 
-  /** Test hook: the bigram frame [[dedupSimhash]] fingerprints. */
-  private[graft] def simhashShingledForTest(spark: SparkSession, dir: String): DataFrame =
+  /** The bigram frame [[dedupSimhash]] fingerprints — one builder shared
+    * by the operator and the native-vs-spec equality test, so the test
+    * provably exercises the operator's own input.
+    */
+  private[graft] def simhashShingled(spark: SparkSession, dir: String): DataFrame =
     toks(spark, dir)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), TextOps.shingles(col("w"), 2).as("g"))

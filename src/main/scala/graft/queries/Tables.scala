@@ -45,7 +45,12 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType) {
-      val cutoffNs = Math.multiplyExact(cutoff.getTime, 1000000L)
+      // Full-precision cutoff: getTime truncates the Timestamp's nanos to
+      // milliseconds, so reconstruct seconds*1e9 + nanos-of-second — a
+      // sub-millisecond cutoff must agree with the timestamp-typed branch.
+      val cutoffNs = Math.addExact(
+        Math.multiplyExact(Math.floorDiv(cutoff.getTime, 1000L), 1000000000L),
+        cutoff.getNanos.toLong)
       raw.filter(col("ts") >= cutoffNs)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else

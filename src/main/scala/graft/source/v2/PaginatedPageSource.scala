@@ -88,6 +88,11 @@ private[v2] class PageMicroBatchStream(options: CaseInsensitiveStringMap)
   require((pagesDir != null) != (urlTemplate != null),
     "paginated-pages requires exactly one of pagesDir (fixture mode) or " +
       "urlTemplate (HTTP mode, one %d page slot)")
+  // Without a page slot String.format silently ignores the page argument
+  // and every offset would re-fetch the identical URL (up to maxPages
+  // duplicate requests) — fail at option-parse time instead.
+  require(urlTemplate == null || urlTemplate.contains("%d"),
+    s"urlTemplate must contain a %d page slot: $urlTemplate")
   private def opt(key: String): Option[String] = Option(options.get(key))
   /** The page provider: fixture files or the reference's HTTP
     * retry/backoff/throttle policy — the offset-planning early-stop is

@@ -72,7 +72,7 @@ class DataOpsSpec extends SparkSpec {
   }
 
   test("native SimHashFp equals the explode+groupBy vote specification") {
-    val big = DataOps.simhashShingledForTest(spark, sf).cache()
+    val big = DataOps.simhashShingled(spark, sf).cache()
     val native = big.select(col("doc_id"), graft.funcs.SimHashFp(col("g")).as("fp"))
     val spec = DataOps.simhashFpSpec(big)
     native.exceptAll(spec).count() shouldBe 0L

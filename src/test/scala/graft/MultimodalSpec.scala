@@ -47,6 +47,15 @@ class MultimodalSpec extends SparkSpec {
     (img.getRGB(1, 1) & 0xFFFFFF) shouldBe 0xFFFFFF
   }
 
+  test("decode falls back to the byte histogram when a payload merely starts with BM") {
+    val payload = ("BM" + "w" * 100).getBytes("UTF-8") // text, not a BMP
+    val out = MultimodalOps.Decode.decode(
+      Iterator(MultimodalOps.MediaRow(1L, "image", payload))).toSeq
+    out should have size 1
+    out.head.width shouldBe 0 // not decoded as an image
+    out.head.hist.sum shouldBe payload.length.toLong
+  }
+
   test("image decode is real: ImageIO raster features from BMP payloads") {
     import spark.implicits._
     val f = MultimodalOps.extractImageFeatures(spark, sf).cache()
