@@ -36,6 +36,7 @@ object SparkEntry {
     "ingest_run" -> (RefOps.ingestRun _),
     "asof_join" -> (RefOps.asofJoin _),
     "range_join" -> (RefOps.rangeJoin _),
+    "jsonl_parse" -> (RefOps.jsonlParse _),
     "approx_distinct_kmv" -> (RefOps.approxDistinctKmv _),
     "sessionize" -> (RefOps.sessionize _),
     // General relational surface on the TPC-H-ish tables.
@@ -192,6 +193,24 @@ object SparkEntry {
                 strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                 p.p_id AS prior_purchase
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "jsonl_parse" ->
+      """WITH raw AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 500 = 0 THEN '{not json'
+                       ELSE '{"user":' || user_id || ',"type":"' || event_type
+                            || '","n":' || (event_id % 1000) || '}' END AS line
+           FROM events),
+         parsed AS (
+           SELECT event_id,
+                  CASE WHEN json_valid(line)
+                       THEN try_cast(json_extract_string(line, '$.user') AS BIGINT) END AS user,
+                  CASE WHEN json_valid(line)
+                       THEN json_extract_string(line, '$.type') END AS type,
+                  CASE WHEN json_valid(line)
+                       THEN try_cast(json_extract_string(line, '$.n') AS BIGINT) END AS n
+           FROM raw)
+         SELECT event_id, user, type, n FROM parsed
+         WHERE n < 500 OR n IS NULL""",
     "range_join" ->
       """WITH c AS (SELECT user_id, event_id AS c_id, ts FROM events
                     WHERE event_type = 'click'),

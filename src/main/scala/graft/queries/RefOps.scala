@@ -291,6 +291,29 @@ object RefOps {
         countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), rsd).as("n_hll"))
 
+  /** JSONL round-trip — the training-data interchange format: synthesize
+    * one JSON object per event (integer/string fields only: float
+    * rendering differs across engines), parse it back through a typed
+    * schema with `from_json`, project the parsed fields, and filter on
+    * one. The parse is per-row codegen'd work; a corrupt line yields
+    * nulls rather than failing the scan (PERMISSIVE semantics), probed
+    * here with a planted malformed line every 500th event.
+    */
+  def jsonlParse(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val raw = e.select(col("event_id"),
+      when(col("event_id") % 500 === 0, lit("{not json"))
+        .otherwise(concat(
+          lit("{\"user\":"), col("user_id"),
+          lit(",\"type\":\""), col("event_type"),
+          lit("\",\"n\":"), col("event_id") % 1000, lit("}"))).as("line"))
+    raw.select(col("event_id"),
+        from_json(col("line"), lit("user BIGINT, type STRING, n BIGINT")).as("j"))
+      .select(col("event_id"), col("j.user").as("user"),
+        col("j.type").as("type"), col("j.n").as("n"))
+      .filter(col("n") < 500 || col("n").isNull)
+  }
+
   /** Gap-based sessionization, batch form: a new session starts when the
     * gap to the user's previous event exceeds 30 minutes. Classic
     * lag + running-sum over one key-partitioned window — a single
