@@ -409,9 +409,16 @@ object DataOps {
     * are ≥0.9, where [[annLshBucket]]-style banding prunes well) — the
     * 0.4-threshold semantics graded here are the exact verifier's.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingOn(emb(spark, dir))
+
+  /** The operator on an explicit (vec_id, embedding) frame — the
+    * pairing-algebra spec drives this with adversarial id shapes (sparse
+    * ids, all ids in one block, singletons).
+    */
+  private[graft] def dedupEmbeddingOn(e0: DataFrame): DataFrame = {
     val b = PairBlocks
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+    val e = e0.select(col("vec_id"), col("embedding"),
       sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"),
       pmod(col("vec_id"), lit(b)).cast("int").as("blk"))
     // Left side serves cells (blk, j) for j ≥ blk; right side cells

@@ -117,6 +117,28 @@ class DataOpsSpec extends SparkSpec {
     got shouldBe naive
   }
 
+  test("block-partition pairing emits every unordered pair exactly once, any id shape") {
+    import spark.implicits._
+    // identical vectors => cos = 1 >= 0.4, so the output must be EXACTLY
+    // the C(n,2) unordered pairs — any pairing-algebra bug (missed cell,
+    // double-counted diagonal) changes the count or ordering invariant
+    val vec = Array.fill(64)(1.0f)
+    val shapes: Seq[Seq[Long]] = Seq(
+      0L to 9L,                                  // contiguous
+      Seq(7L, 8L, 15L, 16L, 23L, 100L, 1000003L), // sparse, mixed blocks
+      Seq(0L, 8L, 16L, 24L, 32L),                // ALL in block 0 (diagonal only)
+      Seq(42L),                                  // singleton: no pairs
+      Seq.empty[Long])                           // empty
+    shapes.foreach { ids =>
+      val e = ids.map(i => (i, vec)).toDF("vec_id", "embedding")
+      val out = DataOps.dedupEmbeddingOn(e).collect()
+      val n = ids.size.toLong
+      out.length.toLong shouldBe n * (n - 1) / 2
+      out.foreach { r => r.getLong(0) should be < r.getLong(1) }
+      out.map(r => (r.getLong(0), r.getLong(1))).toSet.size shouldBe out.length
+    }
+  }
+
   test("hot-band cap bounds boilerplate buckets and preserves the dedup decision") {
     import spark.implicits._
     // 120 near-identical docs: a shared 31-token body + one unique tail
