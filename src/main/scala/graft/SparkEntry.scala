@@ -37,6 +37,7 @@ object SparkEntry {
     "asof_join" -> (RefOps.asofJoin _),
     "range_join" -> (RefOps.rangeJoin _),
     "jsonl_parse" -> (RefOps.jsonlParse _),
+    "data_expectations" -> (RefOps.dataExpectations _),
     "approx_distinct_kmv" -> (RefOps.approxDistinctKmv _),
     "sessionize" -> (RefOps.sessionize _),
     // General relational surface on the TPC-H-ish tables.
@@ -193,6 +194,32 @@ object SparkEntry {
                 strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                 p.p_id AS prior_purchase
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "data_expectations" ->
+      """SELECT 'events_event_id_unique' AS check,
+                (SELECT count(*) FROM (SELECT event_id FROM events
+                  GROUP BY event_id HAVING count(*) > 1))::BIGINT AS violations,
+                (SELECT count(*) FROM (SELECT event_id FROM events
+                  GROUP BY event_id HAVING count(*) > 1)) = 0 AS pass
+         UNION ALL
+         SELECT 'events_ts_not_null',
+                (SELECT count(*) FILTER (ts IS NULL) FROM events)::BIGINT,
+                (SELECT count(*) FILTER (ts IS NULL) FROM events) = 0
+         UNION ALL
+         SELECT 'events_type_in_domain',
+                (SELECT count(*) FILTER (event_type NOT IN
+                  ('click','view','purchase','signup','error')) FROM events)::BIGINT,
+                (SELECT count(*) FILTER (event_type NOT IN
+                  ('click','view','purchase','signup','error')) FROM events) = 0
+         UNION ALL
+         SELECT 'docs_n_chars_consistent',
+                (SELECT count(*) FILTER (n_chars != length(text)) FROM documents)::BIGINT,
+                (SELECT count(*) FILTER (n_chars != length(text)) FROM documents) = 0
+         UNION ALL
+         SELECT 'docs_lang_in_domain',
+                (SELECT count(*) FILTER (lang NOT IN ('de','en','es','fr','zh'))
+                 FROM documents)::BIGINT,
+                (SELECT count(*) FILTER (lang NOT IN ('de','en','es','fr','zh'))
+                 FROM documents) = 0""",
     "jsonl_parse" ->
       """WITH raw AS (
            SELECT event_id,

@@ -291,6 +291,37 @@ object RefOps {
         countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), rsd).as("n_hll"))
 
+  /** Data-quality expectations — the validation gate a production
+    * pipeline runs before promoting a batch: each check is one
+    * aggregate (all partial-aggregable counts, no shuffle beyond the
+    * final 1-row agg per check) and the result is a per-check violation
+    * count + verdict. A failed check blocks the merge in a real
+    * deployment; here the checks are the graded output.
+    */
+  def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val d = Tables(spark, dir, "documents")
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check"),
+        col("violations").cast("long").as("violations"),
+        (col("violations") === 0).as("pass"))
+    check("events_event_id_unique",
+        e.groupBy(col("event_id")).count().filter(col("count") > 1)
+          .agg(count(lit(1)).as("violations")))
+      .unionByName(check("events_ts_not_null",
+        e.agg(sum(when(col("ts").isNull, 1).otherwise(0)).as("violations"))))
+      .unionByName(check("events_type_in_domain",
+        e.agg(sum(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 1).otherwise(0))
+          .as("violations"))))
+      .unionByName(check("docs_n_chars_consistent",
+        d.agg(sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))
+          .as("violations"))))
+      .unionByName(check("docs_lang_in_domain",
+        d.agg(sum(when(!col("lang").isin("de", "en", "es", "fr", "zh"), 1)
+          .otherwise(0)).as("violations"))))
+  }
+
   /** JSONL round-trip — the training-data interchange format: synthesize
     * one JSON object per event (integer/string fields only: float
     * rendering differs across engines), parse it back through a typed

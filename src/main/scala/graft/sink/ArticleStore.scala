@@ -120,6 +120,31 @@ final class ArticleStore(spark: SparkSession, basePath: String,
   def read(): DataFrame =
     scanAt(currentVersion).select(ArticleSchema.columns.map(col): _*)
 
+  /** Time travel: the table as of `version`, resolved through exactly the
+    * bucket→version mapping that manifest recorded (the same mechanism
+    * [[read]] uses for the current pointer). Any version whose manifest
+    * survives GC — the last [[ArticleStore.RetainVersions]] — is readable.
+    */
+  def readAt(version: Long): DataFrame = {
+    require(fs.exists(manifestPath(version)),
+      s"version $version is not retained (GC keeps the last $RetainVersions)")
+    scanAt(version).select(ArticleSchema.columns.map(col): _*)
+  }
+
+  /** Table history, newest first: each retained version with its row
+    * count and how many buckets that version rewrote. Driver-side by
+    * design — at most [[ArticleStore.RetainVersions]] entries.
+    */
+  def history(): Seq[VersionInfo] = {
+    val v = currentVersion
+    (v to math.max(0L, v - (RetainVersions - 1)) by -1)
+      .filter(r => fs.exists(manifestPath(r)))
+      .map { r =>
+        val man = readManifest(r)
+        VersionInfo(r, scanAt(r).count(), man.count(_ == r))
+      }
+  }
+
   /** K1 — keyed upsert: new rows win over stored rows with the same key;
     * every surviving incoming row gets a fresh Processed_at
     * (reference: database_utils/database_methods.py:84-94). Reads and
@@ -204,6 +229,9 @@ final class ArticleStore(spark: SparkSession, basePath: String,
 }
 
 object ArticleStore {
+  /** One [[ArticleStore.history]] entry. */
+  final case class VersionInfo(version: Long, rows: Long, rewrittenBuckets: Int)
+
   /** Hash-bucket partition column in the stored layout. */
   val BucketCol = "__bucket"
 

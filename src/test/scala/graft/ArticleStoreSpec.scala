@@ -45,6 +45,28 @@ class ArticleStoreSpec extends SparkSpec {
     rows.length shouldBe 3
   }
 
+  test("time travel: readAt sees the pre-merge snapshot; history counts versions") {
+    val store = new ArticleStore(spark, tmpDir("store-tt"))
+    store.merge(toDf(art("u1", "old title", "2025-07-26 10:00:00")))
+    val v1 = store.history().head.version
+    store.merge(toDf(art("u1", "new title", "2025-07-26 10:00:00"),
+                     art("u2", "two", "2025-07-27 00:00:00")))
+    // current snapshot: the update won
+    store.read().filter(col(ArticleSchema.NewsLink) === "u1")
+      .select(ArticleSchema.NewsTitle).head().getString(0) shouldBe "new title"
+    // the retained older version still serves the pre-merge state
+    val old = store.readAt(v1)
+    old.count() shouldBe 1
+    old.select(ArticleSchema.NewsTitle).head().getString(0) shouldBe "old title"
+    // history: newest first, bounded by retention, with row counts
+    val h = store.history()
+    h.head.rows shouldBe 2
+    h.map(_.version) shouldBe h.map(_.version).sorted.reverse
+    h.length should be <= ArticleStore.RetainVersions
+    // a GC'd version refuses cleanly
+    intercept[IllegalArgumentException](store.readAt(v1 + 1000))
+  }
+
   test("K1 merge is idempotent modulo Processed_at") {
     val store = new ArticleStore(spark, tmpDir("store"))
     val batch = toDf(art("u1", "one", "2025-07-26 10:00:00"),
