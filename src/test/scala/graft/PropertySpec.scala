@@ -36,6 +36,26 @@ class PropertySpec extends SparkSpec {
   private val ts: Gen[Timestamp] =
     Gen.choose(31536000L, 4070908800L).map(s => new Timestamp(s * 1000))
 
+  test("property: Bmp encode/decode round-trips exact pixels for arbitrary dims") {
+    // covers every row-padding case (3*w % 4 = 0..3) and non-square rasters
+    val cases = sample(for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 9)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray), 40)
+    cases.foreach { case (w, h, rgb) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        graft.multimodal.MultimodalOps.Bmp.encode(w, h, rgb)))
+      img.getWidth shouldBe w
+      img.getHeight shouldBe h
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        (img.getRGB(x, y) & 0xFFFFFF) shouldBe
+          (((rgb(i) & 0xFF) << 16) | ((rgb(i + 1) & 0xFF) << 8) | (rgb(i + 2) & 0xFF))
+      }
+    }
+  }
+
   test("property: articleId == java MD5 lowercase hex for arbitrary URLs") {
     val urls = sample(url, 300).distinct
     val got = urls.toDF("u").select(Funcs.articleId(col("u")).as("id"), col("u"))
