@@ -301,25 +301,30 @@ object RefOps {
   def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
     val d = Tables(spark, dir, "documents")
-    def check(name: String, violations: DataFrame): DataFrame =
-      violations.select(lit(name).as("check"),
-        col("violations").cast("long").as("violations"),
-        (col("violations") === 0).as("pass"))
-    check("events_event_id_unique",
-        e.groupBy(col("event_id")).count().filter(col("count") > 1)
-          .agg(count(lit(1)).as("violations")))
-      .unionByName(check("events_ts_not_null",
-        e.agg(sum(when(col("ts").isNull, 1).otherwise(0)).as("violations"))))
-      .unionByName(check("events_type_in_domain",
-        e.agg(sum(when(!col("event_type").isin(
-          "click", "view", "purchase", "signup", "error"), 1).otherwise(0))
-          .as("violations"))))
-      .unionByName(check("docs_n_chars_consistent",
-        d.agg(sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))
-          .as("violations"))))
-      .unionByName(check("docs_lang_in_domain",
-        d.agg(sum(when(!col("lang").isin("de", "en", "es", "fr", "zh"), 1)
-          .otherwise(0)).as("violations"))))
+    // One aggregation pass per table (not one scan per check), split into
+    // per-check rows afterward. count(when(cond, 1)) — not sum(when) —
+    // because count is 0 on an empty table where sum is NULL, and the
+    // DuckDB oracle's `count(*) FILTER` is 0 there too.
+    def split(agg: DataFrame, checks: (String, String)*): DataFrame =
+      agg.select(explode(array(checks.map { case (name, c) =>
+          struct(lit(name).as("check"), col(c).cast("long").as("violations"))
+        }: _*)).as("s"))
+        .select(col("s.check").as("check"), col("s.violations").as("violations"),
+          (col("s.violations") === 0).as("pass"))
+    val dupKeys = e.groupBy(col("event_id")).count().filter(col("count") > 1)
+      .agg(count(lit(1)).as("dup_keys"))
+    val eAgg = e.agg(
+      count(when(col("ts").isNull, 1)).as("ts_null"),
+      count(when(!col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"), 1)).as("bad_type"))
+    val dAgg = d.agg(
+      count(when(col("n_chars") =!= length(col("text")), 1)).as("bad_len"),
+      count(when(!col("lang").isin("de", "en", "es", "fr", "zh"), 1)).as("bad_lang"))
+    split(dupKeys, "events_event_id_unique" -> "dup_keys")
+      .unionByName(split(eAgg,
+        "events_ts_not_null" -> "ts_null", "events_type_in_domain" -> "bad_type"))
+      .unionByName(split(dAgg,
+        "docs_n_chars_consistent" -> "bad_len", "docs_lang_in_domain" -> "bad_lang"))
   }
 
   /** JSONL round-trip — the training-data interchange format: synthesize

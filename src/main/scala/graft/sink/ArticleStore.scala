@@ -109,12 +109,12 @@ final class ArticleStore(spark: SparkSession, basePath: String,
     spark.read.schema(dataSchema).parquet(dataPath(v).toString)
       .filter(col(BucketCol).isin(buckets: _*)) // prunes partition dirs
 
-  private def scanAt(v: Long): DataFrame = {
-    val man = readManifest(v)
+  private def scanAt(v: Long): DataFrame = scanManifest(readManifest(v))
+
+  private def scanManifest(man: Array[Long]): DataFrame =
     man.zipWithIndex.groupBy(_._1).toSeq
       .map { case (ver, bs) => readBuckets(ver, bs.map(_._2).toSeq) }
       .reduce(_ unionByName _)
-  }
 
   /** S6 — serving-table scan of the current snapshot. */
   def read(): DataFrame =
@@ -122,18 +122,26 @@ final class ArticleStore(spark: SparkSession, basePath: String,
 
   /** Time travel: the table as of `version`, resolved through exactly the
     * bucket→version mapping that manifest recorded (the same mechanism
-    * [[read]] uses for the current pointer). Any version whose manifest
-    * survives GC — the last [[ArticleStore.RetainVersions]] — is readable.
+    * [[read]] uses for the current pointer). Readable = within the GC
+    * retention window AND committed: a bare manifest-existence check
+    * would admit (a) versions whose manifest survived GC while some data
+    * dir they reference was collected (scan fails mid-read) and (b) an
+    * uncommitted manifest left by a merge that crashed before its
+    * pointer swap (dirty read).
     */
   def readAt(version: Long): DataFrame = {
-    require(fs.exists(manifestPath(version)),
-      s"version $version is not retained (GC keeps the last $RetainVersions)")
+    val cur = currentVersion
+    require(version <= cur && version > cur - RetainVersions &&
+        fs.exists(manifestPath(version)),
+      s"version $version is not retained (committed versions " +
+        s"${math.max(0L, cur - (RetainVersions - 1))}..$cur are)")
     scanAt(version).select(ArticleSchema.columns.map(col): _*)
   }
 
   /** Table history, newest first: each retained version with its row
-    * count and how many buckets that version rewrote. Driver-side by
-    * design — at most [[ArticleStore.RetainVersions]] entries.
+    * count and how many buckets that version rewrote (v0 is the empty
+    * CREATE — it owns every manifest entry but wrote nothing). Driver-
+    * side by design — at most [[ArticleStore.RetainVersions]] entries.
     */
   def history(): Seq[VersionInfo] = {
     val v = currentVersion
@@ -141,7 +149,8 @@ final class ArticleStore(spark: SparkSession, basePath: String,
       .filter(r => fs.exists(manifestPath(r)))
       .map { r =>
         val man = readManifest(r)
-        VersionInfo(r, scanAt(r).count(), man.count(_ == r))
+        val rewritten = if (r == 0) 0 else man.count(_ == r)
+        VersionInfo(r, scanManifest(man).count(), rewritten)
       }
   }
 
