@@ -189,16 +189,19 @@ object DataOps {
     // over the exploded frame (r3 ADVICE).
     val ex = big.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
-    // No broadcast hint on freq: the global shingle-frequency table grows
-    // with the corpus (same hazard as broadcasting a growing dimension) —
-    // AQE broadcasts it at test scale and shuffle-joins at 100 TB.
-    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    // Global shingle frequency as a WINDOW over the exploded postings —
+    // one shuffle on the shingle, reused as-is by the count, instead of a
+    // groupBy plus a join back (the join either broadcasts a
+    // growing-with-the-corpus frequency table or adds a third shuffle at
+    // 100 TB). The hottest posting list bounds one window partition —
+    // short by construction for word 3-grams (see class doc).
+    val byShingle = Window.partitionBy(col("s"))
     // Prefix selection stays in exploded form: rank each doc's shingles by
     // (frequency, shingle) with ONE window shuffle on doc_id and keep the
     // first |d| − ⌈t·|d|⌉ + 1 — same prefix set as sorting a collected
     // array, without collect_list + per-row sort + re-explode.
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
-    val pex = ex.join(freq, "s")
+    val pex = ex.withColumn("f", count(lit(1)).over(byShingle))
       .select(col("doc_id"), col("s"),
         row_number().over(byRarity).as("rk"), col("n"))
       .filter(col("rk") <= col("n") - ceil(lit(0.5) * col("n")).cast("int") + 1)
