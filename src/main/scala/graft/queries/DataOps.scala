@@ -110,13 +110,22 @@ object DataOps {
     */
   private[graft] val BandBucketCap = 32
 
-  /** Banded-LSH candidate pairs over a shingle frame, hot buckets capped. */
-  private[graft] def lshCandidates(sh: DataFrame, cap: Int): DataFrame = {
+  /** doc_id → (band, digest) rows — the LSH bucketing shared by the
+    * batch candidate join and [[graft.streaming.StreamingDedup]]'s
+    * stateful candidate detector (identical buckets ⇒ the streaming form
+    * is equivalence-testable against [[lshCandidates]]).
+    */
+  private[graft] def bandDigests(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id") +: TextOps.minhashSig(col("sh"), MinhashK): _*)
     val banded = sig.select(col("doc_id") +: TextOps.lshBands(LshBands, LshRows): _*)
-    val bandLong = banded.select(col("doc_id"), explode(array(
+    banded.select(col("doc_id"), explode(array(
       (0 until LshBands).map(b => struct(lit(b).as("b"), col(s"band$b").as("h"))): _*)).as("u"))
       .select(col("doc_id"), col("u.b").as("b"), col("u.h").as("h"))
+  }
+
+  /** Banded-LSH candidate pairs over a shingle frame, hot buckets capped. */
+  private[graft] def lshCandidates(sh: DataFrame, cap: Int): DataFrame = {
+    val bandLong = bandDigests(sh)
     // Rank bucket members by doc_id (same (b, h) partitioning the join
     // shuffles on anyway); only the first `cap` act as pair generators.
     // For any pair (a < b) in a bucket of size ≤ cap, rank(a) ≤ cap — the

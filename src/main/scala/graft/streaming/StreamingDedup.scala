@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.queries.DataOps
+import graft.text.TextOps
+
+/** Streaming near-duplicate CANDIDATE detection — the real-time form of
+  * the batch MinHash-LSH dedup: documents arrive on an unbounded stream,
+  * each lands in its 4 band buckets (the SAME digests as
+  * `DataOps.lshCandidates`, via the shared `bandDigests` builder), and a
+  * stateful per-bucket membership list emits a candidate pair the moment
+  * a new doc collides with one already seen — across micro-batches,
+  * without ever re-scanning history. Downstream, candidates feed the
+  * exact Jaccard verifier per micro-batch exactly as in the batch path.
+  *
+  * State is BOUNDED at `cap` doc ids per bucket (the streaming analog of
+  * the batch hot-band cap; here the cap keeps the first `cap`
+  * ARRIVALS — arrival order, not id order, is what a stream can know).
+  * A doc arriving after its bucket is full still pairs against the
+  * retained members but is not remembered, so a later duplicate arrival
+  * may re-emit the same pair — harmless, because candidates are
+  * `distinct`-ed and exactly verified downstream in both forms. A
+  * production deployment adds a watermark + EventTimeTimeout to expire
+  * idle buckets (same note as [[Sessionizer]]); the drain-and-stop
+  * ingest model here needs neither.
+  *
+  * Scale shape: one shuffle on (band, digest) per micro-batch — the
+  * same key the batch join shuffles on — and O(cap) state per bucket.
+  */
+object StreamingDedup {
+
+  final case class BandArrival(b: Int, h: String, doc_id: Long)
+  final case class Candidate(doc_a: Long, doc_b: Long)
+
+  /** Per-bucket state fold: emit (seen, new) pairs, remember the first
+    * `cap` arrivals. In-batch arrivals are sorted by doc_id so a batch's
+    * internal pairs are deterministic regardless of partition order.
+    */
+  private[streaming] def collide(rows: Iterator[BandArrival],
+                                 state: GroupState[Seq[Long]],
+                                 cap: Int): Iterator[Candidate] = {
+    var seen = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[Candidate]
+    rows.map(_.doc_id).toSeq.distinct.sorted.foreach { d =>
+      if (!seen.contains(d)) {
+        seen.foreach { s =>
+          out += Candidate(math.min(s, d), math.max(s, d))
+        }
+        if (seen.size < cap) seen = seen :+ d
+      }
+    }
+    state.update(seen)
+    out.result().iterator
+  }
+
+  /** Bind over a (doc_id, text) frame — batch or streaming. */
+  def candidates(docs: DataFrame, cap: Int = 1024): Dataset[Candidate] = {
+    import docs.sparkSession.implicits._
+    val sh = docs.select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    DataOps.bandDigests(sh).as[BandArrival]
+      .groupByKey(r => (r.b, r.h))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BandArrival], st: GroupState[Seq[Long]]) =>
+          collide(rows, st, cap)
+      }
+  }
+}
