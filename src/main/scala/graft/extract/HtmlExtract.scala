@@ -56,7 +56,16 @@ final case class SiteSpec(
     /** P5 — raw author → cleaned author. */
     cleanAuthor: Column => Column,
     /** F2/F3 — raw date string → TimestampType. */
-    parseDate: Column => Column)
+    parseDate: Column => Column,
+    /** Driver-side mirror of [[parseDate]] for the pagination early-stop
+      * probe ([[graft.source.PaginatedSource.pageDates]]): the probe runs
+      * on the driver per page, outside any plan, so it needs a plain
+      * function. A new site supplies BOTH forms of its date dialect —
+      * keeping the probe and the distributed extraction in lockstep is
+      * part of the SiteSpec contract (they must agree or the early-stop
+      * decision and the extracted rows could diverge).
+      */
+    probeDate: String => Option[java.sql.Timestamp])
 
 object Sites {
 
@@ -74,7 +83,12 @@ object Sites {
     dateRe = "<time datetime=\"([^\"]*)\"",
     buildLink = href => href,
     cleanAuthor = a => trim(a),
-    parseDate = d => Funcs.dropTimezone(d))
+    parseDate = d => Funcs.dropTimezone(d),
+    // ISO with the offset DROPPED, not converted (F3)
+    probeDate = raw =>
+      try Some(java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(
+        Sites.TzSuffix.replaceAllIn(raw, ""))))
+      catch { case _: Exception => None })
 
   /** PhocusWire listing shape
     * (reference: PhocusWire/PhocusWireSource.py:132-173): date-only
@@ -94,7 +108,16 @@ object Sites {
     buildLink = href => concat(lit("https://www.phocuswire.com"), lit("/"), href),
     cleanAuthor = a => Funcs.cleanAuthor(trim(a)),
     parseDate = d =>
-      try_to_timestamp(trim(d), lit(ArticleSchema.MonthDayYear)))
+      try_to_timestamp(trim(d), lit(ArticleSchema.MonthDayYear)),
+    // date-only "July 28, 2025" → midnight
+    probeDate = raw =>
+      try Some(java.sql.Timestamp.valueOf(java.time.LocalDate.parse(
+        raw.trim, Sites.MonthDay).atStartOfDay()))
+      catch { case _: Exception => None })
+
+  private[graft] val TzSuffix = "([+-]\\d{2}:?\\d{2}|Z)$".r
+  private[graft] val MonthDay = java.time.format.DateTimeFormatter
+    .ofPattern("MMMM d, uuuu", java.util.Locale.ENGLISH)
 }
 
 object HtmlExtract {

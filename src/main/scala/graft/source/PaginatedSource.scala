@@ -1,9 +1,6 @@
 package graft.source
 
 import java.sql.Timestamp
-import java.time.{LocalDate, LocalDateTime}
-import java.time.format.DateTimeFormatter
-import java.util.Locale
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -134,13 +131,12 @@ final class PaginatedSource(
 }
 
 object PaginatedSource {
-  private val TzSuffix = "([+-]\\d{2}:?\\d{2}|Z)$".r
-  private val MonthDay =
-    DateTimeFormatter.ofPattern("MMMM d, uuuu", Locale.ENGLISH)
 
   /** Driver-side mirror of the per-site date extraction, used ONLY for
     * the early-stop probe; the authoritative parse is the Column path in
-    * [[graft.extract.HtmlExtract]] with identical regex strings.
+    * [[graft.extract.HtmlExtract]] with identical regex strings, and the
+    * probe's parser is the SiteSpec's own `probeDate` — a new site brings
+    * both dialect forms, nothing here special-cases site names.
     */
   def pageDates(spec: SiteSpec, html: String): Seq[Option[Timestamp]] = {
     // Same container scoping as HtmlExtract.elements: the probe must see
@@ -151,17 +147,7 @@ object PaginatedSource {
       .map(re => re.r.findFirstIn(html).getOrElse(""))
       .getOrElse(html)
     spec.elementRe.r.findAllIn(scoped).map { el =>
-      spec.dateRe.r.findFirstMatchIn(el).map(_.group(1)).flatMap(parse(spec, _))
+      spec.dateRe.r.findFirstMatchIn(el).map(_.group(1)).flatMap(spec.probeDate)
     }.toSeq
   }
-
-  private def parse(spec: SiteSpec, raw: String): Option[Timestamp] =
-    try {
-      if (spec.sourceName == "Phocuswire")
-        Some(Timestamp.valueOf(
-          LocalDate.parse(raw.trim, MonthDay).atStartOfDay()))
-      else // ISO with the offset DROPPED, not converted (F3)
-        Some(Timestamp.valueOf(
-          LocalDateTime.parse(TzSuffix.replaceAllIn(raw, ""))))
-    } catch { case _: Exception => None }
 }
