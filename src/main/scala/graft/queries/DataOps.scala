@@ -77,11 +77,18 @@ object DataOps {
   private[graft] def shingledForTest(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
 
-  /** doc_id + distinct word-3-shingle set (docs with >= 3 tokens). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+  /** doc_id + distinct word-3-shingle set (docs with >= 3 tokens) from
+    * any (doc_id, text) frame — ONE definition of the dedup shingle
+    * dialect, shared by the batch operators, the streaming candidate
+    * detector, and their equivalence specs, so the shapes cannot drift.
+    */
+  private[graft] def shingledOn(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), TextOps.shingles(col("w"), 3).as("sh"))
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledOn(docs(spark, dir))
 
   /** Near-duplicate detection, MinHash + banded LSH: shingle → 12-element
     * md5-minhash signature → 4 bands of 3 → candidates = pairs sharing any

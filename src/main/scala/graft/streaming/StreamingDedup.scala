@@ -38,30 +38,37 @@ object StreamingDedup {
   /** Per-bucket state fold: emit (seen, new) pairs, remember the first
     * `cap` arrivals. In-batch arrivals are sorted by doc_id so a batch's
     * internal pairs are deterministic regardless of partition order.
+    * Membership checks go through a hash set (the retained list is the
+    * persisted state; `Seq.contains` would make a hot bucket's fold
+    * O(m·cap) list traversals on the per-trigger hot path).
     */
   private[streaming] def collide(rows: Iterator[BandArrival],
                                  state: GroupState[Seq[Long]],
                                  cap: Int): Iterator[Candidate] = {
-    var seen = state.getOption.getOrElse(Seq.empty)
+    var retained = state.getOption.getOrElse(Seq.empty).toVector
+    val member = scala.collection.mutable.HashSet[Long](retained: _*)
     val out = Seq.newBuilder[Candidate]
     rows.map(_.doc_id).toSeq.distinct.sorted.foreach { d =>
-      if (!seen.contains(d)) {
-        seen.foreach { s =>
+      if (!member.contains(d)) {
+        retained.foreach { s =>
           out += Candidate(math.min(s, d), math.max(s, d))
         }
-        if (seen.size < cap) seen = seen :+ d
+        member += d
+        if (retained.size < cap) retained = retained :+ d
       }
     }
-    state.update(seen)
+    state.update(retained)
     out.result().iterator
   }
 
-  /** Bind over a (doc_id, text) frame — batch or streaming. */
-  def candidates(docs: DataFrame, cap: Int = 1024): Dataset[Candidate] = {
+  /** Bind over a (doc_id, text) frame — batch or streaming. The default
+    * cap is the SAME constant as the batch hot-band cap, so the two
+    * forms' bucket bounds cannot drift apart.
+    */
+  def candidates(docs: DataFrame,
+                 cap: Int = DataOps.BandBucketCap): Dataset[Candidate] = {
     import docs.sparkSession.implicits._
-    val sh = docs.select(col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) >= 1)
+    val sh = DataOps.shingledOn(docs)
     DataOps.bandDigests(sh).as[BandArrival]
       .groupByKey(r => (r.b, r.h))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

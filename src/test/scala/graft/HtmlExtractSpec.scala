@@ -109,6 +109,26 @@ class HtmlExtractSpec extends SparkSpec {
         .digest(link.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  test("probeDate agrees with parseDate on every fixture date shape, per site") {
+    // The SiteSpec contract: the driver-side probe parser and the Column
+    // parser must agree on the site's dialect, or the early-stop decision
+    // and the extracted rows diverge. Pinned over each site's fixture
+    // shapes (FIXTURES.md §2) including the malformed branch.
+    val shapes: Seq[(graft.extract.SiteSpec, Seq[String])] = Seq(
+      Sites.skift -> Seq("2025-08-01T17:19:21+05:00", "2025-08-01T09:00:00Z",
+        "2025-08-01T10:00:00", "not a date"),
+      Sites.phocuswire -> Seq("July 28, 2025", " July 29, 2025 ", "not a date"))
+    shapes.foreach { case (site, raws) =>
+      val viaColumn = raws.toDF("raw")
+        .select(site.parseDate(col("raw")).as("t"))
+        .collect().map(r => Option(r.getTimestamp(0)))
+      raws.map(site.probeDate).zip(viaColumn).zip(raws).foreach {
+        case ((probe, column), raw) =>
+          withClue(s"${site.sourceName} '$raw': ") { probe shouldBe column }
+      }
+    }
+  }
+
   test("native FirstGroups equals the per-field regexp_extract specification") {
     val spec = Sites.phocuswire
     val el = HtmlExtract.elements(Seq(phocusPage).toDF("html"), "html", spec)

@@ -24,14 +24,9 @@ class StreamingDedupSpec extends SparkSpec {
   }
   private val docs = (1L to 24L).map(doc)
 
-  private def batchCandidates(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
-    val sh = rows.toDF("doc_id", "text")
-      .select(col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
-      .filter(expr("size(sh) >= 1"))
-    DataOps.lshCandidates(sh, Int.MaxValue)
+  private def batchCandidates(rows: Seq[(Long, String)]): Set[(Long, Long)] =
+    DataOps.lshCandidates(DataOps.shingledOn(rows.toDF("doc_id", "text")), Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-  }
 
   test("streaming candidates across micro-batches equal the batch candidate join") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
