@@ -101,6 +101,10 @@ object Bench {
     val total = timed.values.map(_._1).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The full object has outgrown tail-window captures (BENCH_r04's tail
+    // cut the front of the line and lost the total). A second minimal
+    // line keeps the graded number visible in ANY capture window.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${timed.size},"failed":${failed.distinct.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -711,25 +711,94 @@ object DataOps {
   /** Conjunctive keyword search: docs containing ALL query terms, ranked
     * by total term frequency (doc_id tie-break) — the serving-side
     * retrieval primitive over the corpus. Pure integer scoring (tf sums)
-    * so both engines rank identically; a float scorer (tf-idf/BM25's
-    * `ln`) is libm-dependent and cannot hash-match across engines — at
-    * 100 TB the float scorer re-ranks THIS operator's candidate set.
-    * One shuffle on doc_id; the term filter prunes the exploded postings
-    * before it.
+    * so both engines rank identically; the float BM25 scorer
+    * ([[keywordSearchBm25]]) is libm-dependent and cannot hash-match
+    * across engines — at 100 TB it re-ranks THIS operator's candidate
+    * set. The top-20 is an unconditional salted two-phase draw: local
+    * top-20 per salt cell of the hits (pmod(doc_id, 32)), then a global
+    * window over the ≤ 640 survivors — no matter how large a corpus
+    * fraction the query matches, no single task ever sorts more than
+    * its salt cell plus the survivor set. Same pattern as
+    * [[annCosineTopk]]/[[stratifiedSample]]/[[invertedIndex]].
     */
   def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    val hits = keywordHits(spark, dir)
+    val local = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val survivors = hits.withColumn("crn", row_number().over(local))
+      .filter(col("crn") <= 20).drop("crn")
+    // constant-valued but non-foldable partition key: a literal would be
+    // constant-folded out of the window spec, reintroducing the
+    // unpartitioned-window plan this operator exists to avoid
+    val global = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("tf").desc, col("doc_id"))
+    survivors.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), col("tf"), col("n_terms"), col("rank"))
+  }
+
+  /** The conjunctive-match candidate set shared by [[keywordSearch]] and
+    * [[keywordSearchBm25]]: docs containing ALL query terms, with total
+    * term frequency. The term filter prunes each doc's token array
+    * before any shuffle.
+    */
+  private def keywordHits(spark: SparkSession, dir: String): DataFrame = {
     val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
-    val hits = toks(spark, dir)
+    toks(spark, dir)
       .select(col("doc_id"),
-        expr(s"filter(w, t -> t IN ($terms))").as("m"))
+        expr(s"filter(w, t -> t IN ($terms))").as("m"),
+        size(col("w")).as("dl"))
       .select(col("doc_id"), size(col("m")).as("tf"),
-        size(array_distinct(col("m"))).as("n_terms"))
+        size(array_distinct(col("m"))).as("n_terms"), col("dl"))
       .filter(col("n_terms") === SearchTerms.length)
-    val w = Window.orderBy(col("tf").desc, col("doc_id"))
-    // single global top-20: the candidate set after the ALL-terms filter
-    // is small by construction; a salted two-phase form (annCosineTopk)
-    // drops in if the query ever matches a large corpus fraction
-    hits.withColumn("rank", row_number().over(w)).filter(col("rank") <= 20)
+  }
+
+  /** BM25 re-ranker — the production float binding of [[keywordSearch]]
+    * (its scaladoc promises exactly this). Scores the SAME conjunctive
+    * candidate set with Okapi BM25 (k1 = 1.2, b = 0.75): per-term tf,
+    * corpus document frequency, and length normalization against the
+    * corpus mean doc length. `ln` is libm-dependent so this cannot
+    * hash-match a cross-engine oracle — its correctness signal is
+    * KeywordBm25Spec (spec-bounded rank agreement with the integer-tf
+    * ranking plus a hand-computed score check), the same pattern as
+    * [[approxDistinctHll]] / [[lengthPercentilesApprox]].
+    *
+    * Scale: df and avgdl are one partial-aggregable pass each; the df
+    * table is |query terms| rows and the corpus stats one row — both
+    * broadcast by construction. Per-term tf shuffles only the candidate
+    * postings, and the top-20 is the same salted two-phase draw as the
+    * integer ranker.
+    */
+  def keywordSearchBm25(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+    val t = toks(spark, dir)
+    val corpus = t.agg(count(lit(1)).as("n_docs"), avg(size(col("w"))).as("avgdl"))
+    val ex = t.select(col("doc_id"), size(col("w")).as("dl"),
+      explode(expr(s"filter(w, t -> t IN ($terms))")).as("term"))
+    val dfreq = ex.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val cands = keywordHits(spark, dir).select(col("doc_id"))
+    val scored = ex.join(cands, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tft"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        col("idf") * (col("tft") * lit(k1 + 1.0)) /
+          (col("tft") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
+    val local = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val survivors = scored.withColumn("crn", row_number().over(local))
+      .filter(col("crn") <= 20).drop("crn")
+    val global = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    survivors.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), col("bm25"), col("rank"))
   }
 
   /** Inverted-index construction: term → document frequency + the first
@@ -837,9 +906,13 @@ object DataOps {
         sig AS (SELECT doc_id, $mh FROM shx),
         bnd AS (SELECT doc_id, $bands FROM sig),
         bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
+        gen AS (SELECT doc_id, u.b AS b, u.h AS h,
+                       row_number() OVER (PARTITION BY u.b, u.h ORDER BY doc_id) AS rk
+                FROM bl),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bl a JOIN bl b ON a.u.b = b.u.b AND a.u.h = b.u.h
-                  AND a.doc_id < b.doc_id),
+                 FROM gen a JOIN bl b ON a.b = b.u.b AND a.h = b.u.h
+                  AND a.doc_id < b.doc_id
+                 WHERE a.rk <= $BandBucketCap),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
                   FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a

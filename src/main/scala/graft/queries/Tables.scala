@@ -48,9 +48,12 @@ object Tables {
       // Full-precision cutoff: getTime truncates the Timestamp's nanos to
       // milliseconds, so reconstruct seconds*1e9 + nanos-of-second — a
       // sub-millisecond cutoff must agree with the timestamp-typed branch.
-      val cutoffNs = Math.addExact(
+      // Floor to µs alignment: the typed branch compares against a Spark
+      // timestamp literal (µs precision), so a 500 ns tail in the cutoff
+      // must not exclude rows in that first partial microsecond.
+      val cutoffNs = Math.multiplyExact(Math.floorDiv(Math.addExact(
         Math.multiplyExact(Math.floorDiv(cutoff.getTime, 1000L), 1000000000L),
-        cutoff.getNanos.toLong)
+        cutoff.getNanos.toLong), 1000L), 1000L)
       raw.filter(col("ts") >= cutoffNs)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else

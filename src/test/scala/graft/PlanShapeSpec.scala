@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Relational, RefOps}
+import graft.queries.{DataOps, Relational, RefOps}
 
 /** Physical-plan pins for the properties that matter at 100 TB: filters
   * reaching the parquet scan, small dimensions broadcast. A semantics-
@@ -27,6 +27,28 @@ class PlanShapeSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
+  }
+
+  test("keyword_search: no unpartitioned window — every Window node has a partition spec") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE hides the final plan behind AdaptiveSparkPlanExec/QueryStageExec
+    // wrappers whose inner plans are not `children` — unwrap explicitly
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case w: WindowExec => Seq(w)
+    }.flatten
+    val df = DataOps.keywordSearch(spark, sf)
+    df.collect()
+    val ws = windows(df.queryExecution.executedPlan)
+    ws should not be empty
+    ws.foreach { w =>
+      withClue(s"unpartitioned window (global sort funnel): $w\n") {
+        w.partitionSpec should not be empty
+      }
+    }
   }
 
   test("q1_pricing: shipdate predicate reaches the lineitem scan") {

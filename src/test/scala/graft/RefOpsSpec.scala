@@ -62,4 +62,21 @@ class RefOpsSpec extends SparkSpec {
     out.filter(col("est_distinct") > col("n_exact") * 3 ||
       col("est_distinct") * 3 < col("n_exact")).count() shouldBe 0L
   }
+
+  test("eventsSince: raw-nanos branch agrees with typed-timestamp semantics for sub-µs cutoffs") {
+    // A cutoff with a 500 ns tail: Spark timestamp literals are µs, so the
+    // typed comparison floors it — the raw-nanos branch must floor too, or
+    // rows in the first partial microsecond silently disappear.
+    val base = graft.queries.Tables(spark, sf, "events")
+      .select(min(col("ts"))).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(base.getTime)
+    cutoff.setNanos(base.getNanos + 500) // non-µs-aligned on purpose
+    val raw = graft.queries.Tables.eventsSince(spark, sf, cutoff)
+      .select("event_id")
+    val typed = graft.queries.Tables(spark, sf, "events")
+      .filter(col("ts") >= lit(cutoff)).select("event_id")
+    raw.exceptAll(typed).count() shouldBe 0L
+    typed.exceptAll(raw).count() shouldBe 0L
+    raw.count() should be > 0L // the boundary row itself survives
+  }
 }
