@@ -9,14 +9,17 @@ import graft.queries.Tables
   * as opaque BINARY columns with typed metadata alongside; decode /
   * feature-extract / frame-sample run per-partition against the bytes.
   *
-  * The IMAGE decode path is REAL: [[Bmp]] synthesizes deterministic
-  * 24-bit BMP payloads (pure JDK byte layout) and [[Decode.decode]] runs
-  * them through `javax.imageio.ImageIO` — actual raster decoding, pixel
-  * features from the decoded image, zero external jars. Audio/video
-  * remain byte-histogram stubs (the JDK ships no such codecs); the
-  * plumbing — BINARY schema, iterator-per-partition batch shape (one
-  * decoder per partition, not per row), typed Dataset boundary — is
-  * identical for all three, so a production codec drops in per format.
+  * The IMAGE and AUDIO decode paths are REAL: [[Bmp]] synthesizes
+  * deterministic 24-bit BMP payloads and [[Decode.decode]] runs them
+  * through `javax.imageio.ImageIO` (actual raster decoding); [[Wav]]
+  * synthesizes 16-bit PCM WAV payloads and decode runs them through
+  * `javax.sound.sampled.AudioSystem` (actual audio-stream decoding —
+  * sample rate, channels, duration, amplitude histogram from DECODED
+  * samples). Zero external jars either way. Video remains a
+  * byte-histogram stub (the JDK ships no video codec); the plumbing —
+  * BINARY schema, iterator-per-partition batch shape (one decoder per
+  * partition, not per row), typed Dataset boundary — is identical for
+  * all three, so a production codec drops in per format.
   *
   * Scale shape: payload bytes never shuffle for metadata-only queries
   * (pruned at the scan); feature extraction is embarrassingly parallel
@@ -31,13 +34,20 @@ object MultimodalOps {
     */
   final case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
 
-  /** Extracted features: for decoded images, width/height are the raster
-    * dimensions and `hist` a 16-bin luminance histogram over DECODED
-    * pixels (mass = width·height); for undecoded formats width=height=0
-    * and `hist` is the byte histogram (mass = n_bytes).
+  /** Extracted features, per modality:
+    *  - decoded images: width/height are the raster dimensions, `hist` a
+    *    16-bin luminance histogram over DECODED pixels (mass = w·h);
+    *    audio fields zero.
+    *  - decoded audio: sample_rate/channels/duration_us from the codec,
+    *    `hist` a 16-bin amplitude histogram over DECODED 16-bit samples
+    *    (mass = frames·channels); image fields zero.
+    *  - undecoded payloads: all codec fields zero and `hist` is the byte
+    *    histogram (mass = n_bytes).
     */
   final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
-                                 width: Int, height: Int, hist: Array[Long])
+                                 width: Int, height: Int,
+                                 sample_rate: Int, channels: Int,
+                                 duration_us: Long, hist: Array[Long])
 
   /** Minimal 24-bit uncompressed BMP writer — enough container for
     * `ImageIO.read` to produce a real `BufferedImage`. Pure JDK byte
@@ -71,6 +81,32 @@ object MultimodalOps {
     }
   }
 
+  /** Minimal 16-bit PCM WAV writer — enough container for
+    * `AudioSystem.getAudioInputStream` to produce a real decoded stream.
+    * Pure JDK byte layout: RIFF header + fmt chunk + data chunk,
+    * little-endian samples interleaved by channel.
+    */
+  object Wav {
+    def encode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0,
+        "samples must be a whole number of frames")
+      val dataSize = samples.length * 2
+      val byteRate = sampleRate * channels * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+        .putShort((channels * 2).toShort).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var i = 0
+      while (i < samples.length) { out.putShort(samples(i)); i += 1 }
+      out.array()
+    }
+  }
+
   /** The media table: documents.text as bytes + a deterministic modality
     * tag. BINARY column + metadata, the multimodal storage shape.
     */
@@ -82,54 +118,99 @@ object MultimodalOps {
       col("text").cast("binary").as("payload"))
 
   object Decode {
+    import scala.util.control.NonFatal
+
     private def isBmp(p: Array[Byte]): Boolean =
       p.length > 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
 
-    /** Per-partition decode: BMP payloads go through a REAL
-      * `javax.imageio.ImageIO.read` — the features come from the decoded
-      * raster (dimensions + 16-bin luminance histogram over pixels).
-      * Non-image payloads fall back to the deterministic byte histogram
-      * (audio/video codecs don't ship in the JDK; this is the one
-      * remaining stub, and it's format-scoped).
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length > 44 &&
+        p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+        p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+    private def imageFeatures(r: MediaRow,
+                              img: java.awt.image.BufferedImage): MediaFeatures = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
+          hist(lum >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, w, h, 0, 0, 0L, hist)
+    }
+
+    /** Real audio decode: `AudioSystem` parses the container (format
+      * params come from the codec, not from our own header reads), then
+      * the decoded 16-bit LE sample stream feeds a 16-bin amplitude
+      * histogram — mass = frames·channels, NOT payload bytes, which is
+      * what proves the features came from decoded samples.
+      */
+    private def audioFeatures(r: MediaRow): MediaFeatures = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val channels = fmt.getChannels
+        val rate = fmt.getSampleRate.toInt
+        val durationUs = frames * 1000000L / rate
+        val bytes = in.readAllBytes()
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
+          hist((s + 32768) >> 12) += 1
+          i += 2
+        }
+        MediaFeatures(r.doc_id, r.format, r.payload.length.toLong,
+          0, 0, rate, channels, durationUs, hist)
+      } finally in.close()
+    }
+
+    private def byteHistogram(r: MediaRow): MediaFeatures = {
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < r.payload.length) {
+        hist((r.payload(i) & 0xFF) >> 4) += 1
+        i += 1
+      }
+      MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, 0, 0, 0, 0, 0L, hist)
+    }
+
+    /** Per-partition decode: BMP image payloads go through a REAL
+      * `javax.imageio.ImageIO.read` (raster dimensions + luminance
+      * histogram over decoded pixels), WAV audio payloads through a REAL
+      * `javax.sound.sampled.AudioSystem` stream (rate/channels/duration +
+      * amplitude histogram over decoded samples). Everything else — video
+      * (no JDK codec exists) and payloads that merely start with a magic
+      * number but don't parse — falls back to the deterministic byte
+      * histogram. NonFatal, not just IOException: garbage dimension/size
+      * fields after a valid magic make JDK codecs throw
+      * IllegalArgumentException / NegativeArraySizeException, and a bad
+      * payload must fall back, not fail the task.
       */
     def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
       // per-partition decoder setup would go here (expensive, once)
       rows.map { r =>
-        // ImageIO returns null (or throws) for payloads that merely START
-        // with the BMP magic — e.g. text bytes beginning "BM" — so an
-        // unparseable stream falls back to the byte histogram rather than
-        // failing the task.
-        val decoded =
-          if (r.format == "image" && isBmp(r.payload))
+        if (r.format == "image" && isBmp(r.payload)) {
+          val img =
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload)))
-            catch { case _: java.io.IOException => None }
-          else None
-        decoded match {
-          case Some(img) =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          val hist = new Array[Long](16)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val px = img.getRGB(x, y)
-              val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
-              hist(lum >> 4) += 1
-              x += 1
-            }
-            y += 1
-          }
-          MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, w, h, hist)
-          case None =>
-          val hist = new Array[Long](16)
-          var i = 0
-          while (i < r.payload.length) {
-            hist((r.payload(i) & 0xFF) >> 4) += 1
-            i += 1
-          }
-          MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, 0, 0, hist)
-        }
+            catch { case NonFatal(_) => None }
+          img.map(imageFeatures(r, _)).getOrElse(byteHistogram(r))
+        } else if (r.format == "audio" && isWav(r.payload)) {
+          try audioFeatures(r)
+          catch { case NonFatal(_) => byteHistogram(r) }
+        } else byteHistogram(r)
       }
     }
   }
@@ -153,6 +234,26 @@ object MultimodalOps {
       }
   }
 
+  private val AudioRate = 8000
+  private val AudioFrames = 800 // 100 ms at 8 kHz, mono
+
+  /** The audio rows of [[mediaTable]] with REAL payloads: each doc's text
+    * bytes cycled into 16-bit PCM samples and wrapped in a WAV container —
+    * deterministic, distributed, and decodable by the stock JDK
+    * (`javax.sound.sampled`). Mirrors [[imageTable]].
+    */
+  def audioTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter(col("format") === lit("audio")).as[MediaRow]
+      .map { r =>
+        val pcm = Array.tabulate(AudioFrames) { i =>
+          val b = if (r.payload.isEmpty) 0 else r.payload(i % r.payload.length) & 0xFF
+          (((b - 128) << 8) | (i & 0xFF)).toShort
+        }
+        MediaRow(r.doc_id, "audio", Wav.encode(AudioRate, 1, pcm))
+      }
+  }
+
   /** Feature extraction over the BINARY column: typed mapPartitions with
     * the per-partition decoder (the sanctioned imperative boundary —
     * everything before and after stays relational).
@@ -166,6 +267,14 @@ object MultimodalOps {
   def extractImageFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     imageTable(spark, dir).mapPartitions(Decode.decode _)
+  }
+
+  /** The real-decode path: WAV audio payloads → AudioSystem stream
+    * features (rate, channels, duration, amplitude histogram).
+    */
+  def extractAudioFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions(Decode.decode _)
   }
 
   /** Metadata + frame-sampling query over the BINARY column, fully

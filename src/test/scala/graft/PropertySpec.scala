@@ -56,6 +56,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Wav encode/decode round-trips exact samples for arbitrary formats") {
+    val cases = sample(for {
+      rate <- Gen.choose(4000, 48000)
+      ch <- Gen.choose(1, 4)
+      frames <- Gen.choose(1, 64)
+      s <- Gen.listOfN(frames * ch,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, ch, s.map(_.toShort).toArray), 40)
+    cases.foreach { case (rate, ch, samples) =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(
+          graft.multimodal.MultimodalOps.Wav.encode(rate, ch, samples)))
+      in.getFormat.getSampleRate shouldBe rate.toFloat
+      in.getFormat.getChannels shouldBe ch
+      in.getFrameLength shouldBe samples.length / ch
+      val bytes = in.readAllBytes()
+      val got = Array.tabulate(samples.length)(i =>
+        ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort)
+      got.toSeq shouldBe samples.toSeq
+    }
+  }
+
   test("property: articleId == java MD5 lowercase hex for arbitrary URLs") {
     val urls = sample(url, 300).distinct
     val got = urls.toDF("u").select(Funcs.articleId(col("u")).as("id"), col("u"))
