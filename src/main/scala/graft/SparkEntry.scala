@@ -69,6 +69,7 @@ object SparkEntry {
     // Dataset-assembly operators: sampling, splits, packing, decontamination.
     "stratified_sample" -> (DataOps.stratifiedSample _),
     "dedup_cluster" -> (DataOps.dedupCluster _),
+    "dedup_cluster_star" -> (DataOps.dedupClusterStar _),
     "keyword_search" -> (DataOps.keywordSearch _),
     "inverted_index" -> (DataOps.invertedIndex _),
     "split_assign" -> (DataOps.splitAssign _),
@@ -348,6 +349,6 @@ object SparkEntry {
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY user_id""",
-  ) ++ DataOps.oracles ++ ExtractOps.oracles ++
+  ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -656,33 +656,116 @@ object DataOps {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     try {
       edges.cache()
-      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("rep", col("doc_id")).localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
-          .select(col("doc_b").as("doc_id"), col("rep"))
-        val next = labels.unionByName(nbrMin)
-          .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
-        // Pointer jump (Shiloach–Vishkin style): rep := min(rep,
-        // label(rep)). Every rep is itself a node (it is the min doc_id
-        // seen so far), so chasing one hop halves the remaining chain —
-        // convergence in O(log diameter) rounds instead of O(diameter),
-        // which is the difference between 8 and 250 rounds on a long
-        // near-dup chain.
-        val jumped = next.as("a")
-          .join(next.select(col("doc_id").as("r"), col("rep").as("rrep")).as("b"),
-            col("a.rep") === col("b.r"), "left")
-          .select(col("a.doc_id").as("doc_id"),
-            least(col("a.rep"), coalesce(col("b.rrep"), col("a.rep"))).as("rep"))
-          .localCheckpoint(true)
-        changed = jumped.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-          .filter(col("rep") =!= col("old")).count()
-        labels = jumped
-      }
-      labels.select(col("doc_id"), col("rep").as("cluster_rep"),
-        (col("doc_id") === col("rep")).as("keeper"))
+      minLabelPropagate(edges)
+        .select(col("doc_id"), col("rep").as("cluster_rep"),
+          (col("doc_id") === col("rep")).as("keeper"))
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Min-label propagation with pointer jumping over a SYMMETRIC edge set
+    * (doc_a, doc_b): each node adopts the minimum label among itself and
+    * its neighbors, then chases one pointer hop (rep := min(rep,
+    * label(rep)), Shiloach–Vishkin style) — convergence in O(log
+    * diameter) rounds instead of O(diameter). ONE Spark job per round:
+    * the per-round frame carries its own changed flag (old vs new rep)
+    * and is localCheckpoint'ed LAZILY, so the convergence count both
+    * materializes the checkpoint (cutting lineage for the next round)
+    * and reads the flag in the same job — no separate
+    * materialize-then-compare action pair.
+    */
+  private[graft] def minLabelPropagate(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("rep"))
+      // Thread the previous rep through the min-aggregate as `old`:
+      // every doc_id has exactly one labels row (nbrMin contributes
+      // nulls), so max(old) recovers it without a second join.
+      val next = labels.select(col("doc_id"), col("rep"), col("rep").as("old"))
+        .unionByName(nbrMin.withColumn("old", lit(null).cast("long")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("rep")).as("rep"), max(col("old")).as("old"))
+      val jumped = next.as("a")
+        .join(next.select(col("doc_id").as("r"), col("rep").as("rrep")).as("b"),
+          col("a.rep") === col("b.r"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          least(col("a.rep"), coalesce(col("b.rrep"), col("a.rep"))).as("rep"),
+          col("a.old").as("old"))
+        .withColumn("chg", col("rep") =!= col("old"))
+        .localCheckpoint(eager = false)
+      changed = jumped.filter(col("chg")).count()
+      labels = jumped.select(col("doc_id"), col("rep"))
+    }
+    labels
+  }
+
+  /** Connected components by LARGE-STAR/SMALL-STAR alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the production loop body [[dedupCluster]]'s scaladoc names for
+    * 100 TB graphs. Input: undirected candidate pairs (doc_a, doc_b);
+    * output: (doc_id, rep) with rep = component minimum, identical to
+    * [[minLabelPropagate]] (equivalence-tested on the corpus and on
+    * adversarial chain/star graphs).
+    *
+    * Each round is two degree-bounded groupBy+join passes — no label
+    * frame to re-join against the whole graph, which is why it wins on
+    * skewed 100 TB graphs: a hot node's edges collapse onto its minimum
+    * in one large-star step instead of propagating through it round by
+    * round. Convergence here is an exact set-equality check (two cheap
+    * anti-join counts on checkpointed rounds); at 100 TB compare a
+    * count + hash-sum checksum instead — one aggregate, no join.
+    */
+  private[graft] def largeSmallStar(pairs: DataFrame): DataFrame = {
+    // large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: orient edges high→low; every low neighbor (and u
+    // itself) links to the minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var stable = false
+    while (!stable) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    // converged: every edge points a node at its component minimum
+    edges.select(col("u").as("doc_id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("rep")))
+      .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+  }
+
+  /** [[dedupCluster]] with the large-star/small-star body — same graded
+    * output (the oracle SQL is shared verbatim), different loop.
+    */
+  def dedupClusterStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    try {
+      pairs.cache()
+      largeSmallStar(pairs)
+        .select(col("doc_id"), col("rep").as("cluster_rep"),
+          (col("doc_id") === col("rep")).as("keeper"))
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** Benchmark decontamination: flag every training doc that shares ANY
@@ -1141,4 +1224,10 @@ object DataOps {
           (SELECT doc_b FROM (${base("dedup_minhash_lsh")}) dd)""",
     )
   }
+
+  /** dedup_cluster_star computes the SAME fixpoint as dedup_cluster with
+    * a different loop body — one oracle text serves both by construction.
+    */
+  val clusterStarOracle: Map[String, String] =
+    Map("dedup_cluster_star" -> oracles("dedup_cluster"))
 }

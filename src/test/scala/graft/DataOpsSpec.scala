@@ -300,6 +300,44 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("large-star/small-star ≡ min-label propagation on adversarial graphs") {
+    import spark.implicits._
+    def viaPropagate(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val p = pairs.toDF("doc_a", "doc_b")
+      val edges = p.unionByName(
+        p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      DataOps.minLabelPropagate(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def viaStars(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      DataOps.largeSmallStar(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // long chain (worst case for naive propagation), a star whose center
+    // is the MAX id (labels must flow against the edge orientation), two
+    // chains bridged at one end, and a seeded random graph
+    val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val starMaxCenter = (0L until 50L).map(i => (999L, i))
+    val bridged = ((100L until 130L).sliding(2).map(s => (s(0), s(1))).toSeq :+
+      (129L, 200L)) ++ (200L until 230L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    Seq(chain, starMaxCenter, bridged, random).foreach { g =>
+      val (a, b) = (viaPropagate(g), viaStars(g))
+      withClue(s"graph=${g.take(3)}…: ") { b shouldBe a }
+    }
+  }
+
+  test("dedup_cluster_star ≡ dedup_cluster on the corpus") {
+    val a = DataOps.dedupCluster(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = DataOps.dedupClusterStar(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    b shouldBe a
+    a should not be empty
+  }
+
   test("inverted_index: postings are the df's smallest 10 doc_ids, ascending") {
     val out = DataOps.invertedIndex(spark, sf).cache()
     out.filter(col("df") < 100).count() shouldBe 0L
