@@ -81,11 +81,16 @@ object DataOps {
     * any (doc_id, text) frame — ONE definition of the dedup shingle
     * dialect, shared by the batch operators, the streaming candidate
     * detector, and their equivalence specs, so the shapes cannot drift.
+    * `passthrough` columns (e.g. a streaming event-time column whose
+    * watermark must survive the projection) ride along untouched.
     */
-  private[graft] def shingledOn(docsDf: DataFrame): DataFrame =
-    docsDf.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+  private[graft] def shingledOn(docsDf: DataFrame,
+                                passthrough: Seq[String] = Nil): DataFrame = {
+    val extra = passthrough.map(col)
+    docsDf.select(col("doc_id") +: extra :+ TextOps.tokens(col("text")).as("w"): _*)
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), TextOps.shingles(col("w"), 3).as("sh"))
+      .select(col("doc_id") +: extra :+ TextOps.shingles(col("w"), 3).as("sh"): _*)
+  }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledOn(docs(spark, dir))
@@ -122,12 +127,14 @@ object DataOps {
     * stateful candidate detector (identical buckets ⇒ the streaming form
     * is equivalence-testable against [[lshCandidates]]).
     */
-  private[graft] def bandDigests(sh: DataFrame): DataFrame = {
-    val sig = sh.select(col("doc_id") +: TextOps.minhashSig(col("sh"), MinhashK): _*)
-    val banded = sig.select(col("doc_id") +: TextOps.lshBands(LshBands, LshRows): _*)
-    banded.select(col("doc_id"), explode(array(
-      (0 until LshBands).map(b => struct(lit(b).as("b"), col(s"band$b").as("h"))): _*)).as("u"))
-      .select(col("doc_id"), col("u.b").as("b"), col("u.h").as("h"))
+  private[graft] def bandDigests(sh: DataFrame,
+                                 passthrough: Seq[String] = Nil): DataFrame = {
+    val extra = passthrough.map(col)
+    val sig = sh.select(col("doc_id") +: extra ++: TextOps.minhashSig(col("sh"), MinhashK): _*)
+    val banded = sig.select(col("doc_id") +: extra ++: TextOps.lshBands(LshBands, LshRows): _*)
+    banded.select(col("doc_id") +: extra :+ explode(array(
+      (0 until LshBands).map(b => struct(lit(b).as("b"), col(s"band$b").as("h"))): _*)).as("u"): _*)
+      .select(col("doc_id") +: extra :+ col("u.b").as("b") :+ col("u.h").as("h"): _*)
   }
 
   /** Banded-LSH candidate pairs over a shingle frame, hot buckets capped. */

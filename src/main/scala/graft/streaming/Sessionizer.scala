@@ -14,11 +14,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state discarded) and a stream (state persists across micro-batches).
   *
   * Contract: events within one group call are sorted by (ts, event_id)
-  * before folding; cross-batch arrival is assumed per-user-ordered (a
-  * production stream pairs this with a watermark + EventTimeTimeout to
-  * close idle sessions and bound state — noted, not needed for the
-  * drain-and-stop ingest model). Closed sessions are emitted when a
-  * later event exceeds the gap; the still-open session stays in state.
+  * before folding; cross-batch arrival is assumed per-user-ordered.
+  * Closed sessions are emitted when a later event exceeds the gap; the
+  * still-open session stays in state. [[sessions]] keeps `NoTimeout`
+  * (right for drain-and-stop ingest, where the stream ends);
+  * [[sessionsExpiring]] is the unbounded-stream form — watermark +
+  * `EventTimeTimeout` close idle sessions and bound state by the
+  * active-user set.
   *
   * Scale shape: state is O(1) per active user (open-session bounds +
   * counter), grouped processing shuffles once on the key.
@@ -64,6 +66,42 @@ object Sessionizer {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
           sessionize(user, events, state, gapSec)
+      }
+  }
+
+  /** The UNBOUNDED-stream form: a watermark (`lateness`) bounds disorder
+    * and each user's open session arms an `EventTimeTimeout` at its
+    * session-gap boundary. When the watermark passes (end + gap) with no
+    * new events, the open session is CLOSED AND EMITTED and the user's
+    * state dropped — idle users cost nothing, and sessions that [[
+    * sessions]] would hold open forever (its documented gap, closed
+    * here) are delivered as soon as the event-time clock proves the gap
+    * elapsed. Total state is bounded by users active within the gap
+    * horizon, not by every user ever seen.
+    */
+  def sessionsExpiring(ds: Dataset[SessionEvent], gapSec: Long = 1800,
+                       lateness: String = "10 minutes"): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // the event-time clock passed end + gap: the session IS closed
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(user, s.seq, fmt(s.startMs), fmt(s.endMs), s.n))
+          } else {
+            val out = sessionize(user, events, state, gapSec)
+            // re-arm at the (possibly extended) open session's gap
+            // boundary; must sit strictly above the current watermark
+            state.getOption.foreach { s =>
+              state.setTimeoutTimestamp(math.max(
+                s.endMs + gapSec * 1000, state.getCurrentWatermarkMs + 1))
+            }
+            out
+          }
       }
   }
 }

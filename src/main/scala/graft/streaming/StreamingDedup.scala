@@ -22,10 +22,12 @@ import graft.text.TextOps
   * A doc arriving after its bucket is full still pairs against the
   * retained members but is not remembered, so a later duplicate arrival
   * may re-emit the same pair — harmless, because candidates are
-  * `distinct`-ed and exactly verified downstream in both forms. A
-  * production deployment adds a watermark + EventTimeTimeout to expire
-  * idle buckets (same note as [[Sessionizer]]); the drain-and-stop
-  * ingest model here needs neither.
+  * `distinct`-ed and exactly verified downstream in both forms.
+  * [[candidates]] keeps `NoTimeout` (right for the drain-and-stop
+  * ingest model, where the stream ends); [[candidatesExpiring]] is the
+  * unbounded-stream form — watermark + `EventTimeTimeout` evict idle
+  * buckets so total state is bounded by the active set, not corpus
+  * history.
   *
   * Scale shape: one shuffle on (band, digest) per micro-batch — the
   * same key the batch join shuffles on — and O(cap) state per bucket.
@@ -74,6 +76,52 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, String), rows: Iterator[BandArrival], st: GroupState[Seq[Long]]) =>
           collide(rows, st, cap)
+      }
+  }
+
+  final case class BandArrivalTs(b: Int, h: String, doc_id: Long,
+                                 ts: java.sql.Timestamp)
+
+  /** The UNBOUNDED-stream form: same per-bucket collision state, but
+    * buckets EXPIRE. The input carries an event-time column `ts`; a
+    * watermark (`lateness`) bounds disorder, and each bucket arms an
+    * `EventTimeTimeout` at (its newest arrival + `idle`). When the
+    * watermark passes that with no new arrivals, the bucket's state is
+    * dropped — total state is bounded by ACTIVE buckets within the idle
+    * horizon, not by every (band, digest) the corpus has ever produced
+    * (the [[candidates]] scaladoc's documented gap, closed here). The
+    * recall trade is explicit: a duplicate arriving more than `idle`
+    * after its bucket went quiet no longer pairs with the expired
+    * members — on an unbounded stream some horizon is the PRICE of
+    * bounded state; pick `idle` to cover the dedup window the pipeline
+    * actually promises.
+    */
+  def candidatesExpiring(docs: DataFrame,
+                         cap: Int = DataOps.BandBucketCap,
+                         lateness: String = "10 minutes",
+                         idleMillis: Long = 3600000L): Dataset[Candidate] = {
+    import docs.sparkSession.implicits._
+    require(idleMillis > 0, "idle horizon must be positive")
+    val wm = docs.withWatermark("ts", lateness)
+    val sh = DataOps.shingledOn(wm, passthrough = Seq("ts"))
+    DataOps.bandDigests(sh, passthrough = Seq("ts")).as[BandArrivalTs]
+      .groupByKey(r => (r.b, r.h))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), rows: Iterator[BandArrivalTs], st: GroupState[Seq[Long]]) =>
+          if (st.hasTimedOut) {
+            st.remove() // idle past the horizon: drop the bucket entirely
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val out = collide(
+              batch.iterator.map(r => BandArrival(r.b, r.h, r.doc_id)), st, cap)
+            val newest = batch.map(_.ts.getTime).max
+            // re-arm every invocation (timeouts clear on each call); must
+            // sit strictly above the current watermark
+            st.setTimeoutTimestamp(
+              math.max(newest + idleMillis, st.getCurrentWatermarkMs + 1))
+            out
+          }
       }
   }
 }

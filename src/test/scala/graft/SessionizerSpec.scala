@@ -56,4 +56,39 @@ class SessionizerSpec extends SparkSpec {
     rows(0).getLong(4) shouldBe 2L        // n_events
     q.stop()
   }
+
+  test("expiring: event-time timeout closes an idle session and drops its state") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionsExpiring(mem.toDS(), gapSec = 60,
+        lateness = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_exp")
+      .option("checkpointLocation", tmpDir("ckpt-sess-exp"))
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: user 7's session (2 events, 30 s apart) — still open
+    mem.addData(SessionEvent(7, t("2024-01-01 10:00:00"), 1),
+                SessionEvent(7, t("2024-01-01 10:00:30"), 2))
+    q.processAllAvailable()
+    spark.table("sessions_exp").count() shouldBe 0L
+    // batch 2: an UNRELATED user's event advances the watermark past
+    // user 7's gap boundary (10:01:30) — the event-time clock has proven
+    // the gap elapsed, so user 7's session closes WITHOUT any user-7
+    // event arriving, and its state is dropped
+    mem.addData(SessionEvent(8, t("2024-01-01 10:30:00"), 3))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_exp").collect()
+    rows.length shouldBe 1
+    rows(0).getLong(0) shouldBe 7L
+    rows(0).getString(2) shouldBe "2024-01-01 10:00:00"
+    rows(0).getString(3) shouldBe "2024-01-01 10:00:30"
+    rows(0).getLong(4) shouldBe 2L
+    // state now holds ONLY user 8's open session (user 7 evicted)
+    val lastRows = q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty => p.stateOperators(0).numRowsTotal
+    }
+    lastRows shouldBe Some(1L)
+    q.stop()
+  }
 }

@@ -80,4 +80,47 @@ class StreamingDedupSpec extends SparkSpec {
     // but candidates are bounded: far fewer than the full clique
     got.size should be < (10 * 9) / 2
   }
+
+  test("expiring: idle buckets evict after the horizon; pre-watermark candidates unaffected") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.candidatesExpiring(stream,
+        lateness = "0 seconds", idleMillis = 60000L) // 1-minute idle horizon
+      .writeStream.format("memory").queryName("cand_exp")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-sdedup-exp"))
+      .start()
+    // batch 1: alpha near-dups at t0 — pair found normally
+    mem.addData((1L, doc(2)._2.replace("u2", "u1"), t("2024-01-01 10:00:00")),
+                (3L, doc(4)._2.replace("u4", "u3"), t("2024-01-01 10:00:05")))
+    q.processAllAvailable()
+    val afterB1 = spark.table("cand_exp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    afterB1 shouldBe Set((1L, 3L))
+    // batches 2+3: beta docs 10+ min later advance the watermark far past
+    // the alpha buckets' idle horizon (10:01) — alpha state evicts
+    mem.addData((2L, doc(1)._2.replace("u1", "u2"), t("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData((4L, doc(3)._2.replace("u3", "u4"), t("2024-01-01 10:12:00")))
+    q.processAllAvailable()
+    // batch 4: a NEW alpha near-dup after the horizon — its bucket history
+    // is gone, so no pair against docs 1/3 (the explicit recall trade);
+    // the beta pair found across batches 2/3 is unaffected
+    mem.addData((5L, doc(6)._2.replace("u6", "u5"), t("2024-01-01 10:13:00")))
+    q.processAllAvailable()
+    // eviction is visible in the state metrics: some later batch holds
+    // strictly fewer state rows than an earlier one (alpha's buckets
+    // dropped while beta's remained)
+    val stateSeq = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal).toSeq
+    q.stop()
+    withClue(s"state rows per batch: $stateSeq: ") {
+      stateSeq.zip(stateSeq.tail).exists { case (a, b) => b < a } shouldBe true
+    }
+    val got = spark.table("cand_exp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 3L), (2L, 4L))
+  }
 }
