@@ -33,11 +33,14 @@ import graft.model.ArticleSchema
   * Concurrency contract: readers resolve a snapshot via one atomic pointer
   * read and see a consistent version; the pointer swap is a true atomic
   * rename (FileContext + OVERWRITE — no delete-then-rename window).
-  * Writers are single-writer by assumption (the reference is a single
-  * process; a multi-writer deployment would add optimistic locking on the
-  * pointer). GC retains the last [[ArticleStore.RetainVersions]] manifests
-  * and every version directory they reference, so readers up to K-1
-  * versions stale never lose files under them.
+  * Writers use optimistic concurrency: a merge atomically CLAIMS its
+  * target version (exclusive `_claim` create) and re-checks the pointer
+  * before the swap, so of two racing merges exactly one commits and the
+  * other aborts with [[ArticleStore.ConcurrentMergeException]] having
+  * written nothing durable. GC retains the last
+  * [[ArticleStore.RetainVersions]] manifests and every version directory
+  * they reference, so readers up to K-1 versions stale never lose files
+  * under them.
   */
 final class ArticleStore(spark: SparkSession, basePath: String,
                          keyCol: String = ArticleSchema.ArticleId,
@@ -154,10 +157,50 @@ final class ArticleStore(spark: SparkSession, basePath: String,
       }
   }
 
+  /** Optimistic concurrency acquire: claim version `v` by EXCLUSIVE
+    * create of its `_claim` marker — the filesystem's atomic
+    * create-if-absent is the compare-and-swap. Exactly one of two
+    * concurrent merges that both read the same base version can create
+    * `v(N+1)/_claim`; the loser aborts cleanly before writing a byte of
+    * data, so no writer's buckets are ever silently dropped. A claim
+    * left by a CRASHED writer (claimed, never published) blocks new
+    * merges until [[abandonClaim]] — deliberately manual, because a
+    * lease-less store cannot distinguish a crashed writer from a slow
+    * live one, and auto-stealing would re-open the lost-update window.
+    */
+  private def claim(v: Long): Unit = {
+    fs.mkdirs(versionPath(v))
+    try fs.create(claimPath(v), false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new ConcurrentMergeException(
+          s"version $v is already claimed by another writer " +
+            "(or left by a crashed one — see abandonClaim)")
+    }
+  }
+
+  private def claimPath(v: Long) = new Path(versionPath(v), "_claim")
+
+  /** Operator-invoked crash recovery: discard an UNCOMMITTED claim on the
+    * next version so merges can proceed. Refuses to touch a committed
+    * version. Call only once the claiming writer is known dead.
+    */
+  def abandonClaim(): Unit = {
+    val next = currentVersion + 1
+    if (fs.exists(claimPath(next))) { fs.delete(versionPath(next), true); () }
+  }
+
   /** K1 — keyed upsert: new rows win over stored rows with the same key;
     * every surviving incoming row gets a fresh Processed_at
     * (reference: database_utils/database_methods.py:84-94). Reads and
     * rewrites ONLY the buckets containing batch keys.
+    *
+    * Concurrency: the merge CLAIMS its target version up front (atomic
+    * exclusive create) and re-checks the pointer immediately before the
+    * swap; a concurrent merge that won the claim — or anything that
+    * moved the pointer underneath us — aborts this writer with
+    * [[ConcurrentMergeException]] and its partial version directory is
+    * removed. Retry by re-running the merge against the new snapshot.
     */
   def merge(batch: DataFrame): Unit = {
     create()
@@ -173,22 +216,36 @@ final class ArticleStore(spark: SparkSession, basePath: String,
       val affected = stamped.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted
       if (affected.nonEmpty) {
-        val old = affected.groupBy(b => man(b)).toSeq
-          .map { case (ver, bs) => readBuckets(ver, bs.toSeq) }
-          .reduce(_ unionByName _)
-        // Incremental batches are small: broadcast the key set so the
-        // anti-join is a single shuffle-free pass over the stored buckets.
-        val merged = old
-          .join(broadcast(stamped.select(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(stamped)
-        merged.repartition(affected.length, col(BucketCol))
-          .write.mode("overwrite").partitionBy(BucketCol)
-          .parquet(dataPath(v + 1).toString)
-        val newMan = man.clone()
-        affected.foreach(b => newMan(b) = v + 1)
-        writeManifest(v + 1, newMan)
-        publish(v + 1)
-        gc(v + 1)
+        claim(v + 1)
+        var committed = false
+        try {
+          val old = affected.groupBy(b => man(b)).toSeq
+            .map { case (ver, bs) => readBuckets(ver, bs.toSeq) }
+            .reduce(_ unionByName _)
+          // Incremental batches are small: broadcast the key set so the
+          // anti-join is a single shuffle-free pass over the stored buckets.
+          val merged = old
+            .join(broadcast(stamped.select(keyCol)), Seq(keyCol), "left_anti")
+            .unionByName(stamped)
+          merged.repartition(affected.length, col(BucketCol))
+            .write.mode("overwrite").partitionBy(BucketCol)
+            .parquet(dataPath(v + 1).toString)
+          val newMan = man.clone()
+          affected.foreach(b => newMan(b) = v + 1)
+          writeManifest(v + 1, newMan)
+          // CAS commit: our base version must still be current. The claim
+          // already excludes racing merges; this catches pointer movement
+          // that bypassed the claim protocol entirely.
+          val cur = currentVersion
+          if (cur != v)
+            throw new ConcurrentMergeException(
+              s"pointer moved to v$cur while merging from v$v; aborting")
+          publish(v + 1)
+          committed = true
+          gc(v + 1)
+        } finally {
+          if (!committed) { fs.delete(versionPath(v + 1), true); () }
+        }
       }
     } finally { stamped.unpersist(); () }
   }
@@ -240,6 +297,12 @@ final class ArticleStore(spark: SparkSession, basePath: String,
 object ArticleStore {
   /** One [[ArticleStore.history]] entry. */
   final case class VersionInfo(version: Long, rows: Long, rewrittenBuckets: Int)
+
+  /** A concurrent merge claimed/published the target version first (or
+    * the pointer moved underneath the writer). The losing merge wrote
+    * nothing durable; retry against the new current snapshot.
+    */
+  final class ConcurrentMergeException(msg: String) extends RuntimeException(msg)
 
   /** Hash-bucket partition column in the stored layout. */
   val BucketCol = "__bucket"

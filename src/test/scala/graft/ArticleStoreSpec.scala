@@ -129,4 +129,29 @@ class ArticleStoreSpec extends SparkSpec {
       Array("skift one", "phocus one")
     store.read().count() shouldBe 2
   }
+
+  test("concurrent merges: the claim CAS makes the loser abort cleanly, no lost buckets") {
+    val dir = tmpDir("store-cas")
+    val store = new ArticleStore(spark, dir)
+    store.merge(toDf(art("u1", "one", "2025-07-26 10:00:00")))
+    // Simulate writer A mid-merge: it has claimed v2 (the atomic acquire
+    // happens BEFORE any data write) but not yet published.
+    val claim = java.nio.file.Paths.get(dir, "v2", "_claim")
+    java.nio.file.Files.createDirectories(claim.getParent)
+    java.nio.file.Files.createFile(claim)
+    // Writer B's merge must abort cleanly — claim denied, nothing written,
+    // pointer unmoved, table still serving writer A's base snapshot.
+    val batchB = toDf(art("u2", "two", "2025-07-27 00:00:00"))
+    an[ArticleStore.ConcurrentMergeException] should be thrownBy
+      store.merge(batchB)
+    store.read().count() shouldBe 1
+    store.history().head.version shouldBe 1L
+    // Writer A dies without publishing: operator abandons the orphan
+    // claim, and the SAME batch B then commits with nothing lost.
+    store.abandonClaim()
+    store.merge(batchB)
+    store.read().orderBy(ArticleSchema.NewsLink).collect()
+      .map(_.getAs[String](ArticleSchema.NewsTitle)) shouldBe Array("one", "two")
+    store.history().head.version shouldBe 2L
+  }
 }
