@@ -23,24 +23,26 @@ import graft.model.ArticleSchema
   * → N elements) and every extraction is per-row projection work — the
   * layer adds zero shuffles to an ingest plan.
   */
+/** Two-sided listing-container scope: the subtree from `openTag` through
+  * its depth-matching `</tag>` close ([[graft.funcs.TagScope]]).
+  */
+final case class ContainerScope(openTag: String, tag: String)
+
 final case class SiteSpec(
     sourceName: String,
     /** P2 — listing-container scope, applied BEFORE [[elementRe]]: the
       * reference selects `div.article-list  div.item`
       * (PhocusWire/PhocusWireSource.py:132), so an "item" div in a
-      * sidebar or nav must NOT be extracted. Regex form: the scope is
-      * everything from the container's open tag onward (group 0); a page
-      * with no container yields no elements, matching the CSS selector's
-      * empty result. The scope is deliberately ONE-SIDED — regexes
-      * cannot find a nested tag's matching close, so a decoy placed
-      * AFTER the listing container (footer promos) would still match;
-      * the sites' real pages put nav/sidebar markup before the listing,
-      * which is the case this guards (a two-sided scope needs an HTML
-      * parser at the codec boundary, same trade as the multimodal
-      * decode). None ⇒ whole page (Skift selects bare `article` tags,
-      * Skift/SkiftSource.py:127).
+      * sidebar, nav, OR footer must NOT be extracted. The scope is
+      * TWO-SIDED: [[graft.funcs.TagScope]] depth-counts open/close tags
+      * to extract exactly the container subtree — a decoy before the
+      * container (sidebar) and one after it (footer promo) are both
+      * excluded, like the reference's CSS descendant scoping. A page
+      * with no container (or an unbalanced one) yields no elements,
+      * matching the CSS selector's empty result. None ⇒ whole page
+      * (Skift selects bare `article` tags, Skift/SkiftSource.py:127).
       */
-    containerRe: Option[String],
+    container: Option[ContainerScope],
     /** P2 — one match per article element. */
     elementRe: String,
     /** P3 — group 1 = title text. */
@@ -75,7 +77,7 @@ object Sites {
     */
   val skift: SiteSpec = SiteSpec(
     sourceName = "Skift",
-    containerRe = None,
+    container = None,
     elementRe = "<article[\\s\\S]*?</article>",
     titleRe = "<h3 class=\"c-tease__title\"><a href=\"[^\"]*\">([^<]*)</a>",
     hrefRe = "<h3 class=\"c-tease__title\"><a href=\"([^\"]*)\">",
@@ -99,7 +101,7 @@ object Sites {
     */
   val phocuswire: SiteSpec = SiteSpec(
     sourceName = "Phocuswire",
-    containerRe = Some("<div class=\"article-list\">[\\s\\S]*"),
+    container = Some(ContainerScope("<div class=\"article-list\">", "div")),
     elementRe = "<div class=\"item\">[\\s\\S]*?</div>\\s*</div>",
     titleRe = "<a class=\"title\" href=\"[^\"]*\">([^<]*)</a>",
     hrefRe = "<a class=\"title\" href=\"([^\"]*)\">",
@@ -123,15 +125,16 @@ object Sites {
 object HtmlExtract {
 
   /** P1+P2 — explode a page DataFrame into one row per article element,
-    * scoped to the site's listing container first (a decoy element
-    * outside it — sidebar, nav — is never extracted; a page with no
-    * container yields nothing, like the reference's CSS selector).
-    * `regexp_extract` returns "" on no match, and extracting elements
-    * from "" is the empty array — no null-handling branch needed.
+    * scoped to the site's listing container subtree first (a decoy
+    * element outside it — sidebar, nav, footer — is never extracted; a
+    * page with no container yields nothing, like the reference's CSS
+    * selector). [[graft.funcs.TagScope]] returns "" on no container, and
+    * extracting elements from "" is the empty array — no null-handling
+    * branch needed.
     */
   def elements(pages: DataFrame, htmlCol: String, spec: SiteSpec): DataFrame = {
-    val scoped = spec.containerRe
-      .map(re => regexp_extract(col(htmlCol), re, 0))
+    val scoped = spec.container
+      .map(c => graft.funcs.TagScope(col(htmlCol), c.openTag, c.tag))
       .getOrElse(col(htmlCol))
     pages.select(
       explode(regexp_extract_all(scoped, lit(spec.elementRe), lit(0)))

@@ -1,0 +1,89 @@
+package graft.funcs
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the TWO-SIDED container scope — the
+  * substring from `openTag` through its depth-matching `</tag>` close,
+  * or "" when the container is absent or unbalanced. This is the regex
+  * layer's answer to the reference's CSS descendant scoping
+  * (`div.article-list div.item`, PhocusWire/PhocusWireSource.py:132):
+  * a regex cannot find a nested tag's matching close, so the one-sided
+  * `containerRe.*` form admitted decoys placed AFTER the listing
+  * container (footer promos); this open/close depth counter excludes
+  * both sides without an HTML parser.
+  *
+  * Counting dialect (shared verbatim with the DuckDB oracle's
+  * `<tag[ >]` regex over `</tag>`-split segments): an open is `<tag`
+  * immediately followed by a space or `>`; a close is the literal
+  * `</tag>`. One linear `indexOf` scan per row, no regex engine.
+  */
+case class TagScope(child: Expression, openTag: String, tag: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_tag_scope"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TagScope.scopeUtf8(input.asInstanceOf[UTF8String], openTag, tag)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val o = ctx.addReferenceObj("openTag", openTag, "java.lang.String")
+    val t = ctx.addReferenceObj("tag", tag, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.funcs.TagScope.scopeUtf8($x, $o, $t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TagScope =
+    copy(child = newChild)
+}
+
+object TagScope {
+
+  /** Static so generated code calls it directly. */
+  def scopeUtf8(html: UTF8String, openTag: String, tag: String): UTF8String =
+    UTF8String.fromString(scope(html.toString, openTag, tag))
+
+  /** The one scan, shared by the distributed expression and the
+    * driver-side pagination probe ([[graft.source.PaginatedSource]]) —
+    * the probe must see exactly the elements the plan extracts.
+    */
+  def scope(html: String, openTag: String, tag: String): String = {
+    val start = html.indexOf(openTag)
+    if (start < 0) return ""
+    val open = "<" + tag
+    val close = "</" + tag + ">"
+    var depth = 1
+    var pos = start + openTag.length
+    while (depth > 0) {
+      val nextClose = html.indexOf(close, pos)
+      if (nextClose < 0) return "" // unbalanced: no complete subtree
+      var nextOpen = html.indexOf(open, pos)
+      while (nextOpen >= 0 && nextOpen < nextClose && !isOpen(html, nextOpen, open))
+        nextOpen = html.indexOf(open, nextOpen + 1)
+      if (nextOpen >= 0 && nextOpen < nextClose) {
+        depth += 1
+        pos = nextOpen + open.length
+      } else {
+        depth -= 1
+        pos = nextClose + close.length
+      }
+    }
+    html.substring(start, pos)
+  }
+
+  // `<tag` counts as an open only when followed by an attribute list or
+  // the tag end — `<divx ...>` is a different tag (oracle: `<tag[ >]`)
+  private def isOpen(s: String, at: Int, open: String): Boolean = {
+    val after = at + open.length
+    after < s.length && (s.charAt(after) == ' ' || s.charAt(after) == '>')
+  }
+
+  /** Column-API binding. */
+  def apply(html: Column, openTag: String, tag: String): Column =
+    GraftSql.column(TagScope(GraftSql.expression(html), openTag, tag))
+}

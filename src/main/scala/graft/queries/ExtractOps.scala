@@ -53,16 +53,21 @@ object ExtractOps {
         lit(" | "), date_format(col("ts"), "MMMM d, yyyy"),
         lit("</div></div>")).as("el"))
 
-    // PhocusWire pages carry a DECOY item in a sidebar before the listing
-    // container — a fully-valid element that the container scope
-    // (`div.article-list div.item`, PhocusWireSource.py:132) must
-    // exclude; without scoping it would be extracted and the oracle
-    // would catch the divergence.
+    // PhocusWire pages carry DECOY items on BOTH sides of the listing
+    // container — a sidebar promo before it and a footer promo after it,
+    // each a fully-valid element that the two-sided container scope
+    // (`div.article-list div.item`, PhocusWireSource.py:132; TagScope
+    // depth counting here) must exclude; without scoping either would be
+    // extracted and the oracle would catch the divergence.
     val pwPages = pages(pwEl).select(concat(
       lit("<aside><div class=\"item\"><a class=\"title\" href=\"/decoy\">Sidebar promo</a>" +
         "<div class=\"author\"><span class=\"name\">By Nobody</span> | January 1, 2020" +
         "</div></div></aside><div class=\"article-list\">"),
-      col("html"), lit("</div>")).as("html"))
+      col("html"),
+      lit("</div><footer><div class=\"item\">" +
+        "<a class=\"title\" href=\"/footer-decoy\">Footer promo</a>" +
+        "<div class=\"author\"><span class=\"name\">By Nobody</span> | January 1, 2020" +
+        "</div></div></footer>")).as("html"))
     val sk = HtmlExtract.articles(pages(skEl), "html", Sites.skift)
     val pw = HtmlExtract.articles(pwPages, "html", Sites.phocuswire)
     sk.unionByName(pw).select(
@@ -116,10 +121,26 @@ object ExtractOps {
       pw_pages AS (SELECT '<aside><div class="item"><a class="title" href="/decoy">Sidebar promo</a>'
                      || '<div class="author"><span class="name">By Nobody</span> | January 1, 2020'
                      || '</div></div></aside><div class="article-list">'
-                     || string_agg(el, '' ORDER BY event_id) || '</div>' AS html
+                     || string_agg(el, '' ORDER BY event_id)
+                     || '</div><footer><div class="item">'
+                     || '<a class="title" href="/footer-decoy">Footer promo</a>'
+                     || '<div class="author"><span class="name">By Nobody</span> | January 1, 2020'
+                     || '</div></div></footer>' AS html
                    FROM pw_el GROUP BY page),
-      pw_scoped AS (SELECT regexp_extract(html, '<div class="article-list">[\s\S]*') AS html
-                    FROM pw_pages),
+      -- two-sided container scope, mirroring TagScope's depth counting:
+      -- split the post-marker tail on '</div>'; close #k ends the subtree
+      -- when 1 + opens-before-it - k = 0 (an open is '<div' followed by
+      -- space or '>'), and the scope is the joined prefix of k segments
+      pw_tail AS (SELECT substr(html, strpos(html, '<div class="article-list">') + 26) AS s
+                  FROM pw_pages WHERE strpos(html, '<div class="article-list">') > 0),
+      pw_segs AS (SELECT string_split(s, '</div>') AS g FROM pw_tail),
+      pw_k AS (SELECT g, list_filter(range(1, len(g)),
+                 k -> 1 + list_aggregate(list_transform(g[1:k],
+                        x -> len(regexp_extract_all(x, '<div[ >]'))), 'sum') - k = 0)[1] AS k
+               FROM pw_segs),
+      pw_scoped AS (SELECT '<div class="article-list">'
+                      || array_to_string(g[1:k], '</div>') || '</div>' AS html
+                    FROM pw_k WHERE k IS NOT NULL),
       pw_elem AS (SELECT unnest(regexp_extract_all(html, '<div class="item">[\s\S]*?</div>\s*</div>')) AS element
                   FROM pw_scoped),
       pw_raw AS (SELECT

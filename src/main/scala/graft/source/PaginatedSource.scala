@@ -139,12 +139,13 @@ object PaginatedSource {
     * both dialect forms, nothing here special-cases site names.
     */
   def pageDates(spec: SiteSpec, html: String): Seq[Option[Timestamp]] = {
-    // Same container scoping as HtmlExtract.elements: the probe must see
-    // exactly the elements the distributed path extracts, or the
-    // early-stop decision and the extraction could diverge on a page
-    // with decoy elements outside the listing container.
-    val scoped = spec.containerRe
-      .map(re => re.r.findFirstIn(html).getOrElse(""))
+    // Same container scoping as HtmlExtract.elements — literally the
+    // same scan (TagScope.scope): the probe must see exactly the
+    // elements the distributed path extracts, or the early-stop decision
+    // and the extraction could diverge on a page with decoy elements
+    // outside the listing container.
+    val scoped = spec.container
+      .map(c => graft.funcs.TagScope.scope(html, c.openTag, c.tag))
       .getOrElse(html)
     spec.elementRe.r.findAllIn(scoped).map { el =>
       spec.dateRe.r.findFirstMatchIn(el).map(_.group(1)).flatMap(spec.probeDate)

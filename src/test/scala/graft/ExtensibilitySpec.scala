@@ -23,7 +23,7 @@ class ExtensibilitySpec extends SparkSpec {
   // <li class="story">, ISO date in a data attribute.
   private val newsml: SiteSpec = SiteSpec(
     sourceName = "Newsml",
-    containerRe = Some("<section class=\"feed\">[\\s\\S]*"),
+    container = Some(graft.extract.ContainerScope("<section class=\"feed\">", "section")),
     elementRe = "<li class=\"story\">[\\s\\S]*?</li>",
     titleRe = "<a class=\"headline\" href=\"[^\"]*\">([^<]*)</a>",
     hrefRe = "<a class=\"headline\" href=\"([^\"]*)\">",

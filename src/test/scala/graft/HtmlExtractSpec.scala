@@ -91,6 +91,46 @@ class HtmlExtractSpec extends SparkSpec {
       Seq(noContainer).toDF("html"), "html", Sites.phocuswire).count() shouldBe 0
   }
 
+  test("container scoping is two-sided: decoys BEFORE and AFTER the listing are excluded") {
+    // the reference's CSS `div.article-list div.item` matches neither a
+    // sidebar promo nor a footer promo; the depth-counting TagScope must
+    // agree on both sides
+    val page =
+      """<div class="sidebar"><div class="item"><a class="title" href="/decoy">Promo</a>
+        |<div class="author"><span class="name">By Ad Bot</span> | July 1, 2025</div></div></div>
+        |<div class="article-list">
+        |<div class="item"><a class="title" href="/news/real1">Real One</a>
+        |<div class="author"><span class="name">By Jo</span> | July 2, 2025</div></div>
+        |<div class="item"><a class="title" href="/news/real2">Real Two</a>
+        |<div class="author"><span class="name">By Sam</span> | July 3, 2025</div></div>
+        |</div>
+        |<footer><div class="item"><a class="title" href="/footer-decoy">Footer promo</a>
+        |<div class="author"><span class="name">By Ad Bot</span> | July 4, 2025</div></div></footer>""".stripMargin
+    val out = HtmlExtract.articles(
+      Seq(page).toDF("html"), "html", Sites.phocuswire)
+      .orderBy("News_link").collect()
+    out.map(_.getString(2)).toSeq shouldBe Seq("Real One", "Real Two")
+    // the pagination probe sees the SAME two elements (shared TagScope scan)
+    val probeDates = graft.source.PaginatedSource.pageDates(Sites.phocuswire, page)
+    probeDates.flatten.map(_.toString) shouldBe
+      Seq("2025-07-02 00:00:00.0", "2025-07-03 00:00:00.0")
+  }
+
+  test("TagScope extracts exactly the balanced container subtree") {
+    import graft.funcs.TagScope
+    // nested same-tag children are depth-counted, not terminated early
+    TagScope.scope(
+      """pre<div class="c"><div a="1">x</div><div>y</div></div>post""",
+      "<div class=\"c\">", "div") shouldBe
+      """<div class="c"><div a="1">x</div><div>y</div></div>"""
+    // absent container and unbalanced markup both yield ""
+    TagScope.scope("<div class=\"other\">x</div>", "<div class=\"c\">", "div") shouldBe ""
+    TagScope.scope("<div class=\"c\"><div>x</div>", "<div class=\"c\">", "div") shouldBe ""
+    // a '<divx' pseudo-tag is not an open (dialect: '<div' + space or '>')
+    TagScope.scope("<div class=\"c\"><divx></div>rest", "<div class=\"c\">", "div") shouldBe
+      "<div class=\"c\"><divx></div>"
+  }
+
   test("missing href is skipped (Q2) and ids are md5 of the exact link") {
     val page =
       """<div class="article-list">
