@@ -752,6 +752,11 @@ object DataOps {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var stable = false
     while (!stable) {
+      // Eager checkpoint + two directional short-circuit probes. Measured
+      // against both a lazy checkpoint (partially-materialized partitions
+      // recompute from lineage next round) and a single combined
+      // symmetric-difference probe (loses the first probe's limit-1
+      // short-circuit on changed rounds) — this form benched fastest.
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
