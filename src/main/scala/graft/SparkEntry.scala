@@ -70,6 +70,8 @@ object SparkEntry {
     "stratified_sample" -> (DataOps.stratifiedSample _),
     "dedup_cluster" -> (DataOps.dedupCluster _),
     "dedup_cluster_star" -> (DataOps.dedupClusterStar _),
+    "cluster_keep_best" -> (DataOps.clusterKeepBest _),
+    "chunk_documents" -> (DataOps.chunkDocuments _),
     "keyword_search" -> (DataOps.keywordSearch _),
     "inverted_index" -> (DataOps.invertedIndex _),
     "split_assign" -> (DataOps.splitAssign _),

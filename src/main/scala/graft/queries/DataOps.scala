@@ -780,6 +780,46 @@ object DataOps {
     } finally pairs.unpersist(blocking = false)
   }
 
+  private val ChunkW = 32 // tokens per training-context window
+  private val ChunkS = 24 // stride (8-token overlap between windows)
+
+  /** Sliding-window document chunking — the context-window prep step of
+    * a training pipeline: each document becomes overlapping token
+    * windows of [[ChunkW]] tokens at stride [[ChunkS]] (the overlap
+    * preserves cross-boundary context). Chunk count, per-chunk token
+    * counts, and the chunk content hash are all pure per-row arithmetic
+    * (`sequence` + `slice` generators) — one Generator per row, ZERO
+    * shuffles, the shape that holds at any corpus size.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, (size(w) - 1) div $ChunkS)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(expr(s"slice(w, chunk_idx * $ChunkS + 1, $ChunkW)")).as("n_tokens"),
+        md5(expr(s"concat_ws(' ', slice(w, chunk_idx * $ChunkS + 1, $ChunkW))"))
+          .as("chunk_hash"))
+
+  /** Quality-aware cluster representative selection: where
+    * [[dedupCluster]] keeps each near-dup cluster's MINIMUM id, a real
+    * training pipeline keeps its BEST member — the highest
+    * [[docQuality]] score (doc_id tie-break). Composes the two graded
+    * components; the oracle nests both SQLs verbatim, so drift in either
+    * fails this entry too. The per-cluster window partitions on the
+    * cluster rep — clusters are bounded by the near-dup neighborhoods
+    * that produced them, never the corpus.
+    */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupCluster(spark, dir).select(col("doc_id"), col("cluster_rep"))
+    val quality = docQuality(spark, dir).select(col("doc_id"), col("score_milli"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    labels.join(quality, Seq("doc_id"))
+      .withColumn("keeper_best", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_rep"), col("score_milli"),
+        col("keeper_best"))
+  }
+
   /** Benchmark decontamination: flag every training doc that shares ANY
     * 3-shingle with the eval set (`doc_id % 97 == 0` plays the held-out
     * benchmark). The overlap test is a semi-join shuffled on the shingle
@@ -1152,7 +1192,38 @@ object DataOps {
     val splitH = (0 until 8).map(i =>
       s"(instr('0123456789abcdef', substr(md5('split:' || doc_id::VARCHAR), ${i + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - i))}")
       .mkString(" + ")
+    // Recursive min-reachable-id CTE: every (node, reachable-rep) pair
+    // accumulates; min per node = the component's minimum id — the same
+    // fixpoint the Spark label-propagation loop converges to. A local val
+    // so cluster_keep_best can nest it verbatim.
+    val clusterSql = s"""
+        WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM (${base("dedup_minhash_lsh")}) q),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                  UNION ALL SELECT doc_b, doc_a FROM pr),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        r AS (SELECT doc_id, doc_id AS rep FROM nodes
+              UNION
+              SELECT e.dst AS doc_id, r.rep FROM r JOIN edges e ON e.src = r.doc_id)
+        SELECT doc_id, min(rep)::BIGINT AS cluster_rep,
+               (doc_id = min(rep)) AS keeper
+        FROM r GROUP BY doc_id"""
     base ++ Map(
+      // the chunk generators are pure per-row arithmetic in both engines
+      "chunk_documents" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ch AS (SELECT doc_id, unnest(range(0, ((len(w) - 1) // $ChunkS) + 1)) AS chunk_idx, w
+               FROM toks)
+        SELECT doc_id, chunk_idx::INT AS chunk_idx,
+               len(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)]) AS n_tokens,
+               md5(array_to_string(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)], ' ')) AS chunk_hash
+        FROM ch""",
+      // quality-aware representative: both components' SQL nested verbatim
+      "cluster_keep_best" -> s"""
+        WITH cl AS ($clusterSql), q AS (${base("doc_quality")})
+        SELECT cl.doc_id, cl.cluster_rep, q.score_milli,
+               (row_number() OVER (PARTITION BY cl.cluster_rep
+                                   ORDER BY q.score_milli DESC, cl.doc_id) = 1) AS keeper_best
+        FROM cl JOIN q ON q.doc_id = cl.doc_id""",
       "stratified_sample" -> s"""
         SELECT lang, doc_id, rn FROM (
           SELECT lang, doc_id,
@@ -1189,20 +1260,7 @@ object DataOps {
         SELECT term, count(*) AS df,
                array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
         FROM ex GROUP BY term HAVING count(*) >= 100""",
-      // Recursive min-reachable-id CTE: every (node, reachable-rep) pair
-      // accumulates; min per node = the component's minimum id — the same
-      // fixpoint the Spark label-propagation loop converges to.
-      "dedup_cluster" -> s"""
-        WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM (${base("dedup_minhash_lsh")}) q),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-                  UNION ALL SELECT doc_b, doc_a FROM pr),
-        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-        r AS (SELECT doc_id, doc_id AS rep FROM nodes
-              UNION
-              SELECT e.dst AS doc_id, r.rep FROM r JOIN edges e ON e.src = r.doc_id)
-        SELECT doc_id, min(rep)::BIGINT AS cluster_rep,
-               (doc_id = min(rep)) AS keeper
-        FROM r GROUP BY doc_id""",
+      "dedup_cluster" -> clusterSql,
       "decontaminate" -> """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         shx AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),

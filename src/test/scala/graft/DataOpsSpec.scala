@@ -338,6 +338,47 @@ class DataOpsSpec extends SparkSpec {
     a should not be empty
   }
 
+  test("chunk_documents: windows tile each doc at stride 24 with width ≤ 32") {
+    import spark.implicits._
+    val out = DataOps.chunkDocuments(spark, sf).cache()
+    val lens = graft.queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), expr("size(split(text, ' '))").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    byDoc.keySet shouldBe lens.keySet
+    byDoc.foreach { case (id, chunks) =>
+      val n = lens(id)
+      chunks.length shouldBe (((n - 1) / 24) + 1: Int)
+      chunks.sortBy(_._2).zipWithIndex.foreach { case ((_, ci, nt), i) =>
+        ci shouldBe i
+        nt shouldBe math.min(32, n - ci * 24) // full windows, short tail
+      }
+    }
+    out.unpersist()
+  }
+
+  test("cluster_keep_best: one keeper per cluster, the max-quality member") {
+    val labels = DataOps.dedupCluster(spark, sf)
+      .select("doc_id", "cluster_rep")
+    val out = DataOps.clusterKeepBest(spark, sf).cache()
+    // same membership as dedup_cluster
+    out.select("doc_id", "cluster_rep").exceptAll(labels).count() shouldBe 0L
+    labels.exceptAll(out.select("doc_id", "cluster_rep")).count() shouldBe 0L
+    // exactly one keeper per cluster, and it carries the cluster max score
+    val perCluster = out.collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .groupBy(_._1)
+    perCluster.foreach { case (_, members) =>
+      members.count(_._4) shouldBe 1
+      val best = members.filter(_._4).head
+      best._3 shouldBe members.map(_._3).max
+      // tie-break: smallest doc_id among the max-score members
+      members.filter(_._3 == best._3).map(_._2).min shouldBe best._2
+    }
+    out.unpersist()
+  }
+
   test("inverted_index: postings are the df's smallest 10 doc_ids, ascending") {
     val out = DataOps.invertedIndex(spark, sf).cache()
     out.filter(col("df") < 100).count() shouldBe 0L
