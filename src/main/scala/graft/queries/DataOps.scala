@@ -856,20 +856,28 @@ object DataOps {
     * its salt cell plus the survivor set. Same pattern as
     * [[annCosineTopk]]/[[stratifiedSample]]/[[invertedIndex]].
     */
-  def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
-    val hits = keywordHits(spark, dir)
-    val local = Window.partitionBy(pmod(col("doc_id"), lit(32)))
-      .orderBy(col("tf").desc, col("doc_id"))
-    val survivors = hits.withColumn("crn", row_number().over(local))
-      .filter(col("crn") <= 20).drop("crn")
-    // constant-valued but non-foldable partition key: a literal would be
-    // constant-folded out of the window spec, reintroducing the
-    // unpartitioned-window plan this operator exists to avoid
-    val global = Window.partitionBy(pmod(col("doc_id"), lit(1)))
-      .orderBy(col("tf").desc, col("doc_id"))
-    survivors.withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= 20)
+  def keywordSearch(spark: SparkSession, dir: String): DataFrame =
+    saltedTopK(keywordHits(spark, dir), "doc_id",
+      Seq(col("tf").desc, col("doc_id")), 20, "rank")
       .select(col("doc_id"), col("tf"), col("n_terms"), col("rank"))
+
+  /** Salted two-phase global top-k: local top-k per `pmod(key, 32)` salt
+    * cell, then a global window over the ≤ 32·k survivors. The global
+    * partition key is constant-valued but NON-FOLDABLE (`pmod(key, 1)`):
+    * a literal would be constant-folded out of the window spec,
+    * reintroducing the unpartitioned-window global sort this shape
+    * exists to avoid (PlanShapeSpec pins it). Spark plans a partial
+    * `WindowGroupLimit` below each exchange, so no task ever holds more
+    * than k rows per cell before shuffling.
+    */
+  private def saltedTopK(df: DataFrame, key: String, order: Seq[Column],
+                         k: Int, rankName: String): DataFrame = {
+    val local = Window.partitionBy(pmod(col(key), lit(32))).orderBy(order: _*)
+    val survivors = df.withColumn("__crn", row_number().over(local))
+      .filter(col("__crn") <= k).drop("__crn")
+    val global = Window.partitionBy(pmod(col(key), lit(1))).orderBy(order: _*)
+    survivors.withColumn(rankName, row_number().over(global))
+      .filter(col(rankName) <= k)
   }
 
   /** The conjunctive-match candidate set shared by [[keywordSearch]] and
@@ -913,7 +921,12 @@ object DataOps {
       explode(expr(s"filter(w, t -> t IN ($terms))")).as("term"))
     val dfreq = ex.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val cands = keywordHits(spark, dir).select(col("doc_id"))
+    // conjunctive candidates derived from the postings already built —
+    // NOT a second keywordHits pass, which would re-scan and re-tokenize
+    // the whole corpus just to re-derive the same doc_ids
+    val cands = ex.groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === SearchTerms.length).select(col("doc_id"))
     val scored = ex.join(cands, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tft"))
@@ -925,14 +938,7 @@ object DataOps {
         col("idf") * (col("tft") * lit(k1 + 1.0)) /
           (col("tft") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
-    val local = Window.partitionBy(pmod(col("doc_id"), lit(32)))
-      .orderBy(col("bm25").desc, col("doc_id"))
-    val survivors = scored.withColumn("crn", row_number().over(local))
-      .filter(col("crn") <= 20).drop("crn")
-    val global = Window.partitionBy(pmod(col("doc_id"), lit(1)))
-      .orderBy(col("bm25").desc, col("doc_id"))
-    survivors.withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= 20)
+    saltedTopK(scored, "doc_id", Seq(col("bm25").desc, col("doc_id")), 20, "rank")
       .select(col("doc_id"), col("bm25"), col("rank"))
   }
 

@@ -170,9 +170,20 @@ final class ArticleStore(spark: SparkSession, basePath: String,
     */
   private def claim(v: Long): Unit = {
     fs.mkdirs(versionPath(v))
-    try fs.create(claimPath(v), false).close()
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+    val p = claimPath(v)
+    try {
+      // On local filesystems Hadoop's create(overwrite=false) is a
+      // non-atomic exists-then-create; NIO createFile is O_CREAT|O_EXCL —
+      // a true atomic claim for the file:// stores tests and single-box
+      // deployments run on. HDFS create(overwrite=false) is atomic on
+      // the NameNode already.
+      if ("file" == fs.getUri.getScheme)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(
+          fs.makeQualified(p).toUri))
+      else fs.create(p, false).close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentMergeException(
           s"version $v is already claimed by another writer " +
             "(or left by a crashed one — see abandonClaim)")
@@ -244,14 +255,24 @@ final class ArticleStore(spark: SparkSession, basePath: String,
           committed = true
           gc(v + 1)
         } finally {
-          if (!committed) { fs.delete(versionPath(v + 1), true); () }
+          // Abort cleanup must never touch a version someone else
+          // COMMITTED: if the CAS failed because a protocol-bypassing
+          // writer already published v+1 (or later), deleting v+1 would
+          // destroy the current snapshot under the pointer.
+          if (!committed && currentVersion <= v) {
+            fs.delete(versionPath(v + 1), true); ()
+          }
         }
       }
     } finally { stamped.unpersist(); () }
   }
 
-  /** Delete version directories referenced by none of the last
-    * [[RetainVersions]] manifests.
+  /** Delete OLD version directories referenced by none of the last
+    * [[RetainVersions]] manifests. Strictly bounded above by the
+    * committing version: a directory numbered PAST `v` is a concurrent
+    * writer's claimed in-progress version — deleting it would destroy
+    * that writer's data mid-merge and its `_claim` marker with it,
+    * reopening the lost-update race the claim protocol closes.
     */
   private def gc(v: Long): Unit = {
     val retained = (math.max(0L, v - (RetainVersions - 1)) to v)
@@ -260,6 +281,7 @@ final class ArticleStore(spark: SparkSession, basePath: String,
     fs.listStatus(base).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("v") && n.drop(1).forall(_.isDigit)
+          && n.drop(1).toLong < v
           && !referenced.contains(n.drop(1).toLong))
         fs.delete(st.getPath, true)
     }

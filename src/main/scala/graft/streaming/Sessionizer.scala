@@ -38,8 +38,17 @@ object Sessionizer {
   private def fmt(ms: Long): String =
     Fmt.format(java.time.Instant.ofEpochMilli(ms))
 
+  /** `idOf` names the emitted session: the per-user ordinal (`_.seq`,
+    * the batch-equivalent default) or a state-free stable key for the
+    * expiring form (see [[sessionsExpiring]]). The in-gap branch takes
+    * max/min of the bounds rather than trusting arrival order: within
+    * one call events are sorted (max/min are no-ops there), but across
+    * micro-batches a watermark admits bounded disorder, and a late
+    * in-gap event must extend neither end of the session backwards.
+    */
   def sessionize(user: Long, events: Iterator[SessionEvent],
-                 state: GroupState[OpenSession], gapSec: Long): Iterator[Session] = {
+                 state: GroupState[OpenSession], gapSec: Long,
+                 idOf: OpenSession => Long = _.seq): Iterator[Session] = {
     val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
     var open = state.getOption
     val closed = Seq.newBuilder[Session]
@@ -47,9 +56,10 @@ object Sessionizer {
       val t = e.ts.getTime
       open match {
         case Some(s) if t - s.endMs <= gapSec * 1000 =>
-          open = Some(s.copy(endMs = t, n = s.n + 1))
+          open = Some(s.copy(startMs = math.min(s.startMs, t),
+            endMs = math.max(s.endMs, t), n = s.n + 1))
         case Some(s) => // gap exceeded: close and start a new session
-          closed += Session(user, s.seq, fmt(s.startMs), fmt(s.endMs), s.n)
+          closed += Session(user, idOf(s), fmt(s.startMs), fmt(s.endMs), s.n)
           open = Some(OpenSession(t, t, 1, s.seq + 1))
         case None =>
           open = Some(OpenSession(t, t, 1, 1))
@@ -78,6 +88,14 @@ object Sessionizer {
     * here) are delivered as soon as the event-time clock proves the gap
     * elapsed. Total state is bounded by users active within the gap
     * horizon, not by every user ever seen.
+    *
+    * `session_id` here is the session's START epoch-millis, not the
+    * per-user ordinal the NoTimeout form emits: a monotonic counter
+    * needs per-user state that survives eviction (exactly what this
+    * form exists to drop — after eviction a reset counter would reuse
+    * ids and collide downstream on (user_id, session_id)), while the
+    * start time is unique per user without any retained state because a
+    * user's sessions cannot overlap.
     */
   def sessionsExpiring(ds: Dataset[SessionEvent], gapSec: Long = 1800,
                        lateness: String = "10 minutes"): Dataset[Session] = {
@@ -91,9 +109,9 @@ object Sessionizer {
             val s = state.get
             state.remove()
             Iterator.single(
-              Session(user, s.seq, fmt(s.startMs), fmt(s.endMs), s.n))
+              Session(user, s.startMs, fmt(s.startMs), fmt(s.endMs), s.n))
           } else {
-            val out = sessionize(user, events, state, gapSec)
+            val out = sessionize(user, events, state, gapSec, idOf = _.startMs)
             // re-arm at the (possibly extended) open session's gap
             // boundary; must sit strictly above the current watermark
             state.getOption.foreach { s =>

@@ -37,20 +37,21 @@ object StreamingDedup {
   final case class BandArrival(b: Int, h: String, doc_id: Long)
   final case class Candidate(doc_a: Long, doc_b: Long)
 
-  /** Per-bucket state fold: emit (seen, new) pairs, remember the first
-    * `cap` arrivals. In-batch arrivals are sorted by doc_id so a batch's
+  /** Per-bucket fold: emit (seen, new) pairs, remember the first `cap`
+    * arrivals. In-batch arrivals are sorted by doc_id so a batch's
     * internal pairs are deterministic regardless of partition order.
     * Membership checks go through a hash set (the retained list is the
     * persisted state; `Seq.contains` would make a hot bucket's fold
-    * O(m·cap) list traversals on the per-trigger hot path).
+    * O(m·cap) list traversals on the per-trigger hot path). Pure — the
+    * two state wrappers ([[candidates]]' plain list,
+    * [[candidatesExpiring]]'s list + newest-arrival clock) share it.
     */
-  private[streaming] def collide(rows: Iterator[BandArrival],
-                                 state: GroupState[Seq[Long]],
-                                 cap: Int): Iterator[Candidate] = {
-    var retained = state.getOption.getOrElse(Seq.empty).toVector
+  private[streaming] def collideFold(retained0: Seq[Long], arrivals: Seq[Long],
+                                     cap: Int): (Seq[Long], Seq[Candidate]) = {
+    var retained = retained0.toVector
     val member = scala.collection.mutable.HashSet[Long](retained: _*)
     val out = Seq.newBuilder[Candidate]
-    rows.map(_.doc_id).toSeq.distinct.sorted.foreach { d =>
+    arrivals.distinct.sorted.foreach { d =>
       if (!member.contains(d)) {
         retained.foreach { s =>
           out += Candidate(math.min(s, d), math.max(s, d))
@@ -59,8 +60,16 @@ object StreamingDedup {
         if (retained.size < cap) retained = retained :+ d
       }
     }
+    (retained, out.result())
+  }
+
+  private[streaming] def collide(rows: Iterator[BandArrival],
+                                 state: GroupState[Seq[Long]],
+                                 cap: Int): Iterator[Candidate] = {
+    val (retained, out) = collideFold(
+      state.getOption.getOrElse(Seq.empty), rows.map(_.doc_id).toSeq, cap)
     state.update(retained)
-    out.result().iterator
+    out.iterator
   }
 
   /** Bind over a (doc_id, text) frame — batch or streaming. The default
@@ -81,6 +90,13 @@ object StreamingDedup {
 
   final case class BandArrivalTs(b: Int, h: String, doc_id: Long,
                                  ts: java.sql.Timestamp)
+
+  /** [[candidatesExpiring]] state: retained members plus the bucket's
+    * newest arrival time — the idle clock. Kept IN state (not derived
+    * from the current batch) so a late-but-admissible arrival with an
+    * older timestamp can never pull the eviction horizon backwards.
+    */
+  final case class BucketState(ids: Seq[Long], newestMs: Long)
 
   /** The UNBOUNDED-stream form: same per-bucket collision state, but
     * buckets EXPIRE. The input carries an event-time column `ts`; a
@@ -107,20 +123,24 @@ object StreamingDedup {
     DataOps.bandDigests(sh, passthrough = Seq("ts")).as[BandArrivalTs]
       .groupByKey(r => (r.b, r.h))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, String), rows: Iterator[BandArrivalTs], st: GroupState[Seq[Long]]) =>
+        (_: (Int, String), rows: Iterator[BandArrivalTs], st: GroupState[BucketState]) =>
           if (st.hasTimedOut) {
             st.remove() // idle past the horizon: drop the bucket entirely
             Iterator.empty
           } else {
             val batch = rows.toSeq
-            val out = collide(
-              batch.iterator.map(r => BandArrival(r.b, r.h, r.doc_id)), st, cap)
-            val newest = batch.map(_.ts.getTime).max
+            val prev = st.getOption.getOrElse(BucketState(Seq.empty, Long.MinValue))
+            val (ids, out) = collideFold(prev.ids, batch.map(_.doc_id), cap)
+            // the idle clock is the newest arrival EVER seen, not this
+            // batch's max: a late in-order-window arrival must not pull
+            // the horizon backwards and evict early
+            val newest = math.max(prev.newestMs, batch.map(_.ts.getTime).max)
+            st.update(BucketState(ids, newest))
             // re-arm every invocation (timeouts clear on each call); must
             // sit strictly above the current watermark
             st.setTimeoutTimestamp(
               math.max(newest + idleMillis, st.getCurrentWatermarkMs + 1))
-            out
+            out.iterator
           }
       }
   }

@@ -154,4 +154,19 @@ class ArticleStoreSpec extends SparkSpec {
       .map(_.getAs[String](ArticleSchema.NewsTitle)) shouldBe Array("one", "two")
     store.history().head.version shouldBe 2L
   }
+
+  test("gc never deletes a concurrent writer's claimed FUTURE version") {
+    val dir = tmpDir("store-gc-future")
+    val store = new ArticleStore(spark, dir)
+    store.merge(toDf(art("u1", "one", "2025-07-26 10:00:00")))
+    // a second writer based on v1 has claimed v3 and is mid-write
+    // (it will read v2 as current and re-claim, but its data must survive
+    // OUR commit's gc regardless)
+    val claimed = java.nio.file.Paths.get(dir, "v3", "_claim")
+    java.nio.file.Files.createDirectories(claimed.getParent)
+    java.nio.file.Files.createFile(claimed)
+    store.merge(toDf(art("u2", "two", "2025-07-27 00:00:00"))) // publishes v2 + gc(2)
+    store.history().head.version shouldBe 2L
+    java.nio.file.Files.exists(claimed) shouldBe true // gc left the claim alone
+  }
 }

@@ -91,4 +91,42 @@ class SessionizerSpec extends SparkSpec {
     lastRows shouldBe Some(1L)
     q.stop()
   }
+
+  test("expiring: session ids stay unique across eviction; late in-gap events don't regress bounds") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionsExpiring(mem.toDS(), gapSec = 60,
+        lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_exp2")
+      .option("checkpointLocation", tmpDir("ckpt-sess-exp2"))
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 7 session A ([10:00:00, 10:00:30], inside the 60 s gap), then
+    // a LATE but admissible in-gap event (10:00:10 arrives after
+    // 10:00:30 — within the 10-minute lateness): bounds must stay
+    // [10:00:00, 10:00:30], not end at the late event
+    mem.addData(SessionEvent(7, t("2024-01-01 10:00:00"), 1),
+                SessionEvent(7, t("2024-01-01 10:00:30"), 2))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(7, t("2024-01-01 10:00:10"), 3))
+    q.processAllAvailable()
+    // advance event time far past session A's gap boundary → A evicts...
+    mem.addData(SessionEvent(8, t("2024-01-01 11:00:00"), 4))
+    q.processAllAvailable()
+    // ...then user 7 starts session B, which also closes via timeout
+    mem.addData(SessionEvent(7, t("2024-01-01 12:00:00"), 5))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(8, t("2024-01-01 13:00:00"), 6))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_exp2")
+      .filter(col("user_id") === 7).orderBy("start_s").collect()
+    rows.length shouldBe 2
+    rows(0).getString(2) shouldBe "2024-01-01 10:00:00" // start not regressed
+    rows(0).getString(3) shouldBe "2024-01-01 10:00:30" // end not regressed
+    rows(0).getLong(4) shouldBe 3L                      // late event counted
+    // distinct ids across the eviction boundary (start-millis keying)
+    rows.map(_.getLong(1)).distinct.length shouldBe 2
+  }
 }

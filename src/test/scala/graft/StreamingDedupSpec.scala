@@ -123,4 +123,38 @@ class StreamingDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe Set((1L, 3L), (2L, 4L))
   }
+
+  test("expiring: a late in-window arrival never pulls the idle horizon backwards") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.candidatesExpiring(stream,
+        lateness = "1 hour", idleMillis = 60000L)
+      .writeStream.format("memory").queryName("cand_exp_late")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-sdedup-late"))
+      .start()
+    // alpha bucket: newest arrival 10:00:05
+    mem.addData((1L, doc(2)._2.replace("u2", "u1"), t("2024-01-01 10:00:00")),
+                (3L, doc(4)._2.replace("u4", "u3"), t("2024-01-01 10:00:05")))
+    q.processAllAvailable()
+    // a LATE alpha arrival (09:50, admissible under the 1 h lateness):
+    // the idle clock must stay at 10:00:05, not rewind to 09:50
+    mem.addData((7L, doc(6)._2.replace("u6", "u7"), t("2024-01-01 09:50:00")))
+    q.processAllAvailable()
+    // advance the watermark to 09:51:30 — past the REWOUND horizon
+    // (09:51) but inside the true one (10:01:05): the bucket must survive
+    mem.addData((2L, doc(1)._2.replace("u1", "u2"), t("2024-01-01 10:51:30")))
+    q.processAllAvailable()
+    // a new alpha near-dup: pairs with the retained members prove the
+    // bucket was NOT evicted early
+    mem.addData((5L, doc(8)._2.replace("u8", "u5"), t("2024-01-01 10:52:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cand_exp_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((1L, 5L))
+    got should contain((3L, 5L))
+  }
 }
