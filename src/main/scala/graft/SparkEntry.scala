@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_cluster_star" -> (DataOps.dedupClusterStar _),
     "cluster_keep_best" -> (DataOps.clusterKeepBest _),
     "chunk_documents" -> (DataOps.chunkDocuments _),
+    "lsh_recall" -> (DataOps.lshRecall _),
     "keyword_search" -> (DataOps.keywordSearch _),
     "inverted_index" -> (DataOps.invertedIndex _),
     "split_assign" -> (DataOps.splitAssign _),

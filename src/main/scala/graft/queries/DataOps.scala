@@ -207,6 +207,14 @@ object DataOps {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val big = shingled(spark, dir)
+    cachedScope(big) { ngramPairsOn(big, threshold = 0.5) }
+  }
+
+  /** Prefix-filtered exact Jaccard ≥ `threshold` over a shingle frame —
+    * the body of [[ngramJaccard]], reusable at other thresholds (the
+    * prefix bound is lossless for any t: see class scaladoc).
+    */
+  private def ngramPairsOn(big: DataFrame, threshold: Double): DataFrame = {
     // |d| rides along from size(sh) — the shingle array is already
     // distinct, so the per-doc posting count needs no second window pass
     // over the exploded frame (r3 ADVICE).
@@ -227,16 +235,37 @@ object DataOps {
     val pex = ex.withColumn("f", count(lit(1)).over(byShingle))
       .select(col("doc_id"), col("s"),
         row_number().over(byRarity).as("rk"), col("n"))
-      .filter(col("rk") <= col("n") - ceil(lit(0.5) * col("n")).cast("int") + 1)
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
       .select(col("doc_id"), col("s"))
     // pex cached: the candidate self-join otherwise recomputes the
     // frequency join + window once per side.
-    cachedScope(big, pex) {
+    cachedScope(pex) {
       val cand = pex.as("a")
         .join(pex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      jaccardOnPairs(cand, big, threshold = 0.5)
+      jaccardOnPairs(cand, big, threshold)
+    }
+  }
+
+  /** LSH recall monitor — the evaluation query a production dedup
+    * pipeline runs continuously: every TRUE near-dup pair (exact
+    * prefix-filtered Jaccard ≥ 0.8, the lossless ground truth) flagged
+    * with whether the banded-MinHash path found it. 4 bands × 3 rows
+    * give P(candidate) = 1 − (1 − J³)⁴ ≈ 0.94 at J = 0.8, so misses are
+    * EXPECTED — this operator is how you see them and size the band
+    * structure. Shares one shingle frame across both sides; the oracle
+    * nests both components' SQL verbatim.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val big = shingled(spark, dir)
+    cachedScope(big) {
+      val exact = ngramPairsOn(big, threshold = 0.8)
+      val lsh = dedupOnShingles(big, BandBucketCap)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("fnd"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          coalesce(col("fnd"), lit(false)).as("found_by_lsh"))
     }
   }
 
@@ -1014,6 +1043,27 @@ object DataOps {
     */
   val oracles: Map[String, String] = {
     def hd(e: String, p: Int) = s"(instr('0123456789abcdef', substr($e, $p, 1)) - 1)"
+    // exact n-gram Jaccard pairs at any threshold (the naive all-postings
+    // join — DuckDB needs no prefix filter, and the filter is lossless,
+    // so the outputs coincide); shared by ngram_jaccard and lsh_recall
+    def ngramSql(t: String) = s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT i2.doc_a, i2.doc_b,
+               round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
+        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
+        JOIN sz sb ON sb.doc_id = i2.doc_b
+        WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= $t"""
     val h32 = (0 until 8)
       .map(i => s"${hd("hh", i + 1)}::BIGINT * ${1L << (4 * (7 - i))}")
       .mkString(" + ")
@@ -1065,24 +1115,7 @@ object DataOps {
         FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
         JOIN sz sb ON sb.doc_id = i2.doc_b
         WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8""",
-      "ngram_jaccard" -> """
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-                FROM toks WHERE len(w) >= 3),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
-        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
-                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
-                  GROUP BY 1, 2),
-        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
-        SELECT i2.doc_a, i2.doc_b,
-               round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
-        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
-        JOIN sz sb ON sb.doc_id = i2.doc_b
-        WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.5""",
+      "ngram_jaccard" -> ngramSql("0.5"),
       "dedup_simhash" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         big AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
@@ -1223,6 +1256,13 @@ object DataOps {
                len(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)]) AS n_tokens,
                md5(array_to_string(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)], ' ')) AS chunk_hash
         FROM ch""",
+      // recall monitor: ground truth and LSH path nested verbatim
+      "lsh_recall" -> s"""
+        SELECT exq.doc_a, exq.doc_b, exq.jaccard,
+               (lshq.doc_a IS NOT NULL) AS found_by_lsh
+        FROM (${ngramSql("0.8")}) exq
+        LEFT JOIN (${base("dedup_minhash_lsh")}) lshq
+          ON lshq.doc_a = exq.doc_a AND lshq.doc_b = exq.doc_b""",
       // quality-aware representative: both components' SQL nested verbatim
       "cluster_keep_best" -> s"""
         WITH cl AS ($clusterSql), q AS (${base("doc_quality")})

@@ -379,6 +379,19 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("lsh_recall: truth is exact pairs ≥ 0.8, found flags are a subset of LSH output") {
+    val out = DataOps.lshRecall(spark, sf).cache()
+    out.count() should be > 0L
+    out.filter(col("jaccard") < 0.8).count() shouldBe 0L
+    // every flagged pair IS in the LSH output, every unflagged is not
+    val lsh = DataOps.dedupMinhashLsh(spark, sf).select("doc_a", "doc_b")
+    out.filter(col("found_by_lsh")).select("doc_a", "doc_b")
+      .exceptAll(lsh).count() shouldBe 0L
+    out.filter(!col("found_by_lsh")).select("doc_a", "doc_b")
+      .intersect(lsh).count() shouldBe 0L
+    out.unpersist()
+  }
+
   test("inverted_index: postings are the df's smallest 10 doc_ids, ascending") {
     val out = DataOps.invertedIndex(spark, sf).cache()
     out.filter(col("df") < 100).count() shouldBe 0L
