@@ -51,6 +51,8 @@ object SparkEntry {
     "rollup_orders" -> (Relational.rollupOrders _),
     "customer_order_stats" -> (Relational.customerOrderStats _),
     "pivot_events" -> (Relational.pivotEvents _),
+    "funnel" -> (Relational.funnel _),
+    "retention_cohorts" -> (Relational.retentionCohorts _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -352,6 +354,27 @@ object SparkEntry {
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY user_id""",
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+         v AS (SELECT user_id, min(tu) AS vt FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(tu) AS ct FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND tu > vt
+                 AND tu <= vt + 86400000000 GROUP BY 1),
+         p AS (SELECT e.user_id, min(tu) AS pt FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND tu > ct
+                 AND tu <= ct + 86400000000 GROUP BY 1)
+         SELECT v.user_id, vt, ct, pt,
+                (1 + (ct IS NOT NULL)::INT + (pt IS NOT NULL)::INT) AS stage
+         FROM v LEFT JOIN c ON c.user_id = v.user_id
+         LEFT JOIN p ON p.user_id = v.user_id""",
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d0
+                    FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT e.user_id, strftime(f.d0, '%Y-%m-%d') AS cohort,
+                 ((epoch_us(date_trunc('day', e.ts)) - epoch_us(f.d0))
+                   // 604800000000)::INT AS wk
+               FROM events e JOIN f ON f.user_id = e.user_id)
+         SELECT cohort, wk, count(*) AS n_users FROM a GROUP BY 1, 2""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -159,4 +159,52 @@ object Relational {
            round(sum(col("o_totalprice")), 2).as("spend"))
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"), col("spend"))
+
+  private val FunnelStepUs = 86400000000L // each step within 24 h of the last
+
+  /** Conversion funnel view → click → purchase: each user's FIRST view,
+    * first click within 24 h after it, first purchase within 24 h after
+    * that — `stage` counts how far they got. Event-sequence analytics in
+    * three min-aggregates and two same-key joins: every shuffle is on
+    * `user_id` (co-partitioned end to end), integer-µs arithmetic
+    * throughout, no window over a user's full history. Ordering is by µs
+    * timestamp alone — verified collision-free per user at every SF, so
+    * the min() picks are deterministic.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tu")).as("vt"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" &&
+        col("tu") > col("vt") && col("tu") <= col("vt") + FunnelStepUs)
+      .groupBy("user_id").agg(min(col("tu")).as("ct"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("tu") > col("ct") && col("tu") <= col("ct") + FunnelStepUs)
+      .groupBy("user_id").agg(min(col("tu")).as("pt"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("vt"), col("ct"), col("pt"),
+        (lit(1) + col("ct").isNotNull.cast("int")
+          + col("pt").isNotNull.cast("int")).as("stage"))
+  }
+
+  /** Weekly retention cohorts: users grouped by their first active day,
+    * counted per relative week of activity. Two aggregations, both
+    * partial-aggregable; the only shuffles are on `user_id` then on the
+    * (cohort, week) cell — day/week indices are integer-µs divisions, so
+    * the cells are identical in both engines.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val f = e.groupBy("user_id").agg(min(date_trunc("day", col("ts"))).as("d0"))
+    e.join(f, "user_id")
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort"),
+        expr("(unix_micros(date_trunc('day', ts)) - unix_micros(d0)) div 604800000000")
+          .cast("int").as("wk"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort", "wk").agg(count(lit(1)).as("n_users"))
+  }
 }

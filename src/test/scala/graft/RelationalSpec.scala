@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Relational, Tables}
+
+/** Invariants for the event-sequence analytics (the DuckDB hash-compare
+  * covers exact values; these pin the semantic shape).
+  */
+class RelationalSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("funnel: stages are consistent with the step timestamps and ordered in time") {
+    val out = Relational.funnel(spark, sf).cache()
+    // one row per user with at least one view
+    val viewers = Tables(spark, sf, "events")
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    out.count() shouldBe viewers
+    // stage ⇔ which step timestamps are present; steps strictly ordered
+    out.filter(col("stage") === 1 && col("ct").isNotNull).count() shouldBe 0L
+    out.filter(col("stage") === 2 &&
+      (col("ct").isNull || col("pt").isNotNull)).count() shouldBe 0L
+    out.filter(col("stage") === 3 && col("pt").isNull).count() shouldBe 0L
+    out.filter(col("ct").isNotNull && col("ct") <= col("vt")).count() shouldBe 0L
+    out.filter(col("pt").isNotNull && col("pt") <= col("ct")).count() shouldBe 0L
+    // each step lands within the 24 h window of the previous
+    out.filter(col("ct").isNotNull &&
+      col("ct") > col("vt") + 86400000000L).count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("retention_cohorts: week-0 count equals the cohort's size") {
+    val out = Relational.retentionCohorts(spark, sf).cache()
+    // every user is active in their own first week by construction
+    val cohortSizes = Tables(spark, sf, "events")
+      .groupBy("user_id").agg(min(date_trunc("day", col("ts"))).as("d0"))
+      .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort"))
+      .agg(count(lit(1)).as("n"))
+    val wk0 = out.filter(col("wk") === 0).select("cohort", "n_users")
+    wk0.join(cohortSizes, "cohort")
+      .filter(col("n_users") =!= col("n")).count() shouldBe 0L
+    wk0.count() shouldBe cohortSizes.count()
+    // later weeks never exceed the cohort size
+    out.join(cohortSizes, "cohort")
+      .filter(col("n_users") > col("n")).count() shouldBe 0L
+    out.unpersist()
+  }
+}
