@@ -207,7 +207,12 @@ object DataOps {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val big = shingled(spark, dir)
-    cachedScope(big) { ngramPairsOn(big, threshold = 0.5) }
+    // plain cache, not cachedScope: ngramPairsOn's inner scope already
+    // materializes the result eagerly, and a second localCheckpoint of
+    // the same frame would just add a job and a storage copy
+    big.cache()
+    try ngramPairsOn(big, threshold = 0.5)
+    finally { big.unpersist(blocking = false); () }
   }
 
   /** Prefix-filtered exact Jaccard ≥ `threshold` over a shingle frame —

@@ -26,6 +26,8 @@ class RelationalSpec extends SparkSpec {
     // each step lands within the 24 h window of the previous
     out.filter(col("ct").isNotNull &&
       col("ct") > col("vt") + 86400000000L).count() shouldBe 0L
+    out.filter(col("pt").isNotNull &&
+      col("pt") > col("ct") + 86400000000L).count() shouldBe 0L
     out.unpersist()
   }
 
