@@ -78,6 +78,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: TagScope extracts exactly the container subtree from random tag trees") {
+    def tree(depth: Int): Gen[String] =
+      if (depth == 0) Gen.oneOf("x", "y z", "", "<span>t</span>")
+      else for {
+        n <- Gen.choose(0, 3)
+        cs <- Gen.listOfN(n, tree(depth - 1))
+        pad <- Gen.oneOf("", " t ")
+      } yield s"""<div class="n">$pad${cs.mkString}</div>"""
+    val docs = sample(for {
+      inner <- tree(3)
+      prefix <- tree(2)
+      suffix <- tree(2)
+    } yield {
+      val container = s"""<div class="c">$inner</div>"""
+      (prefix + container + suffix, container)
+    }, 60)
+    docs.foreach { case (doc, container) =>
+      graft.funcs.TagScope.scope(doc, "<div class=\"c\">", "div") shouldBe container
+    }
+  }
+
   test("property: articleId == java MD5 lowercase hex for arbitrary URLs") {
     val urls = sample(url, 300).distinct
     val got = urls.toDF("u").select(Funcs.articleId(col("u")).as("id"), col("u"))
