@@ -261,6 +261,11 @@ object DataOps {
     * EXPECTED — this operator is how you see them and size the band
     * structure. Shares one shingle frame across both sides; the oracle
     * nests both components' SQL verbatim.
+    *
+    * Scale: the exact side is the quadratic one — at 100 TB this runs
+    * over a uniform SAMPLE of the corpus (recall estimates need a few
+    * thousand true pairs, not all of them); the LSH side is the same
+    * banded join the production dedup already pays.
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val big = shingled(spark, dir)
