@@ -844,19 +844,24 @@ object DataOps {
     * training pipeline keeps its BEST member — the highest
     * [[docQuality]] score (doc_id tie-break). Composes the two graded
     * components; the oracle nests both SQLs verbatim, so drift in either
-    * fails this entry too. The per-cluster window partitions on the
-    * cluster rep — clusters are bounded by the near-dup neighborhoods
-    * that produced them, never the corpus.
+    * fails this entry too.
+    *
+    * The per-cluster argmax is `max(struct(score, -doc_id))` — a
+    * PARTIAL-AGGREGABLE aggregate with map-side combine, not a
+    * per-cluster window: a pathological giant cluster (all-boilerplate
+    * corpus) would funnel a window partition through one task, while
+    * the aggregate reduces it wherever its rows already are.
     */
   def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val labels = dedupCluster(spark, dir).select(col("doc_id"), col("cluster_rep"))
     val quality = docQuality(spark, dir).select(col("doc_id"), col("score_milli"))
-    val w = Window.partitionBy(col("cluster_rep"))
-      .orderBy(col("score_milli").desc, col("doc_id"))
-    labels.join(quality, Seq("doc_id"))
-      .withColumn("keeper_best", row_number().over(w) === 1)
+    val members = labels.join(quality, Seq("doc_id"))
+    val bestPer = members.groupBy(col("cluster_rep"))
+      .agg(max(struct(col("score_milli"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_rep"), (-col("m.nid")).as("best_id"))
+    members.join(bestPer, Seq("cluster_rep"))
       .select(col("doc_id"), col("cluster_rep"), col("score_milli"),
-        col("keeper_best"))
+        (col("doc_id") === col("best_id")).as("keeper_best"))
   }
 
   /** Benchmark decontamination: flag every training doc that shares ANY
