@@ -24,9 +24,16 @@ import graft.model.ArticleSchema
   * layer adds zero shuffles to an ingest plan.
   */
 /** Two-sided listing-container scope: the subtree from `openTag` through
-  * its depth-matching `</tag>` close ([[graft.funcs.TagScope]]).
+  * its depth-matching close ([[graft.funcs.TagScope]]). The tag name is
+  * DERIVED from the open tag — one source of truth, so a spec author
+  * cannot pair `<section …>` with a `div` counter and silently
+  * depth-count the wrong tag.
   */
-final case class ContainerScope(openTag: String, tag: String)
+final case class ContainerScope(openTag: String) {
+  require(openTag.startsWith("<"), s"not an open tag: $openTag")
+  val tag: String = openTag.drop(1).takeWhile(_.isLetterOrDigit)
+  require(tag.nonEmpty, s"no tag name in: $openTag")
+}
 
 final case class SiteSpec(
     sourceName: String,
@@ -38,9 +45,11 @@ final case class SiteSpec(
       * to extract exactly the container subtree — a decoy before the
       * container (sidebar) and one after it (footer promo) are both
       * excluded, like the reference's CSS descendant scoping. A page
-      * with no container (or an unbalanced one) yields no elements,
-      * matching the CSS selector's empty result. None ⇒ whole page
-      * (Skift selects bare `article` tags, Skift/SkiftSource.py:127).
+      * with no container yields no elements (the CSS selector's empty
+      * result); an UNBALANCED container (truncated fetch) auto-closes
+      * at end of input, like the reference's lenient parser. None ⇒
+      * whole page (Skift selects bare `article` tags,
+      * Skift/SkiftSource.py:127).
       */
     container: Option[ContainerScope],
     /** P2 — one match per article element. */
@@ -101,7 +110,7 @@ object Sites {
     */
   val phocuswire: SiteSpec = SiteSpec(
     sourceName = "Phocuswire",
-    container = Some(ContainerScope("<div class=\"article-list\">", "div")),
+    container = Some(ContainerScope("<div class=\"article-list\">")),
     elementRe = "<div class=\"item\">[\\s\\S]*?</div>\\s*</div>",
     titleRe = "<a class=\"title\" href=\"[^\"]*\">([^<]*)</a>",
     hrefRe = "<a class=\"title\" href=\"([^\"]*)\">",

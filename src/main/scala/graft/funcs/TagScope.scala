@@ -7,14 +7,20 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the TWO-SIDED container scope — the
-  * substring from `openTag` through its depth-matching `</tag>` close,
-  * or "" when the container is absent or unbalanced. This is the regex
-  * layer's answer to the reference's CSS descendant scoping
-  * (`div.article-list div.item`, PhocusWire/PhocusWireSource.py:132):
-  * a regex cannot find a nested tag's matching close, so the one-sided
-  * `containerRe.*` form admitted decoys placed AFTER the listing
-  * container (footer promos); this open/close depth counter excludes
-  * both sides without an HTML parser.
+  * substring from `openTag` through its depth-matching `</tag>` close;
+  * "" when the container is absent. This is the regex layer's answer to
+  * the reference's CSS descendant scoping (`div.article-list div.item`,
+  * PhocusWire/PhocusWireSource.py:132): a regex cannot find a nested
+  * tag's matching close, so the one-sided `containerRe.*` form admitted
+  * decoys placed AFTER the listing container (footer promos); this
+  * open/close depth counter excludes both sides without an HTML parser.
+  *
+  * An UNBALANCED container (a truncated fetch, a missing close tag)
+  * auto-closes at END OF INPUT — the scope is everything from the open
+  * tag onward, exactly what the reference's lenient `html.parser`
+  * does when it auto-closes dangling elements. Items present on a
+  * truncated page are still extracted; only markup after a PROPER close
+  * is ever excluded.
   *
   * Counting dialect (shared verbatim with the DuckDB oracle's
   * `<tag[ >]` regex over `</tag>`-split segments): an open is `<tag`
@@ -61,7 +67,7 @@ object TagScope {
     var pos = start + openTag.length
     while (depth > 0) {
       val nextClose = html.indexOf(close, pos)
-      if (nextClose < 0) return "" // unbalanced: no complete subtree
+      if (nextClose < 0) return html.substring(start) // auto-close at EOF
       var nextOpen = html.indexOf(open, pos)
       while (nextOpen >= 0 && nextOpen < nextClose && !isOpen(html, nextOpen, open))
         nextOpen = html.indexOf(open, nextOpen + 1)

@@ -162,6 +162,20 @@ object MultimodalOps {
         val frames = in.getFrameLength
         val channels = fmt.getChannels
         val rate = fmt.getSampleRate.toInt
+        // Trust nothing the container reports until it is the shape the
+        // sample loop assumes: 16-bit signed little-endian PCM with a
+        // known frame count. An 8-bit or big-endian WAV parses fine but
+        // would be misread two-bytes-at-a-time into garbage 'decoded'
+        // features, and AudioSystem.NOT_SPECIFIED (-1) frames would
+        // yield a negative duration — both must fall back to the byte
+        // histogram (these requires are caught by the NonFatal handler).
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unsupported encoding ${fmt.getEncoding}")
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          "sample loop requires 16-bit little-endian")
+        require(frames >= 0 && rate > 0 && channels > 0,
+          s"unspecified frame count or bad format ($frames, $rate, $channels)")
         val durationUs = frames * 1000000L / rate
         val bytes = in.readAllBytes()
         val hist = new Array[Long](16)

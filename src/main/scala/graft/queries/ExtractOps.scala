@@ -130,17 +130,20 @@ object ExtractOps {
       -- two-sided container scope, mirroring TagScope's depth counting:
       -- split the post-marker tail on '</div>'; close #k ends the subtree
       -- when 1 + opens-before-it - k = 0 (an open is '<div' followed by
-      -- space or '>'), and the scope is the joined prefix of k segments
+      -- space or '>'), and the scope is the joined prefix of k segments;
+      -- no such k = an unbalanced container, which auto-closes at end of
+      -- input (the whole tail), exactly like TagScope.scope
       pw_tail AS (SELECT substr(html, strpos(html, '<div class="article-list">') + 26) AS s
                   FROM pw_pages WHERE strpos(html, '<div class="article-list">') > 0),
-      pw_segs AS (SELECT string_split(s, '</div>') AS g FROM pw_tail),
-      pw_k AS (SELECT g, list_filter(range(1, len(g)),
+      pw_segs AS (SELECT s, string_split(s, '</div>') AS g FROM pw_tail),
+      pw_k AS (SELECT s, g, list_filter(range(1, len(g)),
                  k -> 1 + list_aggregate(list_transform(g[1:k],
                         x -> len(regexp_extract_all(x, '<div[ >]'))), 'sum') - k = 0)[1] AS k
                FROM pw_segs),
       pw_scoped AS (SELECT '<div class="article-list">'
-                      || array_to_string(g[1:k], '</div>') || '</div>' AS html
-                    FROM pw_k WHERE k IS NOT NULL),
+                      || CASE WHEN k IS NULL THEN s
+                         ELSE array_to_string(g[1:k], '</div>') || '</div>' END AS html
+                    FROM pw_k),
       pw_elem AS (SELECT unnest(regexp_extract_all(html, '<div class="item">[\s\S]*?</div>\s*</div>')) AS element
                   FROM pw_scoped),
       pw_raw AS (SELECT

@@ -168,9 +168,17 @@ final class ArticleStore(spark: SparkSession, basePath: String,
     * lease-less store cannot distinguish a crashed writer from a slow
     * live one, and auto-stealing would re-open the lost-update window.
     */
-  private def claim(v: Long): Unit = {
+  /** Claim with a FENCING TOKEN: the marker file carries a random token,
+    * and the committing writer re-reads it immediately before the
+    * pointer swap ([[merge]]). If an operator [[abandonClaim]]'d this
+    * writer (wrongly judging it dead) — or a successor re-claimed the
+    * slot — the token is gone or different and the fenced writer aborts
+    * instead of publishing over the successor's work.
+    */
+  private def claim(v: Long): String = {
     fs.mkdirs(versionPath(v))
     val p = claimPath(v)
+    val token = java.util.UUID.randomUUID().toString
     try {
       // On local filesystems Hadoop's create(overwrite=false) is a
       // non-atomic exists-then-create; NIO createFile is O_CREAT|O_EXCL —
@@ -188,17 +196,39 @@ final class ArticleStore(spark: SparkSession, basePath: String,
           s"version $v is already claimed by another writer " +
             "(or left by a crashed one — see abandonClaim)")
     }
+    val out = fs.create(p, true) // we own the freshly-created marker
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    token
+  }
+
+  private def claimToken(v: Long): Option[String] = {
+    if (!fs.exists(claimPath(v))) None
+    else {
+      val in = fs.open(claimPath(v))
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
   }
 
   private def claimPath(v: Long) = new Path(versionPath(v), "_claim")
 
   /** Operator-invoked crash recovery: discard an UNCOMMITTED claim on the
     * next version so merges can proceed. Refuses to touch a committed
-    * version. Call only once the claiming writer is known dead.
+    * version (re-checked at the last instant), and the fencing token
+    * means a claiming writer that turns out to be alive aborts at its
+    * pre-publish token check rather than colliding with a successor.
+    * The residual window — the live writer passes its token check while
+    * this delete lands — needs a real lock service to close completely;
+    * a filesystem store narrows it to microseconds and documents it.
+    * Call only once the claiming writer is believed dead.
     */
   def abandonClaim(): Unit = {
-    val next = currentVersion + 1
-    if (fs.exists(claimPath(next))) { fs.delete(versionPath(next), true); () }
+    val cur = currentVersion
+    val next = cur + 1
+    if (fs.exists(claimPath(next)) && currentVersion == cur) {
+      fs.delete(versionPath(next), true); ()
+    }
   }
 
   /** K1 — keyed upsert: new rows win over stored rows with the same key;
@@ -227,7 +257,7 @@ final class ArticleStore(spark: SparkSession, basePath: String,
       val affected = stamped.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted
       if (affected.nonEmpty) {
-        claim(v + 1)
+        val token = claim(v + 1)
         var committed = false
         try {
           val old = affected.groupBy(b => man(b)).toSeq
@@ -244,22 +274,32 @@ final class ArticleStore(spark: SparkSession, basePath: String,
           val newMan = man.clone()
           affected.foreach(b => newMan(b) = v + 1)
           writeManifest(v + 1, newMan)
-          // CAS commit: our base version must still be current. The claim
-          // already excludes racing merges; this catches pointer movement
-          // that bypassed the claim protocol entirely.
+          // CAS commit: our base version must still be current AND our
+          // fencing token must still be on the claim. The claim already
+          // excludes racing merges; the pointer check catches movement
+          // that bypassed the protocol, and the token check fences a
+          // writer whose claim was abandoned (and possibly re-claimed)
+          // while it was presumed dead.
           val cur = currentVersion
           if (cur != v)
             throw new ConcurrentMergeException(
               s"pointer moved to v$cur while merging from v$v; aborting")
+          if (!claimToken(v + 1).contains(token))
+            throw new ConcurrentMergeException(
+              s"claim on v${v + 1} was abandoned or re-claimed; aborting")
           publish(v + 1)
           committed = true
           gc(v + 1)
         } finally {
-          // Abort cleanup must never touch a version someone else
-          // COMMITTED: if the CAS failed because a protocol-bypassing
-          // writer already published v+1 (or later), deleting v+1 would
-          // destroy the current snapshot under the pointer.
-          if (!committed && currentVersion <= v) {
+          // Abort cleanup must never touch a version that is not OURS
+          // anymore: not one someone else COMMITTED (pointer moved to
+          // v+1 — deleting would destroy the current snapshot), and not
+          // one a successor RE-CLAIMED after our claim was abandoned
+          // (token mismatch — deleting would destroy their in-progress
+          // write). Only a version still carrying our own fencing token
+          // is ours to remove.
+          if (!committed && currentVersion <= v
+              && claimToken(v + 1).contains(token)) {
             fs.delete(versionPath(v + 1), true); ()
           }
         }

@@ -55,6 +55,15 @@ object Sessionizer {
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
+        case Some(s) if t < s.startMs - gapSec * 1000 =>
+          // a straggler from BEFORE the open session's own gap window:
+          // its session was already closed and emitted, and merging it
+          // would regress startMs below an id already delivered
+          // (duplicate (user, session_id) downstream) while spanning an
+          // internal silence larger than the gap. Dropped — the same
+          // too-late-to-amend contract as any emitted-append stream.
+          // Unreachable in the batch path (events sorted ascending).
+          ()
         case Some(s) if t - s.endMs <= gapSec * 1000 =>
           open = Some(s.copy(startMs = math.min(s.startMs, t),
             endMs = math.max(s.endMs, t), n = s.n + 1))

@@ -23,7 +23,7 @@ class ExtensibilitySpec extends SparkSpec {
   // <li class="story">, ISO date in a data attribute.
   private val newsml: SiteSpec = SiteSpec(
     sourceName = "Newsml",
-    container = Some(graft.extract.ContainerScope("<section class=\"feed\">", "section")),
+    container = Some(graft.extract.ContainerScope("<section class=\"feed\">")),
     elementRe = "<li class=\"story\">[\\s\\S]*?</li>",
     titleRe = "<a class=\"headline\" href=\"[^\"]*\">([^<]*)</a>",
     hrefRe = "<a class=\"headline\" href=\"([^\"]*)\">",

@@ -116,6 +116,25 @@ class HtmlExtractSpec extends SparkSpec {
       Seq("2025-07-02 00:00:00.0", "2025-07-03 00:00:00.0")
   }
 
+  test("a truncated page (unbalanced container) still yields its items") {
+    // fetch cut off mid-stream: container never closes — the reference's
+    // lenient parser auto-closes and extracts every complete item, and so
+    // must the depth counter
+    val truncated =
+      """<div class="article-list">
+        |<div class="item"><a class="title" href="/news/t1">T One</a>
+        |<div class="author"><span class="name">By Jo</span> | July 2, 2025</div></div>
+        |<div class="item"><a class="title" href="/news/t2">T Two</a>
+        |<div class="author"><span class="name">By Sam</span> | July 3, 2025</div></div>""".stripMargin
+    val out = HtmlExtract.articles(
+      Seq(truncated).toDF("html"), "html", Sites.phocuswire)
+      .orderBy("News_link").collect()
+    out.map(_.getString(2)).toSeq shouldBe Seq("T One", "T Two")
+    // the early-stop probe sees the same two elements
+    graft.source.PaginatedSource.pageDates(Sites.phocuswire, truncated)
+      .flatten.length shouldBe 2
+  }
+
   test("TagScope extracts exactly the balanced container subtree") {
     import graft.funcs.TagScope
     // nested same-tag children are depth-counted, not terminated early
@@ -123,9 +142,12 @@ class HtmlExtractSpec extends SparkSpec {
       """pre<div class="c"><div a="1">x</div><div>y</div></div>post""",
       "<div class=\"c\">", "div") shouldBe
       """<div class="c"><div a="1">x</div><div>y</div></div>"""
-    // absent container and unbalanced markup both yield ""
+    // absent container yields ""; unbalanced markup (truncated page)
+    // auto-closes at end of input like a lenient parser — items present
+    // on the page are still extracted
     TagScope.scope("<div class=\"other\">x</div>", "<div class=\"c\">", "div") shouldBe ""
-    TagScope.scope("<div class=\"c\"><div>x</div>", "<div class=\"c\">", "div") shouldBe ""
+    TagScope.scope("<div class=\"c\"><div>x</div>", "<div class=\"c\">", "div") shouldBe
+      "<div class=\"c\"><div>x</div>"
     // a '<divx' pseudo-tag is not an open (dialect: '<div' + space or '>')
     TagScope.scope("<div class=\"c\"><divx></div>rest", "<div class=\"c\">", "div") shouldBe
       "<div class=\"c\"><divx></div>"

@@ -84,6 +84,31 @@ class MultimodalSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("decode falls back for a parseable WAV whose format the sample loop can't read") {
+    // a VALID 8-bit PCM WAV: AudioSystem parses it happily, but reading
+    // its samples two-bytes-at-a-time would fabricate garbage features —
+    // the format check must reject it into the byte-histogram fallback
+    val n = 64
+    val out8 = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out8.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    out8.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    out8.put("data".getBytes("US-ASCII")).putInt(n)
+    (0 until n).foreach(i => out8.put((i * 3).toByte))
+    val payload = out8.array()
+    // sanity: the JDK does parse it as 8-bit audio
+    val fmt = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload)).getFormat
+    fmt.getSampleSizeInBits shouldBe 8
+    val res = MultimodalOps.Decode.decode(
+      Iterator(MultimodalOps.MediaRow(3L, "audio", payload))).toSeq
+    res should have size 1
+    res.head.sample_rate shouldBe 0 // NOT emitted as decoded
+    res.head.hist.sum shouldBe payload.length.toLong // byte histogram
+  }
+
   test("decode falls back to the byte histogram when a payload merely starts with RIFF/WAVE") {
     // a valid RIFF/WAVE magic with garbage chunk contents: AudioSystem
     // throws (not always IOException) and decode must fall back, not fail

@@ -129,4 +129,38 @@ class SessionizerSpec extends SparkSpec {
     // distinct ids across the eviction boundary (start-millis keying)
     rows.map(_.getLong(1)).distinct.length shouldBe 2
   }
+
+  test("expiring: a straggler from before the open session's window is dropped, not merged") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionsExpiring(mem.toDS(), gapSec = 60,
+        lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_strag")
+      .option("checkpointLocation", tmpDir("ckpt-sess-strag"))
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // session A closes in-stream when B's first event exceeds the gap
+    mem.addData(SessionEvent(7, t("2024-01-01 10:00:00"), 1),
+                SessionEvent(7, t("2024-01-01 10:00:30"), 2))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(7, t("2024-01-01 10:02:00"), 3))
+    q.processAllAvailable()
+    // a late duplicate of A's first event (admissible: watermark is
+    // 09:52) — merging it into B would regress B.startMs onto A's
+    // already-emitted session_id and span a silence larger than the gap
+    mem.addData(SessionEvent(7, t("2024-01-01 10:00:00"), 4))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(8, t("2024-01-01 11:00:00"), 5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_strag")
+      .filter(col("user_id") === 7).orderBy("start_s").collect()
+    rows.length shouldBe 2
+    rows(0).getString(2) shouldBe "2024-01-01 10:00:00" // A
+    rows(0).getLong(4) shouldBe 2L
+    rows(1).getString(2) shouldBe "2024-01-01 10:02:00" // B: straggler NOT merged
+    rows(1).getLong(4) shouldBe 1L
+    rows.map(_.getLong(1)).distinct.length shouldBe 2 // no id collision
+  }
 }
