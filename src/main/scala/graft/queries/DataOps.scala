@@ -568,6 +568,29 @@ object DataOps {
 
   // --------------------------------------------------- similarity search
 
+  /** Int8 symmetric quantization of the embedding column — the STORAGE
+    * binding for vector corpora at 100 TB (4× smaller than float32,
+    * SIMD-friendly dot products). Per-vector scale = maxabs/127; a zero
+    * vector quantizes to zeros with scale 0. Per-row `transform`/
+    * `aggregate` work, zero shuffles. Float output ⇒ no cross-engine
+    * oracle; QuantizeSpec bounds the reconstruction error at the
+    * half-step guarantee and pins cosine fidelity on the real corpus
+    * (same spec-bounded pattern as [[keywordSearchBm25]] /
+    * `approxDistinctHll`).
+    */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+          .as("maxabs"))
+      .select(col("vec_id"),
+        (col("maxabs") / lit(127.0)).as("scale"),
+        expr("""CASE WHEN maxabs = 0.0
+                THEN transform(embedding, x -> CAST(0 AS TINYINT))
+                ELSE transform(embedding,
+                     x -> CAST(round(x * 127.0 / maxabs) AS TINYINT)) END""")
+          .as("q8"))
+
   /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 5)
     * is broadcast; every partition scores its vectors locally. Ranking is
     * on the ROUNDED score with vec_id tie-break so both engines rank
