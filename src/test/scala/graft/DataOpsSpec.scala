@@ -323,7 +323,15 @@ class DataOpsSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val random = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter(p => p._1 != p._2)
-    Seq(chain, starMaxCenter, bridged, random).foreach { g =>
+    // density extremes: a sparse forest (many small components) and a
+    // dense near-clique (one giant component, high-degree hubs)
+    val rs = new scala.util.Random(13)
+    val sparse = Seq.fill(40)((rs.nextInt(100).toLong, rs.nextInt(100).toLong))
+      .filter(p => p._1 != p._2)
+    val rd = new scala.util.Random(42)
+    val dense = Seq.fill(400)((rd.nextInt(25).toLong, rd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    Seq(chain, starMaxCenter, bridged, random, sparse, dense).foreach { g =>
       val (a, b) = (viaPropagate(g), viaStars(g))
       withClue(s"graph=${g.take(3)}…: ") { b shouldBe a }
     }
