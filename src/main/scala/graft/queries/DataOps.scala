@@ -782,9 +782,12 @@ object DataOps {
     * frame to re-join against the whole graph, which is why it wins on
     * skewed 100 TB graphs: a hot node's edges collapse onto its minimum
     * in one large-star step instead of propagating through it round by
-    * round. Convergence here is an exact set-equality check (two cheap
-    * anti-join counts on checkpointed rounds); at 100 TB compare a
-    * count + hash-sum checksum instead — one aggregate, no join.
+    * round. Convergence: every non-final round is detected by a
+    * (count, hash-sum) CHECKSUM — one partial-aggregable pass, no join,
+    * the shape that holds at 100 TB — and only a checksum MATCH pays
+    * the exact set-equality confirmation (two anti-join probes), so the
+    * loop's exactness never rests on hash luck while the per-round cost
+    * stays one aggregate.
     */
   private[graft] def largeSmallStar(pairs: DataFrame): DataFrame = {
     // large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
@@ -810,18 +813,29 @@ object DataOps {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
+    // hash-sum accumulates in decimal(38,0): a long sum overflows under
+    // ANSI mode after a few billion rows (and threw here at sf0.1)
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var edgesSig = checksum(edges)
     var stable = false
     while (!stable) {
-      // Eager checkpoint + two directional short-circuit probes. Measured
-      // against both a lazy checkpoint (partially-materialized partitions
-      // recompute from lineage next round) and a single combined
-      // symmetric-difference probe (loses the first probe's limit-1
-      // short-circuit on changed rounds) — this form benched fastest.
+      // Eager checkpoint (a lazy one leaves partially-materialized
+      // partitions that recompute from lineage next round — measured),
+      // then the checksum probe; the exact confirmation runs only when
+      // the checksums agree, typically once, at the fixpoint.
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextSig = checksum(next)
+      stable = nextSig == edgesSig &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
+      edgesSig = nextSig
     }
     // converged: every edge points a node at its component minimum
     edges.select(col("u").as("doc_id"), col("v").as("rep"))
