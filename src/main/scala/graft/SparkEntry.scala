@@ -56,6 +56,7 @@ object SparkEntry {
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
+    "dedup_incremental" -> (DataOps.dedupIncremental _),
     "ngram_jaccard" -> (DataOps.ngramJaccard _),
     "dedup_simhash" -> (DataOps.dedupSimhash _),
     "doc_fingerprint" -> (DataOps.docFingerprint _),

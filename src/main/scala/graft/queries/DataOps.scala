@@ -168,6 +168,81 @@ object DataOps {
     cachedScope(sh) { dedupOnShingles(sh, BandBucketCap) }
   }
 
+  /** INCREMENTAL near-dup dedup: check a new batch against a persisted
+    * [[graft.sink.SignatureIndex]] — the daily operation a production
+    * 100 TB pipeline actually runs (full-corpus re-dedup being a one-time
+    * backfill). Returns every verified near-dup pair TOUCHING the batch,
+    * tagged `new_hist` (one side already indexed) or `new_new` (both in
+    * the batch), then appends the batch's signatures so the next run sees
+    * this batch as history.
+    *
+    * Scale shape — the whole point of the index:
+    *  - History's RAW TEXT is never read. The new-vs-history join runs
+    *    over the stored band rows (a few dozen bytes per doc) with the
+    *    day's batch digests BROADCAST — history is never shuffled, and
+    *    the `pb` partition key in the join lets partition pruning skip
+    *    index cells no batch digest lands in.
+    *  - Hot buckets are bounded exactly as in [[lshCandidates]]: only
+    *    history rows with stored bucket-arrival rank `rk <= cap` partner
+    *    with a batch doc (exhaustive — byte-identical to the uncapped
+    *    join — while buckets stay under the cap; see
+    *    [[graft.sink.SignatureIndex]] for the over-cap trade).
+    *  - Verification joins the (small) candidate pair set against the
+    *    stored shingle sets; the candidate side broadcasts, so the
+    *    shingle store is a pruned scan, not a shuffle.
+    *  - Two-batch-sequential ≡ one-batch-full (IncrementalDedupSpec),
+    *    with batch 2's job succeeding after batch 1's raw text is
+    *    DELETED — the signatures-only contract, proven behaviorally.
+    *
+    * Precondition: batch doc_ids are new (exact-key dedup upstream).
+    */
+  def dedupIncrementalOn(idx: graft.sink.SignatureIndex, batchDocs: DataFrame,
+                         cap: Int = BandBucketCap): DataFrame = {
+    val batchSh = shingledOn(batchDocs)
+    batchSh.cache()
+    try {
+      val batchBands = bandDigests(batchSh)
+        .withColumn("pb", graft.sink.SignatureIndex.pb(col("h")))
+      val hist = idx.bands.filter(col("rk") <= cap)
+      val nh = hist.as("ha")
+        .join(broadcast(batchBands.as("nb")),
+          col("ha.pb") === col("nb.pb") && col("ha.b") === col("nb.b") &&
+            col("ha.h") === col("nb.h"))
+        .select(least(col("ha.doc_id"), col("nb.doc_id")).as("doc_a"),
+                greatest(col("ha.doc_id"), col("nb.doc_id")).as("doc_b"))
+        .distinct()
+        .withColumn("pair_type", lit("new_hist"))
+      val nn = lshCandidates(batchSh, cap).withColumn("pair_type", lit("new_new"))
+      val allSh = idx.shingles.unionByName(batchSh.select(col("doc_id"), col("sh")))
+      // Eagerly materialized BEFORE the append below — the result must not
+      // re-read an index that already contains this batch.
+      val out = jaccardOnPairs(nh.unionByName(nn), allSh, threshold = 0.8,
+        extra = Seq("pair_type")).localCheckpoint(true)
+      idx.append(batchSh)
+      out
+    } finally { batchSh.unpersist(blocking = false); () }
+  }
+
+  /** Graded binding of [[dedupIncrementalOn]]: even doc_ids are "today's
+    * batch", odd doc_ids are pre-indexed history (scratch index on local
+    * disk, deleted after the eager materialization). The oracle is the
+    * UNCAPPED pair join over history ∪ batch restricted to pairs touching
+    * the batch — the cap is invisible at bench bucket sizes (max 3
+    * observed vs cap 32), so equality with the incremental path is exact.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val hist = d.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx-")
+    val idx = new graft.sink.SignatureIndex(spark, tmp.toString)
+    idx.append(shingledOn(hist))
+    val out = dedupIncrementalOn(idx, batch)
+    val p = new org.apache.hadoop.fs.Path(tmp.toString)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   /** Exact Jaccard over candidate pairs: join each pair to its two shingle
     * SETS and intersect per row (`array_intersect` on already-distinct
     * arrays — same count as the exploded join+groupBy form, in 2 joins and
@@ -177,16 +252,19 @@ object DataOps {
     * the cheap side at any scale.
     */
   private def jaccardOnPairs(cand: DataFrame, sh: DataFrame,
-                             threshold: Double): DataFrame =
+                             threshold: Double,
+                             extra: Seq[String] = Nil): DataFrame = {
+    val ex = extra.map(col)
     cand
       .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double").as("i"),
-        (size(col("sa.sh")) + size(col("sb.sh"))).as("nn"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("i") / (col("nn") - col("i")), 3).as("jaccard"))
+      .select(col("doc_a") +: col("doc_b") +: ex :+
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double").as("i") :+
+        (size(col("sa.sh")) + size(col("sb.sh"))).as("nn"): _*)
+      .select(col("doc_a") +: col("doc_b") +: ex :+
+        round(col("i") / (col("nn") - col("i")), 3).as("jaccard"): _*)
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Exact n-gram (word 3-gram) Jaccard similarity join with PREFIX
     * FILTERING (SSJoin/PPJoin family): order each doc's shingles by
@@ -1163,6 +1241,31 @@ object DataOps {
                   GROUP BY 1, 2),
         sz AS (SELECT doc_id, len(sh) AS n FROM shx)
         SELECT i2.doc_a, i2.doc_b,
+               round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
+        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
+        JOIN sz sb ON sb.doc_id = i2.doc_b
+        WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8""",
+      "dedup_incremental" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        sig AS (SELECT doc_id, $mh FROM shx),
+        bnd AS (SELECT doc_id, $bands FROM sig),
+        bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bl a JOIN bl b ON a.u.b = b.u.b AND a.u.h = b.u.h
+                  AND a.doc_id < b.doc_id
+                 WHERE a.doc_id % 2 = 0 OR b.doc_id % 2 = 0),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT i2.doc_a, i2.doc_b,
+               CASE WHEN i2.doc_a % 2 = 0 AND i2.doc_b % 2 = 0
+                    THEN 'new_new' ELSE 'new_hist' END AS pair_type,
                round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
         FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
         JOIN sz sb ON sb.doc_id = i2.doc_b

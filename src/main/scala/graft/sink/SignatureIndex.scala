@@ -1,0 +1,107 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+
+/** Persisted MinHash signature/band index — the state a production dedup
+  * pipeline keeps between ingest runs so that a new batch is near-dup
+  * checked against ALL history without ever rescanning history's raw text
+  * (the reference's watermark+upsert incremental contract,
+  * database_utils/database_methods.py:40-107, lifted from the exact-key
+  * level to the near-dup level).
+  *
+  * Layout (append-only; the ArticleStore bucketing pattern applied to the
+  * band join key instead of the primary key):
+  *
+  * {{{
+  *   base/bands/pb=<p>/part-*.parquet     (doc_id, b, h, rk)
+  *   base/shingles/part-*.parquet         (doc_id, sh)
+  * }}}
+  *
+  *  - `bands` holds one row per (doc, LSH band): `b` = band ordinal, `h` =
+  *    the band digest, `rk` = the doc's ARRIVAL RANK within its (b, h)
+  *    bucket (1 = first ever indexed). Partitioned by `pb = crc32(h) % 16`
+  *    so a deployment can prune scans to the partitions a batch actually
+  *    touches (the incremental join carries `pb` as a join key for exactly
+  *    that) and a metastore-bucketed variant gets storage-aligned joins.
+  *  - `shingles` holds each doc's distinct shingle set — everything exact
+  *    Jaccard verification needs, so candidate pairs against history are
+  *    verified from the index alone.
+  *
+  * `rk` is what makes the hot-bucket cap work incrementally: the batch join
+  * takes only history rows with `rk <= cap` as partners (see
+  * [[graft.queries.DataOps.dedupIncrementalOn]]), and the rank is
+  * maintained at append time from the index's own bucket counts — a
+  * signatures-only aggregate, never a text rescan. Buckets at or under the
+  * cap are exhaustive (identical to the uncapped join); an over-cap
+  * boilerplate bucket bounds each batch doc's partners to the cap
+  * earliest-indexed members — the same bounded-recall trade as
+  * [[graft.queries.DataOps.BandBucketCap]], in arrival order rather than
+  * doc_id order.
+  *
+  * Appends assume batch doc_ids are NEW (the caller dedups exact keys
+  * first — upsert-style replacement belongs to [[ArticleStore]]).
+  */
+final class SignatureIndex(spark: SparkSession, basePath: String) {
+  import SignatureIndex._
+
+  private val base = new Path(basePath)
+  private def fs: FileSystem =
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def bandsPath = new Path(base, "bands")
+  private def shinglesPath = new Path(base, "shingles")
+
+  private def readOrEmpty(p: Path, schema: StructType): DataFrame =
+    if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** (doc_id, b, h, rk, pb) for every indexed document. */
+  def bands: DataFrame = readOrEmpty(bandsPath, BandsSchema)
+
+  /** (doc_id, sh) for every indexed document. */
+  def shingles: DataFrame = readOrEmpty(shinglesPath, ShinglesSchema)
+
+  /** Index a batch's signatures: derive band digests from the shingle
+    * frame, rank each row within its (b, h) bucket AFTER the bucket's
+    * current population (aggregated from the stored bands — signatures
+    * only), and append both tables. One pass over the batch text upstream
+    * (the caller's shingle frame), zero passes over history text.
+    */
+  def append(batchSh: DataFrame): Unit = {
+    val bb = graft.queries.DataOps.bandDigests(batchSh)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("h")).orderBy(col("doc_id"))
+    val existing = bands.groupBy(col("b"), col("h"))
+      .agg(count(lit(1)).as("n0"))
+    val ranked = bb
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(existing), Seq("b", "h"), "left")
+      .select(col("doc_id"), col("b"), col("h"),
+        (coalesce(col("n0"), lit(0L)) + col("rn")).cast("long").as("rk"),
+        pb(col("h")).as("pb"))
+    ranked.write.mode("append").partitionBy("pb").parquet(bandsPath.toString)
+    batchSh.select(col("doc_id"), col("sh"))
+      .write.mode("append").parquet(shinglesPath.toString)
+  }
+}
+
+object SignatureIndex {
+  /** Partition cell of a band digest — small fixed fan-out so appends stay
+    * a handful of files and point joins can prune.
+    */
+  def pb(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(crc32(h), lit(16)).cast("int")
+
+  val BandsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("b", IntegerType),
+    StructField("h", StringType),
+    StructField("rk", LongType),
+    StructField("pb", IntegerType)))
+
+  val ShinglesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(StringType))))
+}
