@@ -342,19 +342,49 @@ object DataOps {
     *
     * Scale: the exact side is the quadratic one — at 100 TB this runs
     * over a uniform SAMPLE of the corpus (recall estimates need a few
-    * thousand true pairs, not all of them); the LSH side is the same
-    * banded join the production dedup already pays.
+    * thousand true pairs, not all of them): that binding is
+    * [[lshRecallSampled]], same core with the truth side restricted to a
+    * deterministic hash sample. The LSH side is the same banded join the
+    * production dedup already pays.
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val big = shingled(spark, dir)
-    cachedScope(big) {
-      val exact = ngramPairsOn(big, threshold = 0.8)
-      val lsh = dedupOnShingles(big, BandBucketCap)
-        .select(col("doc_a"), col("doc_b"), lit(true).as("fnd"))
-      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"), col("jaccard"),
-          coalesce(col("fnd"), lit(false)).as("found_by_lsh"))
-    }
+    cachedScope(big) { lshRecallOn(big, big) }
+  }
+
+  /** Exact ground truth over `truth` (a subset of the corpus shingles),
+    * LSH candidates over the FULL corpus `big` — truth pairs flagged with
+    * whether production LSH found them.
+    */
+  private def lshRecallOn(big: DataFrame, truth: DataFrame): DataFrame = {
+    val exact = ngramPairsOn(truth, threshold = 0.8)
+    val lsh = dedupOnShingles(big, BandBucketCap)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("fnd"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("fnd"), lit(false)).as("found_by_lsh"))
+  }
+
+  /** The 100 TB binding of [[lshRecall]]: the quadratic exact-truth side
+    * runs over a deterministic 1/`denom` hash sample of the corpus
+    * (membership = md5(doc_id) mod denom — reproducible and independent
+    * of data order, the [[stratifiedSample]] draw), while the LSH side
+    * still covers the full corpus. Every reported row is therefore also a
+    * row of the full monitor with the SAME found_by_lsh flag
+    * (SampledRecallSpec pins subset + flag agreement + the recall
+    * estimate at two SFs) — the estimate converges as the sample grows,
+    * and the exact side's cost falls by denom² (pairs need BOTH endpoints
+    * sampled). Spec-bounded binding, not a graded query: output depends
+    * on the sampling parameter, and the full operator already carries the
+    * oracle.
+    */
+  def lshRecallSampled(spark: SparkSession, dir: String,
+                       denom: Int = 4): DataFrame = {
+    val big = shingled(spark, dir)
+    val sample = big.filter(
+      pmod(conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
+        16, 10).cast("long"), lit(denom)) === 0)
+    cachedScope(big) { lshRecallOn(big, sample) }
   }
 
   private val SimhashBits = 32
