@@ -742,19 +742,49 @@ object DataOps {
     */
   def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
     val b = emb(spark, dir)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding").as("v"),
         VectorOps.signBucket(col("embedding"), 4).as("bucket"),
         sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+    annTopkWithinBuckets(b, VectorOps.dot)
+  }
+
+  /** Per-bucket cosine top-3 over a (vec_id, v, bucket, nrm) frame — the
+    * join + two-phase-free window shared by the float and quantized ANN
+    * bindings (per-bucket cardinality is the skew bound, see
+    * [[annLshBucket]]).
+    */
+  private def annTopkWithinBuckets(b: DataFrame,
+                                   dot: (Column, Column) => Column): DataFrame = {
     val pairs = b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("neighbor_id"),
-        (round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
+        (round(dot(col("a.v"), col("b.v")).cast("double")
           / (col("a.nrm") * col("b.nrm")), 4) + lit(0.0)).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+  }
+
+  /** QUANTIZED composition of [[quantizeEmbeddings]] (N36 storage
+    * binding) and [[annLshBucket]]: the bucketed ANN running entirely
+    * over int8 vectors — what the 100 TB vector store actually executes,
+    * at 4× less scan volume per candidate. Scoring is the native
+    * [[graft.funcs.Int8Dot]] EXACT integer dot; the per-vector scales
+    * cancel in the cosine, and sign buckets are scale-invariant too
+    * (scale > 0), so the float pipeline's bucket assignment differs only
+    * where quantization flips a near-tie projection. Spec-bounded
+    * (AnnQuantizedSpec: per-query neighbor overlap vs the float path at
+    * two SFs) — the output is a float-fidelity trade by design, so there
+    * is no cross-engine oracle, same as the other approx bindings.
+    */
+  def annLshBucketQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val b = quantizeEmbeddings(spark, dir)
+      .select(col("vec_id"), col("q8").as("v"),
+        VectorOps.signBucket(col("q8"), 4).as("bucket"),
+        sqrt(graft.funcs.Int8Dot(col("q8"), col("q8")).cast("double")).as("nrm"))
+    annTopkWithinBuckets(b, graft.funcs.Int8Dot.apply)
   }
 
   // ------------------------------------------ dataset assembly operators
