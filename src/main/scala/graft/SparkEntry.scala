@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_simhash" -> (DataOps.dedupSimhash _),
     "doc_fingerprint" -> (DataOps.docFingerprint _),
     "doc_text_stats" -> (DataOps.docTextStats _),
+    "normalize_text" -> (DataOps.normalizeText _),
     "lang_id" -> (DataOps.langId _),
     "doc_quality" -> (DataOps.docQuality _),
     "token_counts" -> (DataOps.tokenCounts _),

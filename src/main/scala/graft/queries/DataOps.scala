@@ -387,6 +387,35 @@ object DataOps {
     cachedScope(big) { lshRecallOn(big, sample) }
   }
 
+  /** Canonical text normalization as a graded operator. The corpus is
+    * already clean ASCII, so the query first synthesizes the mess a real
+    * crawl contains — deterministically, in BOTH engines (the
+    * [[RefOps.jsonlParse]] pattern): doc_id % 3 == 0 gets a zero-width
+    * prefix, uppercasing and trailing whitespace (noise the normalizer
+    * must fully REPAIR — `changed` proves round-trip by staying false);
+    * doc_id % 3 == 1 gets NFD-decomposed accents (every 'a' → 'a' +
+    * combining acute, which NFC must recompose to 'á' — `changed` stays
+    * true). Normalization itself is [[TextOps.normalize]]: per-row,
+    * zero-shuffle, codegen'd. The point at 100 TB: dedup signatures run
+    * on `norm_text`, so encoding variants of one document collide
+    * (NormalizeDedupSpec shows MinHash-LSH missing all planted
+    * mixed-encoding near-dups on raw text and catching every one after
+    * normalization).
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("\u200B"), upper(col("text")), lit("  \t")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            regexp_replace(col("text"), "a", "a\u0301"))
+          .otherwise(col("text")).as("raw"))
+      .select(col("doc_id"), col("text"),
+        TextOps.normalize(col("raw")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"),
+        length(col("norm_text")).as("n_chars_norm"))
+
   private val SimhashBits = 32
   private val SimhashBandBits = 8 // 4 bands: hamming <= 3 fully covered
 
@@ -1360,6 +1389,18 @@ object DataOps {
                FROM th)
         SELECT doc_id, (sum(i::BIGINT * h::BIGINT) % 1000003)::BIGINT AS fp
         FROM tb GROUP BY 1""",
+      "normalize_text" -> """
+        WITH noisy AS (SELECT doc_id, text,
+          CASE WHEN doc_id % 3 = 0 THEN chr(8203) || upper(text) || '  ' || chr(9)
+               WHEN doc_id % 3 = 1 THEN regexp_replace(text, 'a', 'a' || chr(769), 'g')
+               ELSE text END AS raw FROM documents),
+        n AS (SELECT doc_id, text,
+          trim(regexp_replace(regexp_replace(lower(nfc_normalize(raw)),
+            '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+            '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+', ' ', 'g')) AS norm_text
+          FROM noisy)
+        SELECT doc_id, norm_text, norm_text != text AS changed,
+               length(norm_text) AS n_chars_norm FROM n""",
       "doc_text_stats" -> """
         SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
                round(list_aggregate(list_transform(w, t -> length(t)), 'sum')

@@ -20,6 +20,24 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical text normalization — the pass a training-data pipeline
+    * runs BEFORE tokenizing or deduping, so that encoding-level variants
+    * (NFD vs NFC accents, case, zero-width characters, whitespace runs)
+    * of the same content collide instead of slipping past every
+    * signature: NFC compose (native [[graft.funcs.NfcNormalize]]) →
+    * case-fold → strip zero-width/BOM code points → collapse whitespace
+    * runs to one space → trim. Per-row, zero shuffles; each step mirrors
+    * one DuckDB function (`nfc_normalize`/`lower`/`regexp_replace` with
+    * 'g'), which is what makes [[graft.queries.DataOps.normalizeText]]
+    * oracle-gradable. The whitespace class is spelled explicitly because
+    * Java's `\s` and RE2's differ on VT (U+000B).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(graft.funcs.NfcNormalize(text)),
+        "[\u200B\u200C\u200D\uFEFF]", ""),
+      "[ \t\n\r\f]+", " "))
+
   /** Distinct word n-gram shingles of a token array; empty array when the
     * doc has fewer than n tokens. Per-row work with no shuffle, compiled:
     * binds the native [[graft.funcs.WordShingles]] expression (the
