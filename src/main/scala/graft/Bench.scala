@@ -100,11 +100,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.values.map(_._1).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(full)
     // The full object has outgrown tail-window captures (BENCH_r04's tail
     // cut the front of the line and lost the total). A second minimal
     // line keeps the graded number visible in ANY capture window.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${timed.size},"failed":${failed.distinct.size}}""")
+    // Durable artifact: stdout capture has truncated the full object two
+    // rounds running (BENCH_r04/r05 tails), so the complete per-query
+    // record is also WRITTEN TO A FILE and committed per round.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
