@@ -1,0 +1,46 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Cross-run, cross-partitioning determinism, pinned in CI: the five most
+  * expensive graded queries (r5 bench) run in two FRESH sessions — one at
+  * 4 shuffle partitions, one at 32 — must produce identical row-set
+  * hashes. Partition count changes aggregation grouping order, shuffle
+  * layout and window partition boundaries, so a nondeterministic
+  * aggregate sneaking into a hot query (an unsorted float fold, an
+  * unordered collect_list, a tie without a total order) fails HERE
+  * instead of in the DuckDB oracle rounds later. Sessions are
+  * `newSession()` forks: shared context, independent SQL conf — the
+  * partition-count knob is session-scoped.
+  */
+class PartitionDeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val heavy = Seq("html_extract", "dedup_cluster_star",
+    "cluster_keep_best", "lsh_recall", "corpus_select")
+
+  private def hash(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val canon = df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "\u0000" else v.toString)
+        .mkString("\u0001"))
+      .sorted.mkString("\n")
+    MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  heavy.foreach { name =>
+    test(s"$name hashes identically at 4 and 32 shuffle partitions") {
+      val fn = SparkEntry.queries(name)
+      val s4 = spark.newSession()
+      s4.conf.set("spark.sql.shuffle.partitions", "4")
+      val s32 = spark.newSession()
+      s32.conf.set("spark.sql.shuffle.partitions", "32")
+      try hash(fn(s4, dir)) shouldBe hash(fn(s32, dir))
+      finally { s4.catalog.clearCache(); s32.catalog.clearCache() }
+    }
+  }
+}
