@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.MultimodalOps
 
 /** Multimodal plumbing contract: BINARY payload column with typed
-  * metadata, per-partition decode boundary (stubbed — no codecs in this
-  * container), deterministic features.
+  * metadata, per-partition decode boundary, deterministic features. All
+  * three modalities decode for real with the stock JDK: BMP stills and
+  * WAV audio through their codecs, video through the concatenated-BMP
+  * [[MultimodalOps.Bmv]] stand-in container (per-frame raster decode).
   */
 class MultimodalSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
@@ -155,5 +157,56 @@ class MultimodalSpec extends SparkSpec {
     meta.join(f, "doc_id").filter(col("n_bytes") =!= col("fb"))
       .count() shouldBe 0L
     meta.filter(col("n_chunks") =!= col("n_frames")).count() shouldBe 0L
+  }
+
+  test("video decode is real: per-frame ImageIO features from BMV clips") {
+    import spark.implicits._
+    val f = MultimodalOps.extractVideoFeatures(spark, sf).collect()
+    f.nonEmpty shouldBe true
+    f.foreach { r =>
+      val expFrames = 3 + (r.doc_id % 3).toInt
+      r.n_frames shouldBe expFrames
+      (r.width, r.height) shouldBe (16, 8)
+      r.duration_us shouldBe expFrames * 100000L
+      // histogram mass = w*h*frames — decoded pixels, not payload bytes
+      r.hist.sum shouldBe 16L * 8 * expFrames
+    }
+  }
+
+  test("per-frame luminance matches a from-first-principles recomputation and drifts") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") % 3 === 2)
+      .as[(Long, String)].collect().toMap
+    val lums = MultimodalOps.videoFrameLuminance(spark, sf).collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(_._2).map(_._3).toSeq }
+    lums.keySet shouldBe texts.keySet
+    var drifting = 0
+    lums.foreach { case (id, perFrame) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val expected = perFrame.indices.map { fIdx =>
+        val sum = (0 until 16 * 8).map { p =>
+          val ch = (0 until 3).map(c =>
+            bytes((3 * p + c + 7 * fIdx) % bytes.length) & 0xFF)
+          (ch(0) + ch(1) + ch(2)) / 3
+        }.map(_.toLong).sum
+        sum * 1000L / (16L * 8)
+      }
+      perFrame shouldBe expected
+      if (perFrame.distinct.size > 1) drifting += 1
+    }
+    // the phase shift makes the temporal axis move for real content
+    assert(drifting > lums.size / 2, s"only $drifting/${lums.size} clips drift")
+  }
+
+  test("decode falls back to the byte histogram for a truncated BMV clip") {
+    import spark.implicits._
+    val clip = MultimodalOps.videoTable(spark, sf).head()
+    val cut = java.util.Arrays.copyOfRange(clip.payload, 0, clip.payload.length - 20)
+    val rows = Seq(MultimodalOps.MediaRow(clip.doc_id, "video", cut))
+    val out = MultimodalOps.Decode.decode(rows.iterator).toSeq.head
+    out.n_frames shouldBe 0
+    out.hist.sum shouldBe cut.length.toLong
   }
 }
