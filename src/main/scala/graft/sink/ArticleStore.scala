@@ -157,47 +157,58 @@ final class ArticleStore(spark: SparkSession, basePath: String,
       }
   }
 
-  /** Optimistic concurrency acquire: claim version `v` by EXCLUSIVE
-    * create of its `_claim` marker — the filesystem's atomic
-    * create-if-absent is the compare-and-swap. Exactly one of two
-    * concurrent merges that both read the same base version can create
-    * `v(N+1)/_claim`; the loser aborts cleanly before writing a byte of
-    * data, so no writer's buckets are ever silently dropped. A claim
-    * left by a CRASHED writer (claimed, never published) blocks new
-    * merges until [[abandonClaim]] — deliberately manual, because a
-    * lease-less store cannot distinguish a crashed writer from a slow
-    * live one, and auto-stealing would re-open the lost-update window.
-    */
-  /** Claim with a FENCING TOKEN: the marker file carries a random token,
-    * and the committing writer re-reads it immediately before the
-    * pointer swap ([[merge]]). If an operator [[abandonClaim]]'d this
-    * writer (wrongly judging it dead) — or a successor re-claimed the
-    * slot — the token is gone or different and the fenced writer aborts
-    * instead of publishing over the successor's work.
+  /** Optimistic concurrency acquire: claim version `v` by atomically
+    * PUBLISHING a token-bearing `_claim` marker — the filesystem's
+    * atomic no-overwrite link/rename is the compare-and-swap, and the
+    * token travels INSIDE it, so claim acquisition and token persistence
+    * are one step: a claim is never readable without its final token,
+    * and no second write exists for a stalled writer to clobber a
+    * successor's token with. Exactly one of two concurrent merges that
+    * both read the same base version can publish `v(N+1)/_claim`; the
+    * loser aborts cleanly before writing a byte of data, so no writer's
+    * buckets are ever silently dropped.
+    *
+    * The token is the FENCE: the committing writer re-reads the marker
+    * immediately before the pointer swap ([[merge]]); if an operator
+    * [[abandonClaim]]'d this writer (wrongly judging it dead) and a
+    * successor re-claimed the slot, the token differs and the fenced
+    * writer aborts instead of publishing over the successor's work. A
+    * claim left by a CRASHED writer blocks new merges until
+    * [[abandonClaim]] — deliberately manual, because a lease-less store
+    * cannot distinguish a crashed writer from a slow live one, and
+    * auto-stealing would re-open the lost-update window.
     */
   private def claim(v: Long): String = {
     fs.mkdirs(versionPath(v))
     val p = claimPath(v)
     val token = java.util.UUID.randomUUID().toString
+    val tmp = new Path(versionPath(v), s"_claim.tmp.$token")
+    val out = fs.create(tmp, true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
     try {
-      // On local filesystems Hadoop's create(overwrite=false) is a
-      // non-atomic exists-then-create; NIO createFile is O_CREAT|O_EXCL —
-      // a true atomic claim for the file:// stores tests and single-box
-      // deployments run on. HDFS create(overwrite=false) is atomic on
-      // the NameNode already.
       if ("file" == fs.getUri.getScheme)
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(
-          fs.makeQualified(p).toUri))
-      else fs.create(p, false).close()
+        // POSIX link(2): atomic no-overwrite publish for the file://
+        // stores tests and single-box deployments run on (NIO's move
+        // without REPLACE_EXISTING is a non-atomic check-then-rename).
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(p).toUri),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
+      else {
+        // HDFS-like stores: rename WITHOUT Overwrite is atomic on the
+        // NameNode and fails if the destination exists.
+        val fc = FileContext.getFileContext(fs.makeQualified(base).toUri, conf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(p))
+      }
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentMergeException(
           s"version $v is already claimed by another writer " +
             "(or left by a crashed one — see abandonClaim)")
+    } finally {
+      // hard-link publish leaves the temp name behind; rename consumes it
+      if (fs.exists(tmp)) { fs.delete(tmp, false); () }
     }
-    val out = fs.create(p, true) // we own the freshly-created marker
-    try out.write(token.getBytes("UTF-8")) finally out.close()
     token
   }
 
