@@ -10,9 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * composition — e + U+0301 → é), the first step of
   * [[graft.text.TextOps.normalize]]. Spark ships no NFC builtin; a Scala
   * UDF would pay Row boxing per value, while this stays inside
-  * whole-stage codegen and — the hot-path win — SKIPS allocation entirely
-  * for text that is already NFC (`Normalizer.isNormalized` is a scan, not
-  * a rewrite; real corpora are overwhelmingly already composed). Mirrors
+  * whole-stage codegen and — the hot-path win — skips the NORMALIZED
+  * REWRITE and its re-encode for text that is already NFC
+  * (`Normalizer.isNormalized` is a scan; the unavoidable cost on the
+  * fast path is the one UTF8String→String decode it scans, and real
+  * corpora are overwhelmingly already composed). Mirrors
   * DuckDB's `nfc_normalize` — both implement Unicode canonical
   * composition, so outputs are byte-identical.
   */

@@ -173,22 +173,36 @@ object MultimodalOps {
         p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
         p(10) == 'V'.toByte && p(11) == 'E'.toByte
 
-    private def imageFeatures(r: MediaRow,
-                              img: java.awt.image.BufferedImage): MediaFeatures = {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val hist = new Array[Long](16)
+    /** The one luminance kernel — mean-of-channels per pixel, binned into
+      * `hist` (16 bins), returning the pixel luminance SUM. Shared by
+      * stills, clips and the per-frame drift signal so the definition
+      * (cross-checked from first principles in MultimodalSpec) cannot
+      * fork between the histogram and the temporal features.
+      */
+    private[multimodal] def rasterLum(img: java.awt.image.BufferedImage,
+                                      hist: Array[Long]): Long = {
+      var sum = 0L
       var y = 0
-      while (y < h) {
+      while (y < img.getHeight) {
         var x = 0
-        while (x < w) {
+        while (x < img.getWidth) {
           val px = img.getRGB(x, y)
           val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
           hist(lum >> 4) += 1
+          sum += lum
           x += 1
         }
         y += 1
       }
-      MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, w, h, 0, 0, 0L, hist)
+      sum
+    }
+
+    private def imageFeatures(r: MediaRow,
+                              img: java.awt.image.BufferedImage): MediaFeatures = {
+      val hist = new Array[Long](16)
+      rasterLum(img, hist)
+      MediaFeatures(r.doc_id, r.format, r.payload.length.toLong,
+        img.getWidth, img.getHeight, 0, 0, 0L, hist)
     }
 
     /** Real audio decode: `AudioSystem` parses the container (format
@@ -250,17 +264,7 @@ object MultimodalOps {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
         require(img != null, "undecodable frame")
         if (w == 0) { w = img.getWidth; h = img.getHeight }
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val px = img.getRGB(x, y)
-            val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
-            hist(lum >> 4) += 1
-            x += 1
-          }
-          y += 1
-        }
+        rasterLum(img, hist)
       }
       MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, w, h, 0, 0,
         frames.size * Bmv.FrameUs, hist, frames.size)
@@ -396,17 +400,7 @@ object MultimodalOps {
       Bmv.split(r.payload).zipWithIndex.map { case (fb, idx) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
         require(img != null, "undecodable frame")
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val px = img.getRGB(x, y)
-            sum += (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)) / 3
-            x += 1
-          }
-          y += 1
-        }
+        val sum = Decode.rasterLum(img, new Array[Long](16))
         (r.doc_id, idx, sum * 1000L / (img.getWidth.toLong * img.getHeight))
       }
     }.toDF("doc_id", "frame_idx", "mean_lum_milli")

@@ -203,14 +203,7 @@ object DataOps {
     try {
       val batchBands = bandDigests(batchSh)
         .withColumn("pb", graft.sink.SignatureIndex.pb(col("h")))
-      val hist = idx.bands.filter(col("rk") <= cap)
-      val nh = hist.as("ha")
-        .join(broadcast(batchBands.as("nb")),
-          col("ha.pb") === col("nb.pb") && col("ha.b") === col("nb.b") &&
-            col("ha.h") === col("nb.h"))
-        .select(least(col("ha.doc_id"), col("nb.doc_id")).as("doc_a"),
-                greatest(col("ha.doc_id"), col("nb.doc_id")).as("doc_b"))
-        .distinct()
+      val nh = newHistCandidates(idx, batchBands, cap)
         .withColumn("pair_type", lit("new_hist"))
       val nn = lshCandidates(batchSh, cap).withColumn("pair_type", lit("new_new"))
       val allSh = idx.shingles.unionByName(batchSh.select(col("doc_id"), col("sh")))
@@ -218,10 +211,28 @@ object DataOps {
       // re-read an index that already contains this batch.
       val out = jaccardOnPairs(nh.unionByName(nn), allSh, threshold = 0.8,
         extra = Seq("pair_type")).localCheckpoint(true)
-      idx.append(batchSh)
+      // the batch's band lineage is reused, not recomputed (see append)
+      idx.append(batchSh, batchBands)
       out
     } finally { batchSh.unpersist(blocking = false); () }
   }
+
+  /** The new-vs-history candidate join of [[dedupIncrementalOn]] — ONE
+    * definition, shared with the PLANS.md plan dump (graft.PlanDump) so
+    * the documented plan cannot drift from the operator: history rows at
+    * stored rank ≤ cap, batch digests broadcast, `pb` carried as a join
+    * key to switch on dynamic partition pruning of the index.
+    */
+  private[graft] def newHistCandidates(idx: graft.sink.SignatureIndex,
+                                       batchBands: DataFrame,
+                                       cap: Int): DataFrame =
+    idx.bands.filter(col("rk") <= cap).as("ha")
+      .join(broadcast(batchBands.as("nb")),
+        col("ha.pb") === col("nb.pb") && col("ha.b") === col("nb.b") &&
+          col("ha.h") === col("nb.h"))
+      .select(least(col("ha.doc_id"), col("nb.doc_id")).as("doc_a"),
+              greatest(col("ha.doc_id"), col("nb.doc_id")).as("doc_b"))
+      .distinct()
 
   /** Graded binding of [[dedupIncrementalOn]]: even doc_ids are "today's
     * batch", odd doc_ids are pre-indexed history (scratch index on local

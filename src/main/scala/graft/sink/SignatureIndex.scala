@@ -65,15 +65,41 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
 
   /** Index a batch's signatures: derive band digests from the shingle
     * frame, rank each row within its (b, h) bucket AFTER the bucket's
-    * current population (aggregated from the stored bands — signatures
-    * only), and append both tables. One pass over the batch text upstream
-    * (the caller's shingle frame), zero passes over history text.
+    * current population, and append both tables. One pass over the batch
+    * text upstream (the caller's shingle frame), zero passes over
+    * history text.
+    *
+    * The bucket census is restricted to the BUCKETS THE BATCH TOUCHES
+    * before it is aggregated or broadcast: the batch's distinct (pb, b,
+    * h) keys broadcast into a semi-join over the stored bands (partition
+    * cells the batch misses are pruned, history is never shuffled), and
+    * only that bounded census — at most one row per batch band row —
+    * broadcasts back into the rank join. An unrestricted census would
+    * grow with all history and hit the broadcast ceiling long before the
+    * operator's claimed scale.
+    *
+    * Durability ordering: shingles are committed BEFORE bands. A crash
+    * between the writes then leaves orphan shingle rows, which are
+    * harmless (verification only ever joins them FROM band-generated
+    * candidates); the reverse order would leave band rows whose
+    * candidate pairs silently fail Jaccard verification's inner join —
+    * lost recall with no error surfaced.
     */
-  def append(batchSh: DataFrame): Unit = {
-    val bb = graft.queries.DataOps.bandDigests(batchSh)
+  def append(batchSh: DataFrame): Unit =
+    append(batchSh, graft.queries.DataOps.bandDigests(batchSh))
+
+  /** [[append]] with the batch's band digests already computed — the
+    * incremental dedup operator derives them for its candidate join and
+    * must not pay the minhash lineage twice.
+    */
+  private[graft] def append(batchSh: DataFrame, batchBands: DataFrame): Unit = {
+    val bb = batchBands.select(col("doc_id"), col("b"), col("h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b"), col("h")).orderBy(col("doc_id"))
-    val existing = bands.groupBy(col("b"), col("h"))
+    val touched = bb.select(pb(col("h")).as("pb"), col("b"), col("h")).distinct()
+    val existing = bands
+      .join(broadcast(touched), Seq("pb", "b", "h"), "left_semi")
+      .groupBy(col("b"), col("h"))
       .agg(count(lit(1)).as("n0"))
     val ranked = bb
       .withColumn("rn", row_number().over(w))
@@ -81,9 +107,9 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
       .select(col("doc_id"), col("b"), col("h"),
         (coalesce(col("n0"), lit(0L)) + col("rn")).cast("long").as("rk"),
         pb(col("h")).as("pb"))
-    ranked.write.mode("append").partitionBy("pb").parquet(bandsPath.toString)
     batchSh.select(col("doc_id"), col("sh"))
       .write.mode("append").parquet(shinglesPath.toString)
+    ranked.write.mode("append").partitionBy("pb").parquet(bandsPath.toString)
   }
 }
 

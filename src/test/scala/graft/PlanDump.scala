@@ -29,13 +29,8 @@ object PlanDump {
     val batchSh = DataOps.shingledOn(d.filter(col("doc_id") % 2 === 0))
     val batchBands = DataOps.bandDigests(batchSh)
       .withColumn("pb", SignatureIndex.pb(col("h")))
-    val hist = idx.bands.filter(col("rk") <= DataOps.BandBucketCap)
-    val nh = hist.as("ha")
-      .join(broadcast(batchBands.as("nb")),
-        col("ha.pb") === col("nb.pb") && col("ha.b") === col("nb.b") &&
-          col("ha.h") === col("nb.h"))
-      .select(least(col("ha.doc_id"), col("nb.doc_id")).as("doc_a"),
-        greatest(col("ha.doc_id"), col("nb.doc_id")).as("doc_b"))
+    // the OPERATOR's own candidate builder — the dumped plan IS the plan
+    val nh = DataOps.newHistCandidates(idx, batchBands, DataOps.BandBucketCap)
     println("=== dedup_incremental: new-vs-history band join ===")
     nh.explain("formatted")
     spark.stop()
