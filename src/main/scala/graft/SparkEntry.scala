@@ -62,6 +62,7 @@ object SparkEntry {
     "doc_fingerprint" -> (DataOps.docFingerprint _),
     "doc_text_stats" -> (DataOps.docTextStats _),
     "normalize_text" -> (DataOps.normalizeText _),
+    "dedup_normalized" -> (DataOps.dedupNormalized _),
     "lang_id" -> (DataOps.langId _),
     "doc_quality" -> (DataOps.docQuality _),
     "token_counts" -> (DataOps.tokenCounts _),
