@@ -66,6 +66,12 @@ object SparkEntry {
     "lang_id" -> (DataOps.langId _),
     "doc_quality" -> (DataOps.docQuality _),
     "token_counts" -> (DataOps.tokenCounts _),
+    "doc_repetition" -> (DataOps.docRepetition _),
+    "dedup_paragraphs" -> (DataOps.dedupParagraphs _),
+    "doc_rarity" -> (DataOps.docRarity _),
+    "dup_windows" -> (DataOps.dupWindows _),
+    "url_canonical" -> (DataOps.urlCanonical _),
+    "domain_stats" -> (DataOps.domainStats _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
     "dedup_embedding" -> (DataOps.dedupEmbedding _),

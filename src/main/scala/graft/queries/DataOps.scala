@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ml.VectorOps
-import graft.text.TextOps
+import graft.text.{TextOps, UrlOps}
 
 /** LLM-training-data pipeline operators over the driver's `documents`
   * (doc_id, text, lang, source, n_chars) and `embeddings`
@@ -617,6 +617,210 @@ object DataOps {
       size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens"),
       expr("""aggregate(transform(split(text, ' '), t -> (length(t) + 3) div 4),
               cast(0 AS bigint), (a, x) -> a + x)""").as("subwords"))
+
+  // ------------------------------------------- crawl hygiene & repetition
+
+  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1, the
+    * public spec): per document, the share of tokens claimed by the single
+    * most frequent token and the share of word-bigram POSITIONS whose
+    * bigram occurs more than once in the document; docs dominated by
+    * repeated boilerplate fail the gate. Both metrics are integer
+    * per-mille (the [[docQuality]] discipline — integer division is exact
+    * in both engines, so the 200‰ gate can never flip on a rounding
+    * boundary). Pure per-row array folds, ZERO shuffles: the O(L²)
+    * in-array counting is the same bounded-L trade [[docQuality]]
+    * documents.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n"),
+        expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
+          .as("mx"),
+        expr("transform(sequence(0, size(w) - 2), i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")
+          .as("g"))
+      .select(col("doc_id"), col("n"),
+        expr("(1000 * mx) div n").as("top_word_milli"),
+        when(size(col("g")) === 0, lit(0L))
+          .otherwise(expr(
+            "(1000 * size(filter(g, x -> size(filter(g, y -> y = x)) > 1))) div size(g)"))
+          .as("dup_bigram_milli"))
+      .withColumn("kept",
+        col("top_word_milli") <= 200 && col("dup_bigram_milli") <= 200)
+
+  /** The fixed paragraph geometry and boilerplate strings shared by
+    * [[dedupParagraphs]] and its oracle: the corpus is single-line word
+    * soup, so paragraph structure is synthesized deterministically in BOTH
+    * engines — 15-token slices, with the crawl's two classic boilerplate
+    * paragraphs planted on doc_id % 5 (prepended) and % 7 (appended),
+    * exactly the repeated spans C4-style span dedup exists to remove.
+    */
+  private val ParaTokens = 15
+  private val Boiler1 = "subscribe to our newsletter for the latest updates"
+  private val Boiler2 = "all rights reserved contact us for more information"
+
+  /** C4-style corpus-wide keep-FIRST paragraph dedup (Raffel et al. 2020
+    * §2.2 dedup the public spec): every occurrence of a paragraph other
+    * than the one with the smallest (doc_id, position) is dropped, and
+    * documents are re-assembled from their surviving paragraphs in
+    * original order.
+    *
+    * Scale shape: the winner per paragraph hash is
+    * `min(struct(doc_id, pos))` — a PARTIAL-AGGREGABLE argmin, exactly the
+    * [[clusterKeepBest]] pattern, because boilerplate paragraphs are the
+    * corpus's hottest keys by construction (a window over the hash would
+    * funnel every "subscribe to our newsletter" row through one task; the
+    * map-side-combined min never does). The join back is keyed on the
+    * 32-byte hash with a one-row build side per key; re-assembly sorts
+    * each doc's surviving (pos, para) structs IN the row
+    * (`array_sort(collect_list(...))` — collect order nondeterminism is
+    * neutralized before anything hashes). One groupBy + one join + one
+    * groupBy, all on keys that shrink with dedup itself.
+    */
+  def dedupParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val withPs = toks(spark, dir).select(col("doc_id"), expr(
+      s"""concat(
+            IF(doc_id % 5 = 0, array('$Boiler1'), cast(array() AS array<string>)),
+            transform(sequence(0, (size(w) + ${ParaTokens - 1}) div $ParaTokens - 1),
+              j -> array_join(slice(w, $ParaTokens * j + 1, $ParaTokens), ' ')),
+            IF(doc_id % 7 = 0, array('$Boiler2'), cast(array() AS array<string>)))""")
+      .as("ps"))
+    val paras = withPs
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos0", "p")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("p"))
+    cachedScope(paras) {
+      val winners = paras.groupBy(md5(col("p")).as("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("wmin"))
+      val kept = paras.join(winners, md5(col("p")) === col("h"))
+        .filter(struct(col("doc_id"), col("pos")) === col("wmin"))
+      val agg = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_after"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, p))), x -> x.p), '\n\n')")
+          .as("text_clean"))
+      withPs.select(col("doc_id"), size(col("ps")).cast("long").as("n_before"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+    }
+  }
+
+  /** Corpus token-frequency rarity score — the deterministic stand-in for
+    * the LM-perplexity quality filter every real pipeline runs (CCNet /
+    * Wenzek et al. 2020): pass 1 aggregates the corpus unigram table,
+    * pass 2 scores each document by the corpus frequency of its tokens
+    * (min and mean — a document full of tokens the corpus has barely seen
+    * is either precious or garbage, and either way gets routed for
+    * review). Log-probabilities are deliberately NOT used: per-doc sums of
+    * doubles would be addition-order-dependent; integer counts summed as
+    * BIGINT plus ONE final division are bit-stable in both engines.
+    *
+    * Scale shape: the vocab aggregate is partial-aggregable (map-side
+    * combine collapses each partition to its distinct tokens before the
+    * shuffle); the score side BROADCASTS the vocab — a natural-language
+    * unigram table is millions of rows at any corpus size, never corpus-
+    * sized — so the only full shuffle is the per-doc re-aggregation.
+    */
+  def docRarity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = toks(spark, dir).select(col("doc_id"), explode(col("w")).as("t"))
+    cachedScope(tok) {
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("tf"))
+      tok.join(broadcast(vocab), "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), min(col("tf")).as("min_tf"),
+          sum(col("tf")).as("sum_tf"),
+          round(sum(col("tf")) / count(lit(1)).cast("double"), 4).as("mean_tf"))
+    }
+  }
+
+  private val DupWindowTokens = 8
+
+  /** Exact duplicated-window detection — the position-level core of
+    * exact-substring training-data dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", the public spec, with
+    * the 50-token window scaled to this corpus's ~60-token documents):
+    * every 8-token window position whose exact text occurs ≥ 2 times
+    * corpus-wide is flagged, and each document reports its duplicated-
+    * window share. The near-dup pairs the driver plants surface naturally
+    * — no synthesis needed.
+    *
+    * Scale shape: one partial-aggregable count per window text, one keyed
+    * join back (build side one row per window text), one per-doc
+    * re-aggregation — the [[decontaminate]] shuffle shape. At 100 TB the
+    * window-count table is the big intermediate; it shrinks ~linearly
+    * with window length and the count aggregate map-side-combines the
+    * dominant singletons before they shuffle.
+    */
+  def dupWindows(spark: SparkSession, dir: String): DataFrame = {
+    val k = DupWindowTokens
+    val wn = toks(spark, dir).filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))"))
+        .as(Seq("pos0", "wt")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("wt"))
+    cachedScope(wn) {
+      val cnt = wn.groupBy(col("wt")).agg(count(lit(1)).as("c"))
+      wn.join(cnt, "wt")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(when(col("c") >= 2, 1)).as("n_dup"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          expr("(1000 * n_dup) div n_windows").as("dup_frac_milli"),
+          (col("n_dup") > 0).as("flagged"))
+    }
+  }
+
+  /** The deterministic crawl-URL synthesizer shared by [[urlCanonical]] /
+    * [[domainStats]] and their oracles: four URL shapes per source —
+    * uppercase scheme+host with `www.`, default port, tracking params and
+    * a fragment; a subdomain with a trailing slash; an explicit `:443`;
+    * and utm params interleaved with real ones — the variants a crawler
+    * actually sees for one logical page family.
+    */
+  private def synthUrl(doc: Column, source: Column): Column = {
+    val id = doc.cast("string")
+    when(pmod(doc, lit(4)) === 0,
+      concat(lit("HTTP://WWW."), source, lit(".Example.COM:80/articles/"), id,
+        lit("?utm_source=feed&ref=rss#top")))
+      .when(pmod(doc, lit(4)) === 1,
+        concat(lit("https://News."), source, lit(".example.com/articles/"), id, lit("/")))
+      .when(pmod(doc, lit(4)) === 2,
+        concat(lit("https://"), source, lit(".example.com:443/Articles/"), id,
+          lit("?id="), id))
+      .otherwise(
+        concat(lit("http://"), source, lit(".example.com/articles/"), id,
+          lit("?utm_campaign=x&page=2&utm_medium=y")))
+  }
+
+  /** URL canonicalization as a graded operator: [[graft.text.UrlOps]]
+    * applied to the synthesized crawl URLs — per-row, zero shuffles,
+    * every step one regex/string built-in with an exact DuckDB mirror.
+    * `changed` shows which raw forms needed repair (everything except the
+    * already-clean shapes).
+    */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), synthUrl(col("doc_id"), col("source")).as("url_raw"))
+      .select(col("doc_id"), col("url_raw"),
+        UrlOps.canonicalize(col("url_raw")).as("url_canon"))
+      .select(col("doc_id"), col("url_raw"), col("url_canon"),
+        UrlOps.host(col("url_canon")).as("host"),
+        (col("url_canon") =!= col("url_raw")).as("changed"))
+
+  /** Per-host crawl statistics over canonical URLs — the aggregation a
+    * domain-level blocklist/quota policy reads. One partial-aggregable
+    * groupBy on the host; the distinct-page count is the only expansion
+    * and it shuffles (host, url) pairs, already near-unique here.
+    */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        UrlOps.canonicalize(synthUrl(col("doc_id"), col("source"))).as("url_canon"))
+      .select(col("n_chars"), col("url_canon"),
+        UrlOps.host(col("url_canon")).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_canon")).as("n_pages"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
 
   private val PairBlocks = 8
 
@@ -1347,6 +1551,29 @@ object DataOps {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ") + " END"
     val dot = (a: String, bb: String) => s"list_dot_product($a::DOUBLE[], $bb::DOUBLE[])"
+    // The [[synthUrl]] / [[UrlOps.canonicalize]] mirrors: same chain, RE2
+    // `\1` replacement syntax instead of Java's `$1`. `url_raw` is the
+    // column name both consuming CTEs bind.
+    val urlSynthSql = """CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/articles/' || doc_id || '?utm_source=feed&ref=rss#top'
+      WHEN 1 THEN 'https://News.' || source || '.example.com/articles/' || doc_id || '/'
+      WHEN 2 THEN 'https://' || source || '.example.com:443/Articles/' || doc_id || '?id=' || doc_id
+      ELSE 'http://' || source || '.example.com/articles/' || doc_id || '?utm_campaign=x&page=2&utm_medium=y' END"""
+    val urlCanonSql = {
+      val s0 = """replace(lower(regexp_extract(url_raw, '^([a-zA-Z]+://[^/?#]*)', 1)) || regexp_extract(url_raw, '^[a-zA-Z]+://[^/?#]*(.*)$', 1), '://www.', '://')"""
+      Seq(
+        ("""^(http://[^/:?#]*):80([/?#].*)?$""", """\1\2""", ""),
+        ("""^(https://[^/:?#]*):443([/?#].*)?$""", """\1\2""", ""),
+        ("""#.*$""", "", ""),
+        ("""utm_[^&#]*&""", "", "g"),
+        ("""[?&]utm_[^&#]*$""", "", ""),
+        ("""[?&]$""", "", ""),
+        ("""/$""", "", "")
+      ).foldLeft(s0) { case (acc, (pat, rep, flags)) =>
+        val f = if (flags.isEmpty) "" else s", '$flags'"
+        s"regexp_replace($acc, '$pat', '$rep'$f)"
+      }
+    }
 
     val base = Map(
       "dedup_exact" ->
@@ -1507,6 +1734,84 @@ object DataOps {
                list_aggregate(list_transform(string_split(text, ' '),
                  t -> (length(t) + 3) // 4), 'sum')::BIGINT AS subwords
         FROM documents""",
+      "doc_repetition" -> """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w) AS n,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS mx,
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g
+              FROM toks),
+        r AS (SELECT doc_id, n::BIGINT AS n,
+                ((1000 * mx) // n)::BIGINT AS top_word_milli,
+                (CASE WHEN len(g) = 0 THEN 0 ELSE
+                  (1000 * len(list_filter(g, x -> len(list_filter(g, y -> y = x)) > 1)))
+                    // len(g) END)::BIGINT AS dup_bigram_milli
+              FROM m)
+        SELECT doc_id, n, top_word_milli, dup_bigram_milli,
+               (top_word_milli <= 200 AND dup_bigram_milli <= 200) AS kept
+        FROM r""",
+      "dedup_paragraphs" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        planted AS (SELECT doc_id,
+            (CASE WHEN doc_id % 5 = 0 THEN ['$Boiler1'] ELSE [] END)
+            || list_transform(range(0, (len(w) + ${ParaTokens - 1}) // $ParaTokens),
+                 j -> list_aggregate(w[$ParaTokens*j+1 : $ParaTokens*j+$ParaTokens],
+                        'string_agg', ' '))
+            || (CASE WHEN doc_id % 7 = 0 THEN ['$Boiler2'] ELSE [] END) AS ps
+          FROM toks),
+        pn AS (SELECT doc_id, u.pos AS pos, u.p AS p FROM
+                 (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+                    i -> {'pos': i, 'p': ps[i]})) AS u FROM planted)),
+        keyed AS (SELECT doc_id, pos, p,
+                    min(doc_id * 1000000 + pos) OVER (PARTITION BY md5(p)) AS win
+                  FROM pn),
+        kept AS (SELECT doc_id, pos, p FROM keyed
+                 WHERE doc_id * 1000000 + pos = win),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_after,
+                  string_agg(p, chr(10) || chr(10) ORDER BY pos) AS text_clean
+                FROM kept GROUP BY 1)
+        SELECT t.doc_id, len(t.ps)::BIGINT AS n_before,
+               coalesce(a.n_after, 0)::BIGINT AS n_after,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM planted t LEFT JOIN agg a ON a.doc_id = t.doc_id""",
+      "doc_rarity" -> """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        vocab AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens, min(tf)::BIGINT AS min_tf,
+               sum(tf)::BIGINT AS sum_tf,
+               round(sum(tf) / count(*)::DOUBLE, 4) AS mean_tf
+        FROM tok JOIN vocab USING (t) GROUP BY 1""",
+      "dup_windows" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wn AS (SELECT doc_id, u.pos AS pos, u.wt AS wt FROM
+                 (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${DupWindowTokens - 2}),
+                    i -> {'pos': i, 'wt': list_aggregate(w[i : i+${DupWindowTokens - 1}],
+                           'string_agg', ' ')})) AS u
+                  FROM toks WHERE len(w) >= $DupWindowTokens)),
+        cnt AS (SELECT wt, count(*) AS c FROM wn GROUP BY 1),
+        per AS (SELECT w2.doc_id, count(*)::BIGINT AS n_windows,
+                  (count(*) FILTER (cnt.c >= 2))::BIGINT AS n_dup
+                FROM wn w2 JOIN cnt ON cnt.wt = w2.wt GROUP BY 1)
+        SELECT doc_id, n_windows, n_dup,
+               ((1000 * n_dup) // n_windows)::BIGINT AS dup_frac_milli,
+               n_dup > 0 AS flagged
+        FROM per""",
+      "url_canonical" -> s"""
+        WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
+        c AS (SELECT doc_id, url_raw, $urlCanonSql AS url_canon FROM u)
+        SELECT doc_id, url_raw, url_canon,
+               regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host,
+               url_canon != url_raw AS changed
+        FROM c""",
+      "domain_stats" -> s"""
+        WITH u AS (SELECT doc_id, n_chars, $urlSynthSql AS url_raw FROM documents),
+        c AS (SELECT n_chars, $urlCanonSql AS url_canon FROM u),
+        h AS (SELECT n_chars, url_canon,
+                regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host FROM c)
+        SELECT host, count(*)::BIGINT AS n_docs,
+               count(DISTINCT url_canon)::BIGINT AS n_pages,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM h GROUP BY 1""",
       "dedup_embedding" -> s"""
         WITH n AS (SELECT vec_id, embedding,
                      sqrt(${dot("embedding", "embedding")}) AS nrm
