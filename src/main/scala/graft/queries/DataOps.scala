@@ -677,31 +677,44 @@ object DataOps {
     * groupBy, all on keys that shrink with dedup itself.
     */
   def dedupParagraphs(spark: SparkSession, dir: String): DataFrame = {
-    val withPs = toks(spark, dir).select(col("doc_id"), expr(
+    val withPs = paragraphFrame(spark, dir)
+    val paras = paragraphExplode(withPs)
+    cachedScope(paras) { dedupParagraphsCore(withPs, paras) }
+  }
+
+  /** (doc_id, pos, p) — one row per paragraph occurrence, 1-based pos. */
+  private[graft] def paragraphExplode(withPs: DataFrame): DataFrame =
+    withPs
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos0", "p")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("p"))
+
+  /** (doc_id, ps: array&lt;string&gt;) — the planted paragraph arrays. */
+  private[graft] def paragraphFrame(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir).select(col("doc_id"), expr(
       s"""concat(
             IF(doc_id % 5 = 0, array('$Boiler1'), cast(array() AS array<string>)),
             transform(sequence(0, (size(w) + ${ParaTokens - 1}) div $ParaTokens - 1),
               j -> array_join(slice(w, $ParaTokens * j + 1, $ParaTokens), ' ')),
             IF(doc_id % 7 = 0, array('$Boiler2'), cast(array() AS array<string>)))""")
       .as("ps"))
-    val paras = withPs
-      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos0", "p")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("p"))
-    cachedScope(paras) {
-      val winners = paras.groupBy(md5(col("p")).as("h"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("wmin"))
-      val kept = paras.join(winners, md5(col("p")) === col("h"))
-        .filter(struct(col("doc_id"), col("pos")) === col("wmin"))
-      val agg = kept.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_after"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, p))), x -> x.p), '\n\n')")
-          .as("text_clean"))
-      withPs.select(col("doc_id"), size(col("ps")).cast("long").as("n_before"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          coalesce(col("text_clean"), lit("")).as("text_clean"))
-    }
+
+  /** Pre-checkpoint body — [[PlanShapeSpec]] pins its plan (partial-min
+    * winners, no Window node).
+    */
+  private[graft] def dedupParagraphsCore(withPs: DataFrame, paras: DataFrame): DataFrame = {
+    val winners = paras.groupBy(md5(col("p")).as("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("wmin"))
+    val kept = paras.join(winners, md5(col("p")) === col("h"))
+      .filter(struct(col("doc_id"), col("pos")) === col("wmin"))
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_after"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, p))), x -> x.p), '\n\n')")
+        .as("text_clean"))
+    withPs.select(col("doc_id"), size(col("ps")).cast("long").as("n_before"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Corpus token-frequency rarity score — the deterministic stand-in for
@@ -721,15 +734,22 @@ object DataOps {
     * sized — so the only full shuffle is the per-doc re-aggregation.
     */
   def docRarity(spark: SparkSession, dir: String): DataFrame = {
-    val tok = toks(spark, dir).select(col("doc_id"), explode(col("w")).as("t"))
-    cachedScope(tok) {
-      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("tf"))
-      tok.join(broadcast(vocab), "t")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), min(col("tf")).as("min_tf"),
-          sum(col("tf")).as("sum_tf"),
-          round(sum(col("tf")) / count(lit(1)).cast("double"), 4).as("mean_tf"))
-    }
+    val tok = docRarityTokens(spark, dir)
+    cachedScope(tok) { docRarityCore(tok) }
+  }
+
+  /** (doc_id, t) — one row per token occurrence. */
+  private[graft] def docRarityTokens(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir).select(col("doc_id"), explode(col("w")).as("t"))
+
+  /** Pre-checkpoint body — [[PlanShapeSpec]] pins the broadcast vocab. */
+  private[graft] def docRarityCore(tok: DataFrame): DataFrame = {
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("tf"))
+    tok.join(broadcast(vocab), "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), min(col("tf")).as("min_tf"),
+        sum(col("tf")).as("sum_tf"),
+        round(sum(col("tf")) / count(lit(1)).cast("double"), 4).as("mean_tf"))
   }
 
   private val DupWindowTokens = 8
@@ -751,22 +771,30 @@ object DataOps {
     * dominant singletons before they shuffle.
     */
   def dupWindows(spark: SparkSession, dir: String): DataFrame = {
+    val wn = windowFrame(spark, dir)
+    cachedScope(wn) { dupWindowsCore(wn) }
+  }
+
+  /** (doc_id, pos, wt) — every k-token window position. */
+  private[graft] def windowFrame(spark: SparkSession, dir: String): DataFrame = {
     val k = DupWindowTokens
-    val wn = toks(spark, dir).filter(size(col("w")) >= k)
+    toks(spark, dir).filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))"))
         .as(Seq("pos0", "wt")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("wt"))
-    cachedScope(wn) {
-      val cnt = wn.groupBy(col("wt")).agg(count(lit(1)).as("c"))
-      wn.join(cnt, "wt")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          count(when(col("c") >= 2, 1)).as("n_dup"))
-        .select(col("doc_id"), col("n_windows"), col("n_dup"),
-          expr("(1000 * n_dup) div n_windows").as("dup_frac_milli"),
-          (col("n_dup") > 0).as("flagged"))
-    }
+  }
+
+  /** Pre-checkpoint body — [[PlanShapeSpec]] pins no-nested-loop. */
+  private[graft] def dupWindowsCore(wn: DataFrame): DataFrame = {
+    val cnt = wn.groupBy(col("wt")).agg(count(lit(1)).as("c"))
+    wn.join(cnt, "wt")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("c") >= 2, 1)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        expr("(1000 * n_dup) div n_windows").as("dup_frac_milli"),
+        (col("n_dup") > 0).as("flagged"))
   }
 
   /** The deterministic crawl-URL synthesizer shared by [[urlCanonical]] /

@@ -57,4 +57,35 @@ class PlanShapeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     plan should include("LessThanOrEqual(l_shipdate")
   }
+
+  test("dedup_paragraphs: partial-aggregable winners, no window over the hash") {
+    val withPs = DataOps.paragraphFrame(spark, sf)
+    val paras = DataOps.paragraphExplode(withPs)
+    val df = DataOps.dedupParagraphsCore(withPs, paras)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the keep-first winner is a map-side-combinable min, never a window
+    // funnel through the boilerplate paragraphs' hot hash
+    plan should include("partial_min")
+    plan should not include "Window"
+    plan should not include "NestedLoop"
+  }
+
+  test("doc_rarity: the vocab side of the score join is broadcast") {
+    val tok = DataOps.docRarityTokens(spark, sf)
+    val df = DataOps.docRarityCore(tok)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("dup_windows: keyed equi-join on window text, no nested loop") {
+    val df = DataOps.dupWindowsCore(DataOps.windowFrame(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("partial_count")
+    plan should not include "NestedLoop"
+    plan should not include "Cartesian"
+  }
 }
