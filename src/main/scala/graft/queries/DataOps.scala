@@ -678,8 +678,12 @@ object DataOps {
     */
   def dedupParagraphs(spark: SparkSession, dir: String): DataFrame = {
     val withPs = paragraphFrame(spark, dir)
-    val paras = paragraphExplode(withPs)
-    cachedScope(paras) { dedupParagraphsCore(withPs, paras) }
+    // Deliberately UNCACHED although `paras` feeds both the winner agg and
+    // the probe side: caching a corpus-sized exploded frame is exactly
+    // what a 100 TB pipeline cannot do — the scalable shape is two
+    // pushed-down scans of the raw corpus, and that shape is also the
+    // measured sf0.1 winner here (0.3 s vs 1.7–3.0 s cached+checkpointed).
+    dedupParagraphsCore(withPs, paragraphExplode(withPs))
   }
 
   /** (doc_id, pos, p) — one row per paragraph occurrence, 1-based pos. */
@@ -733,10 +737,12 @@ object DataOps {
     * unigram table is millions of rows at any corpus size, never corpus-
     * sized — so the only full shuffle is the per-doc re-aggregation.
     */
-  def docRarity(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docRarityTokens(spark, dir)
-    cachedScope(tok) { docRarityCore(tok) }
-  }
+  def docRarity(spark: SparkSession, dir: String): DataFrame =
+    // Uncached by the same measurement as [[dedupParagraphs]]: the token
+    // explode is re-scanned once per side (vocab agg + score probe) —
+    // the only shape that exists at 100 TB, and faster at sf0.1 too
+    // (1.1 s vs 1.3–2.6 s cached+checkpointed).
+    docRarityCore(docRarityTokens(spark, dir))
 
   /** (doc_id, t) — one row per token occurrence. */
   private[graft] def docRarityTokens(spark: SparkSession, dir: String): DataFrame =
@@ -770,10 +776,10 @@ object DataOps {
     * with window length and the count aggregate map-side-combines the
     * dominant singletons before they shuffle.
     */
-  def dupWindows(spark: SparkSession, dir: String): DataFrame = {
-    val wn = windowFrame(spark, dir)
-    cachedScope(wn) { dupWindowsCore(wn) }
-  }
+  def dupWindows(spark: SparkSession, dir: String): DataFrame =
+    // Uncached by the same measurement as [[dedupParagraphs]] (1.3 s vs
+    // 1.8–3.2 s cached+checkpointed at sf0.1).
+    dupWindowsCore(windowFrame(spark, dir))
 
   /** (doc_id, pos, wt) — every k-token window position. */
   private[graft] def windowFrame(spark: SparkSession, dir: String): DataFrame = {
