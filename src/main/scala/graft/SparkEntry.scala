@@ -72,6 +72,8 @@ object SparkEntry {
     "dup_windows" -> (DataOps.dupWindows _),
     "url_canonical" -> (DataOps.urlCanonical _),
     "domain_stats" -> (DataOps.domainStats _),
+    "dedup_url" -> (DataOps.dedupUrl _),
+    "clean_corpus" -> (DataOps.cleanCorpus _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
     "dedup_embedding" -> (DataOps.dedupEmbedding _),

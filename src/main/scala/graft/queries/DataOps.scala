@@ -825,6 +825,63 @@ object DataOps {
           lit("?utm_campaign=x&page=2&utm_medium=y")))
   }
 
+  /** Page-FAMILY URL synthesizer for [[dedupUrl]]: four crawl variants of
+    * the SAME logical page (page = doc_id div 4) that differ only in junk —
+    * case + `www.` + `:80` + fragment; utm-only query; `www.` + trailing
+    * slash; `:80` + utm + fragment — so canonicalization collapses each
+    * family of four raw URLs to ONE key. Mirrored verbatim by the oracle.
+    */
+  private def synthFamilyUrl(doc: Column): Column = {
+    val page = expr("doc_id div 4").cast("string")
+    val host = concat(lit("src"), pmod(expr("doc_id div 4"), lit(20)).cast("string"))
+    when(pmod(doc, lit(4)) === 0,
+      concat(lit("HTTP://WWW."), host, lit(".Example.COM:80/articles/"), page, lit("#frag")))
+      .when(pmod(doc, lit(4)) === 1,
+        concat(lit("http://"), host, lit(".example.com/articles/"), page,
+          lit("?utm_source=feed")))
+      .when(pmod(doc, lit(4)) === 2,
+        concat(lit("http://www."), host, lit(".example.com/articles/"), page, lit("/")))
+      .otherwise(
+        concat(lit("http://"), host, lit(".example.com:80/articles/"), page,
+          lit("?utm_campaign=x#s")))
+  }
+
+  /** URL-level crawl dedup — [[urlCanonical]] ∘ [[dedupExact]], the FIRST
+    * dedup a real pipeline runs (before any content hash): group by
+    * canonical URL, keep the smallest doc_id as representative. On the
+    * synthesized page families every canonical key collects exactly its
+    * four raw variants — the collapse that is invisible to raw-URL
+    * equality. One partial-aggregable keyed shuffle on the canonical
+    * string; the distinct-raw-form count is the only expansion.
+    */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), synthFamilyUrl(col("doc_id")).as("url_raw"))
+      .select(col("doc_id"), col("url_raw"),
+        UrlOps.canonicalize(col("url_raw")).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_variants"),
+        countDistinct(col("url_raw")).as("n_raw_forms"))
+
+  /** The crawl-hygiene CAPSTONE — the cleaned corpus a training run would
+    * actually read: paragraph-deduplicated text ([[dedupParagraphs]])
+    * gated by the repetition ([[docRepetition]]) and quality
+    * ([[docQuality]]) filters, all three component queries composed
+    * as-is (their SQLs nest verbatim in the oracle, the [[corpusSelect]]
+    * pattern). Gates evaluate on the ORIGINAL document — a doc is judged
+    * on what was crawled, not on what dedup left of it — and a doc whose
+    * every paragraph lost keep-first is dropped regardless of its gates.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val p = dedupParagraphs(spark, dir)
+    val rep = docRepetition(spark, dir).select(col("doc_id"), col("kept").as("rep_kept"))
+    val q = docQuality(spark, dir).select(col("doc_id"), col("kept").as("q_kept"))
+    p.join(rep, "doc_id").join(q, "doc_id")
+      .select(col("doc_id"), col("n_before"), col("n_after"), col("text_clean"),
+        (col("rep_kept") && col("q_kept") && col("n_after") > 0).as("kept"))
+  }
+
   /** URL canonicalization as a graded operator: [[graft.text.UrlOps]]
     * applied to the synthesized crawl URLs — per-row, zero shuffles,
     * every step one regex/string built-in with an exact DuckDB mirror.
@@ -2008,6 +2065,28 @@ object DataOps {
         JOIN (${base("doc_quality")}) q ON q.doc_id = d.doc_id AND q.kept
         WHERE d.doc_id NOT IN
           (SELECT doc_b FROM (${base("dedup_minhash_lsh")}) dd)""",
+      // URL-level dedup over the page-family synthesizer: canonicalize,
+      // then exact-dedup on the canonical key (N46 ∘ N1)
+      "dedup_url" -> s"""
+        WITH u AS (SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'HTTP://WWW.src' || ((doc_id // 4) % 20) || '.Example.COM:80/articles/' || (doc_id // 4) || '#frag'
+            WHEN 1 THEN 'http://src' || ((doc_id // 4) % 20) || '.example.com/articles/' || (doc_id // 4) || '?utm_source=feed'
+            WHEN 2 THEN 'http://www.src' || ((doc_id // 4) % 20) || '.example.com/articles/' || (doc_id // 4) || '/'
+            ELSE 'http://src' || ((doc_id // 4) % 20) || '.example.com:80/articles/' || (doc_id // 4) || '?utm_campaign=x#s'
+          END AS url_raw FROM documents),
+        c AS (SELECT doc_id, url_raw, $urlCanonSql AS url_canon FROM u)
+        SELECT url_canon, min(doc_id) AS rep_doc_id, count(*)::BIGINT AS n_variants,
+               count(DISTINCT url_raw)::BIGINT AS n_raw_forms
+        FROM c GROUP BY 1""",
+      // crawl-hygiene capstone: paragraph dedup gated by the repetition
+      // and quality filters, all three component SQLs nested verbatim
+      "clean_corpus" -> s"""
+        SELECT p.doc_id, p.n_before, p.n_after, p.text_clean,
+               (r.kept AND q.kept AND p.n_after > 0) AS kept
+        FROM (${base("dedup_paragraphs")}) p
+        JOIN (${base("doc_repetition")}) r ON r.doc_id = p.doc_id
+        JOIN (${base("doc_quality")}) q ON q.doc_id = p.doc_id""",
     )
   }
 

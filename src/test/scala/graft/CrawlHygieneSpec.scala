@@ -152,4 +152,36 @@ class CrawlHygieneSpec extends SparkSpec {
     ds.map(_.getLong(1)).sum shouldBe rawDocs.size.toLong
     all(ds.map(_.getString(0))) should fullyMatch regex "[a-z0-9.]+\\.example\\.com"
   }
+
+  test("dedup_url: every page family of four raw variants collapses to one key") {
+    val n = rawDocs.size
+    val rows = DataOps.dedupUrl(spark, dir).collect()
+    rows.length shouldBe (n + 3) / 4
+    rows.map(_.getLong(2)).sum shouldBe n.toLong // doc conservation
+    // full families (all four variants present) have 4 distinct raw forms
+    // and the representative is the family's first crawl
+    rows.filter(_.getLong(2) == 4).foreach { r =>
+      r.getLong(3) shouldBe 4L
+      r.getLong(1) % 4 shouldBe 0L
+      r.getString(0) shouldBe
+        s"http://src${(r.getLong(1) / 4) % 20}.example.com/articles/${r.getLong(1) / 4}"
+    }
+  }
+
+  test("clean_corpus: the capstone agrees with its three components row by row") {
+    val rep = DataOps.docRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val q = DataOps.docQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val paras = DataOps.dedupParagraphs(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val out = DataOps.cleanCorpus(spark, dir).collect()
+    out.length shouldBe paras.size
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (nb, na, text) = paras(id)
+      (r.getLong(1), r.getLong(2), r.getString(3)) shouldBe ((nb, na, text))
+      r.getBoolean(4) shouldBe (rep(id) && q(id) && na > 0)
+    }
+  }
 }

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions.col
 class PartitionDeterminismSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
+  // five most expensive (r5 bench) + the r6 crawl-hygiene queries whose
+  // aggregates are the exact class this spec exists for (an in-row-sorted
+  // collect_list, a min-struct argmin, cross-partition count sums)
   private val heavy = Seq("html_extract", "dedup_cluster_star",
-    "cluster_keep_best", "lsh_recall", "corpus_select")
+    "cluster_keep_best", "lsh_recall", "corpus_select",
+    "dedup_paragraphs", "dup_windows", "doc_rarity")
 
   private def hash(df: DataFrame): String = {
     val cols = df.columns.sorted
