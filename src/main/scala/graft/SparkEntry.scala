@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_paragraphs" -> (DataOps.dedupParagraphs _),
     "doc_rarity" -> (DataOps.docRarity _),
     "dup_windows" -> (DataOps.dupWindows _),
+    "dedup_spans" -> (DataOps.dedupSpans _),
     "url_canonical" -> (DataOps.urlCanonical _),
     "domain_stats" -> (DataOps.domainStats _),
     "dedup_url" -> (DataOps.dedupUrl _),

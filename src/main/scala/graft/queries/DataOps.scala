@@ -803,6 +803,47 @@ object DataOps {
         (col("n_dup") > 0).as("flagged"))
   }
 
+  /** Exact-substring dedup with keep-FIRST span REMOVAL — [[dupWindows]]
+    * carried to its conclusion (Lee et al. 2021 §3.1 ExactSubstr): every
+    * duplicated 8-token window occurrence other than the corpus-first one
+    * marks its 8 positions for removal, and each document is re-emitted
+    * with the surviving tokens in order. A full clone of an earlier doc
+    * loses its entire text; the first occurrence keeps every token; a doc
+    * sharing one phrase loses exactly that span (overlap-extended, since
+    * consecutive duplicated windows chain).
+    *
+    * Scale shape: the winner per window text is the same partial-
+    * aggregable `min(struct(doc_id, pos))` as [[dedupParagraphs]] (no
+    * window over hot keys); coverage explodes flagged occurrences ×8
+    * (bounded) and joins tokens on (doc_id, position) — a keyed
+    * equi-join; re-assembly is the in-row `array_sort(collect_list)`
+    * discipline. Removal is deliberately NOT idempotent in general
+    * (token surgery can juxtapose new 8-grams across cut boundaries —
+    * Lee et al. note the same); the operator is a single-pass cleaner.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = DupWindowTokens
+    val wn = windowFrame(spark, dir)
+    val winner = wn.groupBy(col("wt"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("win"), count(lit(1)).as("c"))
+    val cover = wn.join(winner, "wt")
+      .filter(col("c") >= 2 && !(struct(col("doc_id"), col("pos")) === col("win")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
+      .distinct()
+    val tokens = toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("tok"))
+    tokens.join(cover.withColumn("rm0", lit(true)), Seq("doc_id", "i"), "left")
+      .select(col("doc_id"), col("i"), col("tok"),
+        coalesce(col("rm0"), lit(false)).as("rm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("rm"), 1)).as("n_removed"),
+        expr("array_join(transform(filter(array_sort(collect_list(struct(i, tok, rm))), x -> NOT x.rm), x -> x.tok), ' ')")
+          .as("text_dedup"))
+  }
+
   /** The deterministic crawl-URL synthesizer shared by [[urlCanonical]] /
     * [[domainStats]] and their oracles: four URL shapes per source —
     * uppercase scheme+host with `www.`, default port, tracking params and
@@ -1935,6 +1976,28 @@ object DataOps {
                ((1000 * n_dup) // n_windows)::BIGINT AS dup_frac_milli,
                n_dup > 0 AS flagged
         FROM per""",
+      "dedup_spans" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wn AS (SELECT doc_id, u.pos AS pos, u.wt AS wt FROM
+                 (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${DupWindowTokens - 2}),
+                    i -> {'pos': i, 'wt': list_aggregate(w[i : i+${DupWindowTokens - 1}],
+                           'string_agg', ' ')})) AS u
+                  FROM toks WHERE len(w) >= $DupWindowTokens)),
+        winner AS (SELECT wt, min(doc_id*1000000+pos) AS win, count(*) AS c
+                   FROM wn GROUP BY 1),
+        cover AS (SELECT DISTINCT wn.doc_id, wn.pos + t.u AS i
+                  FROM wn JOIN winner ON winner.wt = wn.wt
+                  CROSS JOIN unnest(range(0, $DupWindowTokens)) AS t(u)
+                  WHERE winner.c >= 2 AND wn.doc_id*1000000 + wn.pos != winner.win),
+        tn AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM
+                 (SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+                    i -> {'i': i, 'tok': w[i]})) AS u FROM toks)),
+        mk AS (SELECT tn.doc_id, tn.i, tn.tok, (cover.i IS NOT NULL) AS rm
+               FROM tn LEFT JOIN cover ON cover.doc_id = tn.doc_id AND cover.i = tn.i)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               (count(*) FILTER (rm))::BIGINT AS n_removed,
+               coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (NOT rm), '') AS text_dedup
+        FROM mk GROUP BY 1""",
       "url_canonical" -> s"""
         WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
         c AS (SELECT doc_id, url_raw, $urlCanonSql AS url_canon FROM u)

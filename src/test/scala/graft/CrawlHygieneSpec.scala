@@ -116,6 +116,38 @@ class CrawlHygieneSpec extends SparkSpec {
     got.values.count(_._4) should be > 0
   }
 
+  test("dedup_spans: keep-first span surgery matches a plain-Scala recomputation") {
+    val docs = rawDocs
+    val wins = docs.toSeq
+      .flatMap { case (id, w) =>
+        w.sliding(8).filter(_.length == 8).zipWithIndex
+          .map { case (g, p) => (id, p.toLong + 1, g.mkString(" ")) }
+      }
+    val byText = wins.groupBy(_._3)
+    val winner = byText.map { case (wt, occ) =>
+      wt -> occ.map(o => (o._1, o._2)).min
+    }
+    val cover: Map[Long, Set[Long]] = wins
+      .filter { case (id, p, wt) => byText(wt).size >= 2 && winner(wt) != ((id, p)) }
+      .flatMap { case (id, p, _) => (p until p + 8).map(id -> _) }
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+    val got = DataOps.dedupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    got.keySet shouldBe docs.keySet
+    docs.foreach { case (id, w) =>
+      val rm = cover(id)
+      val keptText = w.zipWithIndex
+        .collect { case (t, i) if !rm.contains(i.toLong + 1) => t }.mkString(" ")
+      got(id) shouldBe ((w.length.toLong, rm.size.toLong, keptText))
+    }
+    // the corpus-first occurrence of every duplicated phrase survives intact:
+    // at least one doc with duplicated windows has zero tokens removed only
+    // if it is first everywhere — weaker but still useful: removals exist
+    got.values.map(_._2).sum should be > 0L
+  }
+
   test("url canonicalizer: case law") {
     val cases = Seq(
       // default ports stripped, scheme+host lowered, www dropped, utm gone
