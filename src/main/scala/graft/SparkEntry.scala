@@ -75,6 +75,7 @@ object SparkEntry {
     "domain_stats" -> (DataOps.domainStats _),
     "dedup_url" -> (DataOps.dedupUrl _),
     "clean_corpus" -> (DataOps.cleanCorpus _),
+    "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
     "dedup_embedding" -> (DataOps.dedupEmbedding _),

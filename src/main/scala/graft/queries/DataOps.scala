@@ -844,6 +844,34 @@ object DataOps {
           .as("text_dedup"))
   }
 
+  /** The corpus DASHBOARD — the one-row report a data curator reads every
+    * morning: corpus size, language/source mix, quality and repetition
+    * pass rates, exact-duplicate volume and near-dup pair count, each
+    * number produced by the corresponding graded operator composed AS-IS
+    * (SQLs nested verbatim in the oracle). Every component is a
+    * partial-aggregable global aggregate; the single-row frames combine
+    * by crossJoin — seven one-row broadcasts, no data shuffle.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(TextOps.tokens(col("text")))).cast("long").as("total_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val q = docQuality(spark, dir)
+      .agg(count(when(col("kept"), 1)).as("quality_kept"))
+    val rep = docRepetition(spark, dir)
+      .agg(count(when(col("kept"), 1)).as("repetition_kept"))
+    val ex = dedupExact(spark, dir).filter(col("n_docs") > 1)
+      .agg(count(lit(1)).as("exact_dup_families"),
+        coalesce(sum(col("n_docs") - 1), lit(0L)).cast("long").as("exact_dup_docs"))
+    val nd = dedupMinhashLsh(spark, dir)
+      .agg(count(lit(1)).as("near_dup_pairs"))
+    base.crossJoin(q).crossJoin(rep).crossJoin(ex).crossJoin(nd)
+  }
+
   /** The deterministic crawl-URL synthesizer shared by [[urlCanonical]] /
     * [[domainStats]] and their oracles: four URL shapes per source —
     * uppercase scheme+host with `www.`, default port, tracking params and
@@ -2190,6 +2218,19 @@ object DataOps {
         SELECT url_canon, min(doc_id) AS rep_doc_id, count(*)::BIGINT AS n_variants,
                count(DISTINCT url_raw)::BIGINT AS n_raw_forms
         FROM c GROUP BY 1""",
+      // the one-row corpus dashboard: every number from the corresponding
+      // graded operator's SQL, nested verbatim as a scalar subquery
+      "corpus_report" -> s"""
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+               (SELECT sum(n_chars) FROM documents)::BIGINT AS total_chars,
+               (SELECT sum(len(string_split(text, ' '))) FROM documents)::BIGINT AS total_tokens,
+               (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
+               (SELECT count(DISTINCT source) FROM documents)::BIGINT AS n_sources,
+               (SELECT count(*) FROM (${base("doc_quality")}) q WHERE q.kept)::BIGINT AS quality_kept,
+               (SELECT count(*) FROM (${base("doc_repetition")}) r WHERE r.kept)::BIGINT AS repetition_kept,
+               (SELECT count(*) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_families,
+               (SELECT coalesce(sum(e.n_docs - 1), 0) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_docs,
+               (SELECT count(*) FROM (${base("dedup_minhash_lsh")}) p)::BIGINT AS near_dup_pairs""",
       // crawl-hygiene capstone: paragraph dedup gated by the repetition
       // and quality filters, all three component SQLs nested verbatim
       "clean_corpus" -> s"""

@@ -40,7 +40,12 @@ object UrlOps {
     // a trailing utm param takes its LEADING `?`/`&` with it.
     val noUtm = regexp_replace(
       regexp_replace(noFrag, "utm_[^&#]*&", ""), "[?&]utm_[^&#]*$", "")
-    regexp_replace(regexp_replace(noUtm, "[?&]$", ""), "/$", "")
+    val canon = regexp_replace(regexp_replace(noUtm, "[?&]$", ""), "/$", "")
+    // A schemeless or otherwise malformed URL (relative link, mailto:)
+    // would lose its text to the scheme-anchored extracts — pass it
+    // through untouched instead; canonicalization is defined only on
+    // absolute scheme://host URLs.
+    when(url.rlike("^[a-zA-Z]+://"), canon).otherwise(url)
   }
 
   /** Host of an already-canonical URL (scheme/port/path stripped). */

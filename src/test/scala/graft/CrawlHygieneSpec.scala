@@ -165,7 +165,11 @@ class CrawlHygieneSpec extends SparkSpec {
       "http://site.example.com/a?utm_only=1" -> "http://site.example.com/a",
       // non-default ports survive; :80 is only default for http
       "http://site.example.com:8080/x" -> "http://site.example.com:8080/x",
-      "https://site.example.com:80/x" -> "https://site.example.com:80/x")
+      "https://site.example.com:80/x" -> "https://site.example.com:80/x",
+      // schemeless/malformed inputs pass through untouched, never emptied
+      "site.example.com/path" -> "site.example.com/path",
+      "mailto:someone@example.com" -> "mailto:someone@example.com",
+      "/relative/link?utm_x=1" -> "/relative/link?utm_x=1")
     import spark.implicits._
     val got = cases.map(_._1).toDF("u")
       .select(UrlOps.canonicalize(col("u"))).as[String].collect()
