@@ -206,7 +206,15 @@ object DataOps {
       val nh = newHistCandidates(idx, batchBands, cap)
         .withColumn("pair_type", lit("new_hist"))
       val nn = lshCandidates(batchSh, cap).withColumn("pair_type", lit("new_new"))
-      val allSh = idx.shingles.unionByName(batchSh.select(col("doc_id"), col("sh")))
+      // The batch's ids are excluded from the history shingle side too
+      // (broadcast anti — history stays unshuffled): on an at-least-once
+      // replay the index already holds the batch's shingles, and the
+      // plain union would hold each batch doc twice, multiplying every
+      // verified pair row through the per-side shingle joins.
+      val batchIds = batchSh.select(col("doc_id")).distinct()
+      val allSh = idx.shingles
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+        .unionByName(batchSh.select(col("doc_id"), col("sh")))
       // Eagerly materialized BEFORE the append below — the result must not
       // re-read an index that already contains this batch.
       val out = jaccardOnPairs(nh.unionByName(nn), allSh, threshold = 0.8,
@@ -225,14 +233,24 @@ object DataOps {
     */
   private[graft] def newHistCandidates(idx: graft.sink.SignatureIndex,
                                        batchBands: DataFrame,
-                                       cap: Int): DataFrame =
-    idx.bands.filter(col("rk") <= cap).as("ha")
+                                       cap: Int): DataFrame = {
+    // The batch's own ids are excluded from the history side (broadcast
+    // anti-join — history still never shuffles): if an at-least-once
+    // caller replays a batch whose index append already completed, the
+    // batch's rows ARE history, and without the exclusion every batch doc
+    // would self-pair at Jaccard 1.0 and every in-batch pair would
+    // duplicate as new_hist. With it, a replay returns exactly the
+    // original run's pairs (the idempotence StreamingIndexDedup leans on).
+    val batchIds = batchBands.select(col("doc_id")).distinct()
+    idx.bands.filter(col("rk") <= cap)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti").as("ha")
       .join(broadcast(batchBands.as("nb")),
         col("ha.pb") === col("nb.pb") && col("ha.b") === col("nb.b") &&
           col("ha.h") === col("nb.h"))
       .select(least(col("ha.doc_id"), col("nb.doc_id")).as("doc_a"),
               greatest(col("ha.doc_id"), col("nb.doc_id")).as("doc_b"))
       .distinct()
+  }
 
   /** Graded binding of [[dedupIncrementalOn]]: even doc_ids are "today's
     * batch", odd doc_ids are pre-indexed history (scratch index on local
@@ -636,7 +654,12 @@ object DataOps {
       .select(col("doc_id"), size(col("w")).cast("long").as("n"),
         expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
           .as("mx"),
-        expr("transform(sequence(0, size(w) - 2), i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")
+        // the size guard matters: sequence(0, -1) on a one-token doc is
+        // the DESCENDING [0, -1] and element_at(w, 0) throws — the oracle
+        // (range(1,1) = empty) would sail on without it
+        when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+          .otherwise(expr("cast(array() AS array<string>)"))
           .as("g"))
       .select(col("doc_id"), col("n"),
         expr("(1000 * mx) div n").as("top_word_milli"),
@@ -901,8 +924,9 @@ object DataOps {
     * family of four raw URLs to ONE key. Mirrored verbatim by the oracle.
     */
   private def synthFamilyUrl(doc: Column): Column = {
-    val page = expr("doc_id div 4").cast("string")
-    val host = concat(lit("src"), pmod(expr("doc_id div 4"), lit(20)).cast("string"))
+    val pageId = floor(doc / 4).cast("long")
+    val page = pageId.cast("string")
+    val host = concat(lit("src"), pmod(pageId, lit(20)).cast("string"))
     when(pmod(doc, lit(4)) === 0,
       concat(lit("HTTP://WWW."), host, lit(".Example.COM:80/articles/"), page, lit("#frag")))
       .when(pmod(doc, lit(4)) === 1,
@@ -1364,16 +1388,9 @@ object DataOps {
     * corpus scan → shingle → minhash → band → window per run.
     */
   def clusterFromIndex(idx: graft.sink.SignatureIndex,
-                       cap: Int = BandBucketCap): DataFrame = {
-    val pairs = jaccardOnPairs(indexCandidates(idx, cap), idx.shingles,
-      threshold = 0.8).select(col("doc_a"), col("doc_b"))
-    try {
-      pairs.cache()
-      largeSmallStar(pairs)
-        .select(col("doc_id"), col("rep").as("cluster_rep"),
-          (col("doc_id") === col("rep")).as("keeper"))
-    } finally pairs.unpersist(blocking = false)
-  }
+                       cap: Int = BandBucketCap): DataFrame =
+    starClusterOf(jaccardOnPairs(indexCandidates(idx, cap), idx.shingles,
+      threshold = 0.8).select(col("doc_a"), col("doc_b")))
 
   /** [[lshCandidates]] with the per-bucket rank read from the index
     * instead of computed by a window: identical pair set for a
@@ -1469,8 +1486,16 @@ object DataOps {
   /** [[dedupCluster]] with the large-star/small-star body — same graded
     * output (the oracle SQL is shared verbatim), different loop.
     */
-  def dedupClusterStar(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+  def dedupClusterStar(spark: SparkSession, dir: String): DataFrame =
+    starClusterOf(dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** The shared large-star/small-star tail: cluster verified pairs and
+    * emit (doc_id, cluster_rep, keeper). The pair cache covers the star
+    * loop's first-round double read; the loop's own checkpoints take
+    * over after that.
+    */
+  private def starClusterOf(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0
     try {
       pairs.cache()
       largeSmallStar(pairs)
@@ -1768,12 +1793,13 @@ object DataOps {
       WHEN 2 THEN 'https://' || source || '.example.com:443/Articles/' || doc_id || '?id=' || doc_id
       ELSE 'http://' || source || '.example.com/articles/' || doc_id || '?utm_campaign=x&page=2&utm_medium=y' END"""
     val urlCanonSql = {
-      val s0 = """replace(lower(regexp_extract(url_raw, '^([a-zA-Z]+://[^/?#]*)', 1)) || regexp_extract(url_raw, '^[a-zA-Z]+://[^/?#]*(.*)$', 1), '://www.', '://')"""
-      Seq(
+      val s0 = """lower(regexp_extract(url_raw, '^([a-zA-Z]+://[^/?#]*)', 1)) || regexp_extract(url_raw, '^[a-zA-Z]+://[^/?#]*(.*)$', 1)"""
+      val chain = Seq(
+        ("""^([a-z]+)://www\.""", """\1://""", ""),
         ("""^(http://[^/:?#]*):80([/?#].*)?$""", """\1\2""", ""),
         ("""^(https://[^/:?#]*):443([/?#].*)?$""", """\1\2""", ""),
         ("""#.*$""", "", ""),
-        ("""utm_[^&#]*&""", "", "g"),
+        ("""([?&])(utm_[^&#]*&)+""", """\1""", "g"),
         ("""[?&]utm_[^&#]*$""", "", ""),
         ("""[?&]$""", "", ""),
         ("""/$""", "", "")
@@ -1781,6 +1807,9 @@ object DataOps {
         val f = if (flags.isEmpty) "" else s", '$flags'"
         s"regexp_replace($acc, '$pat', '$rep'$f)"
       }
+      // mirror of the Scala side's malformed-input guard: only absolute
+      // scheme://host URLs are canonicalized, everything else untouched
+      s"CASE WHEN regexp_matches(url_raw, '^[a-zA-Z]+://') THEN $chain ELSE url_raw END"
     }
 
     val base = Map(

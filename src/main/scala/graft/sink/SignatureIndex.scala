@@ -93,7 +93,26 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     * must not pay the minhash lineage twice.
     */
   private[graft] def append(batchSh: DataFrame, batchBands: DataFrame): Unit = {
-    val bb = batchBands.select(col("doc_id"), col("b"), col("h"))
+    val bb0 = batchBands.select(col("doc_id"), col("b"), col("h"))
+    // Replay guard (idempotent re-append): a doc whose identical band
+    // rows already sit in the index — an at-least-once caller (streaming
+    // foreachBatch) re-delivering a batch whose append COMPLETED — is
+    // skipped entirely, bands and shingles both. Detection is exact and
+    // stays inside the touched buckets: the batch's own (pb, b, h,
+    // doc_id) rows broadcast into a semi-join, so history is never
+    // shuffled and the skip set is bounded by the batch. A crash MIDWAY
+    // through an append (partial parquet write) remains the append-only-
+    // parquet exposure every such sink shares; a transactional table
+    // format is the deployment remedy.
+    val (bb, shNew) = if (!fs.exists(bandsPath)) (bb0, batchSh) else {
+      val touchedRows = bb0
+        .select(pb(col("h")).as("pb"), col("b"), col("h"), col("doc_id")).distinct()
+      val already = bands
+        .join(broadcast(touchedRows), Seq("pb", "b", "h", "doc_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+      (bb0.join(broadcast(already), Seq("doc_id"), "left_anti"),
+        batchSh.join(broadcast(already), Seq("doc_id"), "left_anti"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b"), col("h")).orderBy(col("doc_id"))
     val rankedNew = bb.withColumn("rn", row_number().over(w))
@@ -110,7 +129,7 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     }).select(col("doc_id"), col("b"), col("h"),
       (coalesce(col("n0"), lit(0L)) + col("rn")).cast("long").as("rk"),
       pb(col("h")).as("pb"))
-    batchSh.select(col("doc_id"), col("sh"))
+    shNew.select(col("doc_id"), col("sh"))
       .write.mode("append").parquet(shinglesPath.toString)
     // File-count note: each task writes into every cell it touches
     // (tasks × cells files per append). On an object store at deployment

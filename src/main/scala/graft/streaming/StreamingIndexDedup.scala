@@ -17,12 +17,20 @@ import graft.sink.SignatureIndex
   *
   *  - state is the INDEX — a restarted query resumes against everything
   *    every previous run indexed, with nothing rebuilt from memory;
-  *  - the file source's checkpoint gives exactly-once micro-batches — a
-  *    restart never re-dedups (and never re-appends) an already-processed
-  *    landing file, which matters because [[SignatureIndex.append]]
-  *    assumes new doc_ids (StreamingIndexDedupSpec pins both: restart
-  *    emits no duplicate pairs, and drain(b1) + restart + drain(b2)
-  *    equals the one-shot pair set);
+  *  - a CLEAN restart is exactly-once via the file source's checkpoint
+  *    (a committed landing file is never re-delivered), and a CRASHED
+  *    batch replay is idempotent end-to-end: `foreachBatch` is
+  *    at-least-once, so the body is built to re-run —
+  *    [[SignatureIndex.append]] skips docs whose band rows already sit
+  *    in the index, the new-vs-history join excludes the batch's own ids
+  *    (no self-pairs, no in-batch pairs re-tagged as history), and pair
+  *    output goes to a per-batch directory in overwrite mode. The one
+  *    residual window is a crash MIDWAY through the index's parquet
+  *    append (a partially-written file set) — the exposure every
+  *    append-only parquet sink shares; a transactional table format is
+  *    the deployment remedy. StreamingIndexDedupSpec pins the clean
+  *    restart, the completed-append replay, and drain(b1) + restart +
+  *    drain(b2) equaling the one-shot pair set;
   *  - each micro-batch pays exactly the batch operator's plan: history
   *    never shuffles, the batch's digests broadcast, raw history text is
   *    never read.
@@ -48,11 +56,13 @@ object StreamingIndexDedup {
                       checkpointDir: String): Unit = {
     val stream = spark.readStream.schema(DocSchema).parquet(landingDir)
     val query = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // an empty trigger must not append empty index files
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty trigger must not append empty index files; the
+        // per-batch overwrite directory makes a replayed batch's output
+        // REPLACE its previous attempt instead of duplicating it
         if (!batch.isEmpty) {
           DataOps.dedupIncrementalOn(idx, batch)
-            .write.mode("append").parquet(pairsDir)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
         }
         ()
       }

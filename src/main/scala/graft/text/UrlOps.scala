@@ -31,15 +31,22 @@ object UrlOps {
 
   def canonicalize(url: Column): Column = {
     val hostLower = lowerSchemeHost(url)
-    val noWww = regexp_replace(hostLower, "://www\\.", "://")
+    // Anchored to the URL's OWN scheme://host — an unanchored strip would
+    // also rewrite absolute URLs carried in query values (`?next=http://
+    // www.foo.com`), merging genuinely different redirect targets.
+    val noWww = regexp_replace(hostLower, "^([a-z]+)://www\\.", "$1://")
     val noPort = regexp_replace(
       regexp_replace(noWww, "^(http://[^/:?#]*):80([/?#].*)?$", "$1$2"),
       "^(https://[^/:?#]*):443([/?#].*)?$", "$1$2")
     val noFrag = regexp_replace(noPort, "#.*$", "")
-    // Two-step utm strip: params followed by `&` lose param+separator;
-    // a trailing utm param takes its LEADING `?`/`&` with it.
+    // Two-step utm strip, each anchored on a `?`/`&` SEPARATOR so a
+    // parameter merely containing "utm_" in its value (`?a=utm_x&b=2`)
+    // is never touched: a RUN of utm params followed by `&` collapses
+    // onto its leading separator; a trailing utm param takes its leading
+    // separator with it.
     val noUtm = regexp_replace(
-      regexp_replace(noFrag, "utm_[^&#]*&", ""), "[?&]utm_[^&#]*$", "")
+      regexp_replace(noFrag, "([?&])(utm_[^&#]*&)+", "$1"),
+      "[?&]utm_[^&#]*$", "")
     val canon = regexp_replace(regexp_replace(noUtm, "[?&]$", ""), "/$", "")
     // A schemeless or otherwise malformed URL (relative link, mailto:)
     // would lose its text to the scheme-anchored extracts — pass it

@@ -169,11 +169,30 @@ class CrawlHygieneSpec extends SparkSpec {
       // schemeless/malformed inputs pass through untouched, never emptied
       "site.example.com/path" -> "site.example.com/path",
       "mailto:someone@example.com" -> "mailto:someone@example.com",
-      "/relative/link?utm_x=1" -> "/relative/link?utm_x=1")
+      "/relative/link?utm_x=1" -> "/relative/link?utm_x=1",
+      // "utm_" inside a VALUE is not a tracking param — never stripped
+      "http://h.example.com/p?a=utm_x&b=2" -> "http://h.example.com/p?a=utm_x&b=2",
+      // www. inside a query value (redirect target) is preserved
+      "http://h.example.com/r?next=http://www.foo.com"
+        -> "http://h.example.com/r?next=http://www.foo.com",
+      // a RUN of adjacent utm params collapses in one pass
+      "http://h.example.com/p?utm_a=1&utm_b=2&c=3" -> "http://h.example.com/p?c=3")
     import spark.implicits._
     val got = cases.map(_._1).toDF("u")
       .select(UrlOps.canonicalize(col("u"))).as[String].collect()
     got.toSeq shouldBe cases.map(_._2)
+  }
+
+  test("doc_repetition: a single-token document gets dup_bigram_milli 0, not a crash") {
+    import spark.implicits._
+    val tmp = tmpDir("rep-one-token")
+    Seq((1L, "solo", "en", "srcX", 4L), (2L, "two words", "en", "srcX", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = DataOps.docRepetition(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows(1L) shouldBe ((1L, 1000L, 0L))
+    rows(2L) shouldBe ((2L, 500L, 0L))
   }
 
   test("url_canonical: canonicalization is idempotent over the graded output") {

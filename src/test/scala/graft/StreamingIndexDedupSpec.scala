@@ -74,4 +74,30 @@ class StreamingIndexDedupSpec extends SparkSpec {
     all2.map(p => (p._1, p._2)) shouldBe oneShot
     spark.read.parquet(pairsDir).count() shouldBe all2.size.toLong
   }
+
+  test("completed-append replay is idempotent: same pairs, no self-pairs, no index growth") {
+    import spark.implicits._
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val idx = new SignatureIndex(spark, tmpDir("sid-replay-idx"))
+
+    def run() = DataOps.dedupIncrementalOn(idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+
+    val first = run() // appends the batch
+    val bandRows = idx.bands.count()
+    val shingleRows = idx.shingles.count()
+    // the at-least-once replay: batch re-delivered after its append
+    // completed — byte-identical output (as a bag, not just a set), no
+    // doc paired with itself, nothing re-appended
+    val replay = run()
+    replay shouldBe first
+    replay.map(p => (p._1, p._2)) should contain((10L, 11L))
+    replay.foreach { case (a, b, _) => a should not be b }
+    idx.bands.count() shouldBe bandRows
+    idx.shingles.count() shouldBe shingleRows
+  }
 }
