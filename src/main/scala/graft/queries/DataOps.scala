@@ -1128,6 +1128,82 @@ object DataOps {
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
       .agg(avg(col("v").cast("double")).as("centroid_raw"))
 
+  /** Deterministic Lloyd k-means over the embedding corpus — the
+    * clustering step a curation pipeline runs for topic balancing and
+    * diversity sampling. Spec-bounded binding (float output, the
+    * [[quantizeEmbeddings]] pattern): KMeansSpec rebuilds every
+    * iteration in plain driver Scala and matches assignments and
+    * centroids BIT-exactly, which is possible because every float path
+    * here has a pinned accumulation order:
+    *
+    *  - distances fold `zip_with` left-to-right (one fixed order per
+    *    row);
+    *  - the winning cluster is `array_min` over `struct(d2, cid)` —
+    *    lexicographic struct ordering gives lowest-distance-then-
+    *    lowest-cid, so ties (duplicate centroids from near-dup init
+    *    vectors) break deterministically, and the centroid list is
+    *    `array_sort`ed so collect order never matters;
+    *  - centroid means are the [[embeddingCentroids]] sorted-value fold
+    *    per (cluster, dim) — partitioning-independent
+    *    (PartitionDeterminismSpec's discipline applied to an iterative
+    *    op).
+    *
+    * Init is the k smallest vec_ids (deterministic, no RNG). Iterations
+    * are fixed (`iters`), each assignment localCheckpoint'ed to cut the
+    * growing lineage — the [[minLabelPropagate]] loop discipline. An
+    * empty cluster drops for the following round, as in standard Lloyd.
+    * Scale shape: per round, ONE broadcast of k·dim centroid doubles, a
+    * per-row argmin (zero shuffles), and one (cluster, dim)-keyed
+    * aggregation; at 100 TB swap the sorted fold for plain `avg`
+    * ([[embeddingCentroidsProd]]'s trade, same caveat).
+    */
+  def kmeansLloyd(spark: SparkSession, dir: String, k: Int = 8,
+                  iters: Int = 3): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("emb"))
+    val w = Window.orderBy(col("vec_id"))
+    // k rows total — the unpartitioned window ranks a LIMIT k frame, not
+    // the corpus
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).cast("int").as("cid"),
+        col("emb").as("cvec"))
+    var assigned = e // placeholder; reassigned below
+    for (_ <- 1 to iters) {
+      assigned = kmeansAssign(e, cents).localCheckpoint(true)
+      cents = kmeansCentroids(assigned)
+    }
+    assigned
+  }
+
+  /** One assignment pass: nearest centroid by squared L2, ties to the
+    * lowest cid via `array_min` over `struct(d2, cid)`.
+    */
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val oneRow = cents.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    e.crossJoin(broadcast(oneRow))
+      .select(col("vec_id"), col("emb"), expr(
+        """array_min(transform(cents, c -> named_struct(
+             'd2', aggregate(zip_with(emb, c.cvec, (x, y) -> (x - y) * (x - y)),
+                             CAST(0 AS double), (a, v) -> a + v),
+             'cid', c.cid)))""").as("best"))
+      .select(col("vec_id"), col("emb"),
+        col("best.cid").as("cluster"), col("best.d2").as("dist2"))
+  }
+
+  /** One update pass: per-(cluster, dim) sorted-value fold mean,
+    * re-assembled into ordered centroid vectors.
+    */
+  private[graft] def kmeansCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((expr("aggregate(sort_array(collect_list(v)), CAST(0 AS double), (a, x) -> a + x)")
+        / count(lit(1))).as("m"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('pos', pos, 'm', m))), x -> x.m)")
+        .as("cvec"))
+      .select(col("cluster").cast("int").as("cid"), col("cvec"))
+
   // --------------------------------------------------- similarity search
 
   /** Int8 symmetric quantization of the embedding column — the STORAGE
