@@ -213,7 +213,12 @@ object DataOps {
     try {
       val batchBands = bandDigests(batchSh)
         .withColumn("pb", graft.sink.SignatureIndex.pb(col("h")))
-      val nh = newHistCandidates(idx, batchBands, cap)
+      // One distinct pass over the batch ids, shared by every replay
+      // guard below (the history-band anti-join, the shingle-union
+      // anti-join) — the guards' cost is fixed job overhead, so paying
+      // the distinct once matters.
+      val batchIds = batchSh.select(col("doc_id")).distinct()
+      val nh = newHistCandidates(idx, batchBands, cap, batchIds)
         .withColumn("pair_type", lit("new_hist"))
       val nn = lshCandidates(batchSh, cap).withColumn("pair_type", lit("new_new"))
       // The batch's ids are excluded from the history shingle side too
@@ -221,7 +226,6 @@ object DataOps {
       // replay the index already holds the batch's shingles, and the
       // plain union would hold each batch doc twice, multiplying every
       // verified pair row through the per-side shingle joins.
-      val batchIds = batchSh.select(col("doc_id")).distinct()
       val allSh = idx.shingles
         .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
         .unionByName(batchSh.select(col("doc_id"), col("sh")))
@@ -243,7 +247,8 @@ object DataOps {
     */
   private[graft] def newHistCandidates(idx: graft.sink.SignatureIndex,
                                        batchBands: DataFrame,
-                                       cap: Int): DataFrame = {
+                                       cap: Int,
+                                       batchIds0: DataFrame = null): DataFrame = {
     // The batch's own ids are excluded from the history side (broadcast
     // anti-join — history still never shuffles): if an at-least-once
     // caller replays a batch whose index append already completed, the
@@ -251,7 +256,8 @@ object DataOps {
     // would self-pair at Jaccard 1.0 and every in-batch pair would
     // duplicate as new_hist. With it, a replay returns exactly the
     // original run's pairs (the idempotence StreamingIndexDedup leans on).
-    val batchIds = batchBands.select(col("doc_id")).distinct()
+    val batchIds = Option(batchIds0)
+      .getOrElse(batchBands.select(col("doc_id")).distinct())
     idx.bands.filter(col("rk") <= cap)
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti").as("ha")
       .join(broadcast(batchBands.as("nb")),
@@ -1169,6 +1175,7 @@ object DataOps {
     */
   def kmeansLloyd(spark: SparkSession, dir: String, k: Int = 8,
                   iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"kmeansLloyd needs at least one iteration, got $iters")
     val e = emb(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("emb"))
     val w = Window.orderBy(col("vec_id"))
@@ -1580,8 +1587,7 @@ object DataOps {
     * loop's first-round double read; the loop's own checkpoints take
     * over after that.
     */
-  private def starClusterOf(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0
+  private def starClusterOf(pairs: DataFrame): DataFrame = {
     try {
       pairs.cache()
       largeSmallStar(pairs)

@@ -79,11 +79,13 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     * operator's claimed scale.
     *
     * Durability ordering: shingles are committed BEFORE bands. A crash
-    * between the writes then leaves orphan shingle rows, which are
-    * harmless (verification only ever joins them FROM band-generated
-    * candidates); the reverse order would leave band rows whose
-    * candidate pairs silently fail Jaccard verification's inner join —
-    * lost recall with no error surfaced.
+    * between the writes leaves orphan shingle rows — harmless for
+    * queries (verification only ever joins them FROM band-generated
+    * candidates) and safe under replay (the replay guard skips shingle
+    * rows based on the shingles table itself, so they are never
+    * duplicated; the band rows resume from zero). The reverse order
+    * would leave band rows whose candidate pairs silently fail Jaccard
+    * verification's inner join — lost recall with no error surfaced.
     */
   def append(batchSh: DataFrame): Unit =
     append(batchSh, graft.queries.DataOps.bandDigests(batchSh))
@@ -94,24 +96,33 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     */
   private[graft] def append(batchSh: DataFrame, batchBands: DataFrame): Unit = {
     val bb0 = batchBands.select(col("doc_id"), col("b"), col("h"))
-    // Replay guard (idempotent re-append): a doc whose identical band
-    // rows already sit in the index — an at-least-once caller (streaming
-    // foreachBatch) re-delivering a batch whose append COMPLETED — is
-    // skipped entirely, bands and shingles both. Detection is exact and
-    // stays inside the touched buckets: the batch's own (pb, b, h,
-    // doc_id) rows broadcast into a semi-join, so history is never
-    // shuffled and the skip set is bounded by the batch. A crash MIDWAY
-    // through an append (partial parquet write) remains the append-only-
-    // parquet exposure every such sink shares; a transactional table
-    // format is the deployment remedy.
+    // Replay guard (idempotent re-append) at ROW granularity, per table:
+    // an at-least-once caller (streaming foreachBatch) re-delivering a
+    // batch appends exactly the rows that are MISSING — band rows are
+    // anti-joined against the committed rows in the buckets the batch
+    // touches (so a crash midway through a previous bands write resumes
+    // with the uncommitted remainder, never duplicating the committed
+    // part and never silently dropping the rest), and shingle rows are
+    // skipped per doc based on the SHINGLES table itself (so a crash
+    // between the shingle and band writes never duplicates shingle rows
+    // on replay — which would double every future pair those docs touch
+    // in Jaccard verification). Both probes broadcast batch-derived keys
+    // into semi/anti joins: history is never shuffled, and the band
+    // probe additionally stays inside the touched buckets.
     val (bb, shNew) = if (!fs.exists(bandsPath)) (bb0, batchSh) else {
       val touchedRows = bb0
         .select(pb(col("h")).as("pb"), col("b"), col("h"), col("doc_id")).distinct()
-      val already = bands
+      val committed = bands
         .join(broadcast(touchedRows), Seq("pb", "b", "h", "doc_id"), "left_semi")
+        .select(col("pb"), col("b"), col("h"), col("doc_id"))
+      val missing = bb0.withColumn("pb", pb(col("h")))
+        .join(broadcast(committed), Seq("pb", "b", "h", "doc_id"), "left_anti")
+        .select(col("doc_id"), col("b"), col("h"))
+      val batchIds = bb0.select(col("doc_id")).distinct()
+      val shAlready = shingles
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id")).distinct()
-      (bb0.join(broadcast(already), Seq("doc_id"), "left_anti"),
-        batchSh.join(broadcast(already), Seq("doc_id"), "left_anti"))
+      (missing, batchSh.join(broadcast(shAlready), Seq("doc_id"), "left_anti"))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b"), col("h")).orderBy(col("doc_id"))

@@ -75,6 +75,29 @@ class StreamingIndexDedupSpec extends SparkSpec {
     spark.read.parquet(pairsDir).count() shouldBe all2.size.toLong
   }
 
+  test("a partial bands write resumes on replay: missing rows appended, nothing duplicated") {
+    import spark.implicits._
+    val docs = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (51L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val idx = new SignatureIndex(spark, tmpDir("sid-partial-idx"))
+    val sh = DataOps.shingledOn(docs)
+    val bands = DataOps.bandDigests(sh)
+    // simulated crash midway through the bands write: shingles committed,
+    // only 2 of the 4 band rows per doc made it
+    idx.append(sh, bands.filter(col("b") < 2))
+    // the at-least-once replay delivers the full batch again
+    idx.append(sh, bands)
+    idx.shingles.count() shouldBe 2L // one row per doc, never duplicated
+    idx.bands.count() shouldBe 8L // 2 docs x 4 bands, resumed not doubled
+    idx.bands.select("pb", "b", "h", "doc_id").distinct().count() shouldBe 8L
+    // and a third delivery is a complete no-op
+    idx.append(sh, bands)
+    idx.bands.count() shouldBe 8L
+    idx.shingles.count() shouldBe 2L
+  }
+
   test("completed-append replay is idempotent: same pairs, no self-pairs, no index growth") {
     import spark.implicits._
     val batch = Seq(
