@@ -90,6 +90,15 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
   def append(batchSh: DataFrame): Unit =
     append(batchSh, graft.queries.DataOps.bandDigests(batchSh))
 
+  /** Public bootstrap/append from raw documents (doc_id, text): shingles
+    * with the pipeline's own builder, then [[append]]s. The batch form of
+    * what [[graft.streaming.StreamingIndexDedup]] does per micro-batch —
+    * without this, an external consumer could populate the index only
+    * through the streaming wrapper or the incremental dedup operator.
+    */
+  def appendDocuments(docs: DataFrame): Unit =
+    append(graft.queries.DataOps.shingledOn(docs))
+
   /** [[append]] with the batch's band digests already computed — the
     * incremental dedup operator derives them for its candidate join and
     * must not pay the minhash lineage twice.
@@ -149,6 +158,46 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     // the small files do (local fs, +0.2-0.4 s per append at sf0.1), so
     // the library keeps the direct write and documents the knob.
     ranked.write.mode("append").partitionBy("pb").parquet(bandsPath.toString)
+  }
+
+  /** Maintenance compaction: rewrite both tables so each bands partition
+    * cell holds ~one file and the shingle store a handful, undoing the
+    * small-file accumulation the append-path note describes (every
+    * append adds tasks × cells band files). Content is preserved
+    * EXACTLY — same rows, same `rk` arrival ranks — because compaction
+    * only re-buckets storage; CompactionSpec pins row-set equality,
+    * the file-count collapse, and that incremental dedup over a
+    * compacted index is byte-identical.
+    *
+    * Concurrency: run in a maintenance window with no concurrent
+    * appender or reader — the swap is rename-based (write to a temp
+    * dir, move the live dir aside, move the temp in, drop the old), so
+    * a reader between the two renames would see an empty index, and a
+    * crash there leaves the data intact under `*.old.*` for manual
+    * recovery (the [[graft.sink.ArticleStore]] store keeps versioned
+    * manifests for exactly this reason; this index trades that
+    * machinery for append-only simplicity and a documented window).
+    */
+  def compact(): Unit = {
+    def rewrite(path: Path, write: (DataFrame, String) => Unit, df: DataFrame): Unit = {
+      if (!fs.exists(path)) return
+      val stamp = java.util.UUID.randomUUID().toString
+      val tmp = new Path(base, s"${path.getName}.compact.$stamp")
+      write(df, tmp.toString)
+      val old = new Path(base, s"${path.getName}.old.$stamp")
+      if (!fs.rename(path, old))
+        throw new java.io.IOException(s"compact: cannot move $path aside")
+      if (!fs.rename(tmp, path)) {
+        fs.rename(old, path) // restore the live dir before failing
+        throw new java.io.IOException(s"compact: cannot move $tmp into place")
+      }
+      fs.delete(old, true)
+    }
+    rewrite(bandsPath,
+      (df, out) => df.repartition(col("pb"))
+        .write.partitionBy("pb").parquet(out), bands)
+    rewrite(shinglesPath,
+      (df, out) => df.repartition(4).write.parquet(out), shingles)
   }
 }
 

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.DataOps
+import graft.sink.SignatureIndex
+
+/** [[SignatureIndex.compact]]: storage-only — the row multiset (including
+  * arrival ranks) is untouched, the per-append file accumulation
+  * collapses, and the incremental dedup operator over a compacted index
+  * returns byte-identical pairs.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+  }
+
+  test("compact preserves rows and ranks, collapses files, and dedup output is unchanged") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = tmpDir("compaction-idx")
+    val idx = new SignatureIndex(spark, base)
+    // several appends -> many small files per cell
+    for (part <- 0 until 4)
+      idx.append(DataOps.shingledOn(d.filter(col("doc_id") % 4 === part)))
+
+    def bandRows = idx.bands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getInt(4)))
+      .sorted.toSeq
+    def shingleRows = idx.shingles.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).sorted.mkString("|"))).sorted.toSeq
+
+    val (bandsBefore, shinglesBefore) = (bandRows, shingleRows)
+    val filesBefore = parquetFiles(base)
+
+    // the batch a future day would bring, deduped against the index
+    // before AND after compaction — must be byte-identical
+    val batch = Seq((9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    def pairsNow = DataOps.dedupIncrementalOn(idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sorted.toSeq
+    val pairsBefore = pairsNow // note: appends 9000 to the index...
+
+    idx.compact()
+
+    bandRows.filter(_._1 != 9000L) shouldBe bandsBefore
+    shingleRows.filter(_._1 != 9000L) shouldBe shinglesBefore
+    parquetFiles(base) should be < filesBefore
+    // replay of the same batch over the compacted index: identical pairs
+    // (the replay guard makes the second run side-effect-free)
+    pairsNow shouldBe pairsBefore
+  }
+}
