@@ -73,6 +73,27 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("diversity sample: per-cluster closest members, balanced, mirror-exact") {
+    val vs = vectors
+    val (assign, _) = lloyd(vs, 3)
+    val m = 16
+    val want = assign.toSeq
+      .groupBy(_._2._1)
+      .flatMap { case (cid, members) =>
+        members.toSeq.map { case (id, (_, d2)) => (id, cid, d2) }
+          .sortBy { case (id, _, d2) => (d2, id) }.take(m)
+          .zipWithIndex.map { case ((id, c, d2), i) => (id, c, d2, i.toLong + 1) }
+      }.toSet
+    val got = DataOps.diversitySample(spark, dir, 8, 3, m).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    got shouldBe want
+    // balance: every cluster contributes exactly min(m, population)
+    val pop = assign.groupBy(_._2._1).map { case (c, ms) => c -> ms.size }
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      rows.size shouldBe math.min(m, pop(c))
+    }
+  }
+
   test("inertia never increases across iterations; clusters are non-trivial") {
     def inertia(iters: Int): Double =
       DataOps.kmeansLloyd(spark, dir, K, iters).collect().map(_.getDouble(3)).sum
