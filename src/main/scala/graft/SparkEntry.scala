@@ -70,6 +70,7 @@ object SparkEntry {
     "doc_repetition" -> (DataOps.docRepetition _),
     "dedup_paragraphs" -> (DataOps.dedupParagraphs _),
     "doc_rarity" -> (DataOps.docRarity _),
+    "hash_embed" -> (DataOps.hashEmbed _),
     "dup_windows" -> (DataOps.dupWindows _),
     "dedup_spans" -> (DataOps.dedupSpans _),
     "url_canonical" -> (DataOps.urlCanonical _),

@@ -883,6 +883,28 @@ object DataOps {
           .as("text_dedup"))
   }
 
+  private val HashEmbedDims = 64
+
+  /** Feature-hashed document embeddings (the hashing trick, Weinberger
+    * et al. 2009 — the public spec): each token hashes to one of 64
+    * dimensions with a ±1 sign bit, summed per (doc, dim) — a model-free
+    * bag-of-words embedding that bridges the documents table into vector
+    * space (ANN, k-means, cosine dedup all compose on top). Emitted in
+    * EXPLODED integer form (doc_id, dim, weight) so the oracle grades it
+    * exactly — signed counts, no floats anywhere.
+    *
+    * Scale shape: one md5 per token occurrence, one partial-aggregable
+    * keyed shuffle on (doc_id, dim); dimensionality is a constant, so
+    * the output is corpus-linear with a 64× ceiling on rows per doc.
+    */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    docRarityTokens(spark, dir)
+      .select(col("doc_id"), TextOps.tokenHash32("hemb:", col("t")).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(HashEmbedDims)).as("dim"),
+        when(expr("(h div 64) % 2 = 0"), lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign")).as("weight"))
+
   /** The corpus DASHBOARD — the one-row report a data curator reads every
     * morning: corpus size, language/source mix, quality and repetition
     * pass rates, exact-duplicate volume and near-dup pair count, each
@@ -2127,6 +2149,13 @@ object DataOps {
                coalesce(a.n_after, 0)::BIGINT AS n_after,
                coalesce(a.text_clean, '') AS text_clean
         FROM planted t LEFT JOIN agg a ON a.doc_id = t.doc_id""",
+      "hash_embed" -> s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        th AS (SELECT doc_id, md5('hemb:' || t) AS hh FROM tok),
+        hv AS (SELECT doc_id, ($h32) AS h FROM th)
+        SELECT doc_id, (h % 64)::BIGINT AS dim,
+               sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS weight
+        FROM hv GROUP BY 1, 2""",
       "doc_rarity" -> """
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         vocab AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1)

@@ -148,6 +148,23 @@ class CrawlHygieneSpec extends SparkSpec {
     got.values.map(_._2).sum should be > 0L
   }
 
+  test("hash_embed: feature-hashed weights match a plain-Scala recomputation") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = rawDocs.toSeq.flatMap { case (id, w) =>
+      w.map { t =>
+        val h = h32("hemb:" + t)
+        ((id, h % 64), if ((h / 64) % 2 == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val got = DataOps.hashEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe want
+  }
+
   test("url canonicalizer: case law") {
     val cases = Seq(
       // default ports stripped, scheme+host lowered, www dropped, utm gone
