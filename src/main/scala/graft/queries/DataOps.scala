@@ -900,8 +900,11 @@ object DataOps {
   def hashEmbed(spark: SparkSession, dir: String): DataFrame =
     docRarityTokens(spark, dir)
       .select(col("doc_id"), TextOps.tokenHash32("hemb:", col("t")).as("h"))
+      // the sign bit sits immediately ABOVE the dim field, derived from
+      // the same constant so dim and sign can never silently decouple
       .select(col("doc_id"), pmod(col("h"), lit(HashEmbedDims)).as("dim"),
-        when(expr("(h div 64) % 2 = 0"), lit(1L)).otherwise(lit(-1L)).as("sign"))
+        when(expr(s"(h div $HashEmbedDims) % 2 = 0"), lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sign")).as("weight"))
 
@@ -2153,8 +2156,8 @@ object DataOps {
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         th AS (SELECT doc_id, md5('hemb:' || t) AS hh FROM tok),
         hv AS (SELECT doc_id, ($h32) AS h FROM th)
-        SELECT doc_id, (h % 64)::BIGINT AS dim,
-               sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS weight
+        SELECT doc_id, (h % $HashEmbedDims)::BIGINT AS dim,
+               sum(CASE WHEN (h // $HashEmbedDims) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS weight
         FROM hv GROUP BY 1, 2""",
       "doc_rarity" -> """
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

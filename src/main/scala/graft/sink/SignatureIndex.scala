@@ -185,11 +185,16 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
       val tmp = new Path(base, s"${path.getName}.compact.$stamp")
       write(df, tmp.toString)
       val old = new Path(base, s"${path.getName}.old.$stamp")
-      if (!fs.rename(path, old))
+      if (!fs.rename(path, old)) {
+        fs.delete(tmp, true) // don't orphan a full table copy
         throw new java.io.IOException(s"compact: cannot move $path aside")
+      }
       if (!fs.rename(tmp, path)) {
-        fs.rename(old, path) // restore the live dir before failing
-        throw new java.io.IOException(s"compact: cannot move $tmp into place")
+        val restored = fs.rename(old, path) // restore the live dir before failing
+        throw new java.io.IOException(
+          s"compact: cannot move $tmp into place" +
+            (if (restored) s" (live dir restored; compacted copy left at $tmp)"
+             else s"; RESTORE ALSO FAILED — live data is at $old, compacted copy at $tmp"))
       }
       fs.delete(old, true)
     }

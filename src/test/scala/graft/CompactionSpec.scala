@@ -34,21 +34,23 @@ class CompactionSpec extends SparkSpec {
     def shingleRows = idx.shingles.collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).sorted.mkString("|"))).sorted.toSeq
 
-    val (bandsBefore, shinglesBefore) = (bandRows, shingleRows)
-    val filesBefore = parquetFiles(base)
-
     // the batch a future day would bring, deduped against the index
     // before AND after compaction — must be byte-identical
     val batch = Seq((9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
     def pairsNow = DataOps.dedupIncrementalOn(idx, batch).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sorted.toSeq
-    val pairsBefore = pairsNow // note: appends 9000 to the index...
+    val pairsBefore = pairsNow // appends 9000 to the index
+
+    // snapshot AFTER the incremental append so the newest rows (doc
+    // 9000's) are inside the preservation check, not excluded from it
+    val (bandsBefore, shinglesBefore) = (bandRows, shingleRows)
+    val filesBefore = parquetFiles(base)
 
     idx.compact()
 
-    bandRows.filter(_._1 != 9000L) shouldBe bandsBefore
-    shingleRows.filter(_._1 != 9000L) shouldBe shinglesBefore
+    bandRows shouldBe bandsBefore
+    shingleRows shouldBe shinglesBefore
     parquetFiles(base) should be < filesBefore
     // replay of the same batch over the compacted index: identical pairs
     // (the replay guard makes the second run side-effect-free)
