@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: double-precision dot product of two
   * float-array columns, accumulated left-to-right.
@@ -28,6 +29,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"
+
+  // SQL-facing since GraftExtensions: reject wrong-typed input at
+  // analysis (ExpectsInputTypes is private[sql] in 4.x).
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<float> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

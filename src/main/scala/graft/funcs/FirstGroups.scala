@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,6 +28,14 @@ case class FirstGroups(child: Expression, regexes: Seq[String])
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def prettyName: String = "graft_first_groups"
+
+  // SQL-facing since GraftExtensions: reject wrong-typed input at
+  // analysis (ExpectsInputTypes is private[sql] in 4.x).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${t.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     FirstGroups.compute(input.asInstanceOf[UTF8String], compiled)

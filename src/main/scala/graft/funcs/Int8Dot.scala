@@ -1,10 +1,11 @@
 package graft.funcs
 
 import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, LongType}
 
 /** Native Catalyst expression: EXACT integer dot product of two
   * int8-quantized vector columns (`array<tinyint>`, the
@@ -25,6 +26,18 @@ case class Int8Dot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   override def prettyName: String = "graft_dot8"
+
+  // SQL-facing since GraftExtensions: reject wrong-typed input at
+  // analysis (ExpectsInputTypes is private[sql] in 4.x) — an
+  // array<int> argument would otherwise CCE inside codegen at runtime.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<tinyint> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst expression: the 32-bit SimHash fingerprint of a
   * feature set in ONE per-row pass — for each feature, bit k of
@@ -27,6 +28,14 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def prettyName: String = "graft_simhash_fp"
+
+  // SQL-facing since GraftExtensions: reject wrong-typed input at
+  // analysis (ExpectsInputTypes is private[sql] in 4.x).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> argument, got ${t.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     SimHashFp.compute(input.asInstanceOf[ArrayData])

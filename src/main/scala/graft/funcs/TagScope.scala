@@ -3,6 +3,7 @@ package graft.funcs
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -44,6 +45,14 @@ case class TagScope(child: Expression, openTag: String, tag: String)
   override def dataType: DataType = StringType
 
   override def prettyName: String = "graft_tag_scope"
+
+  // SQL-facing since GraftExtensions: reject wrong-typed input at
+  // analysis (ExpectsInputTypes is private[sql] in 4.x).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${t.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     TagScope.scopeUtf8(input.asInstanceOf[UTF8String], openTag, tag)

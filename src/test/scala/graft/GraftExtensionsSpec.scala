@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.funcs._
+import graft.text.TextOps
+
+/** The SQL surface: a session created `withExtensions(new
+  * GraftExtensions)` resolves every native kernel as a plain SQL
+  * function, and each SQL call equals its Column-API twin on real data.
+  * Also pins the analysis-time literal checks (a non-literal structural
+  * argument fails with the function's name, not inside codegen).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val ext: SparkSession = {
+    // the shared fixture session predates the extensions; build a second
+    // session OVER THE SAME context with the extensions installed, then
+    // restore the fixture as default/active for the other suites
+    val keep = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    SparkSession.setDefaultSession(keep)
+    SparkSession.setActiveSession(keep)
+    s
+  }
+
+  test("every registered function resolves in SQL and equals its Column-API twin") {
+    val d = ext.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    d.createOrReplaceTempView("docs_ext")
+
+    val viaSql = ext.sql(
+      """SELECT doc_id,
+                nfc_normalize(text) AS nrm,
+                word_shingles(split(text, ' '), 3) AS sh,
+                simhash_fp(word_shingles(split(text, ' '), 2)) AS fp
+         FROM docs_ext""").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[String](2).toSet, r.getLong(3))))
+      .toMap
+    val viaApi = d.select(col("doc_id"),
+        NfcNormalize(col("text")).as("nrm"),
+        TextOps.shingles(split(col("text"), " "), 3).as("sh"),
+        SimHashFp(TextOps.shingles(split(col("text"), " "), 2)).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[String](2).toSet, r.getLong(3))))
+      .toMap
+    viaSql shouldBe viaApi
+
+    val dots = ext.sql(
+      """SELECT dot_product(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d,
+                int8_dot(array(1Y, -2Y, 3Y), array(4Y, 5Y, -6Y)) AS q,
+                minhash_sig(array('a b c', 'b c d'), 4) AS mh,
+                tag_scope('<div class="x"><p>in</p></div><p>out</p>',
+                          '<div class="x">', 'div') AS scoped,
+                first_groups('<a href="u">t</a>', 'href="([^"]+)"') AS g
+      """).head()
+    dots.getDouble(0) shouldBe 32.0
+    dots.getLong(1) shouldBe (4 - 10 - 18).toLong
+    dots.getSeq[String](2).size shouldBe 4
+    dots.getString(3) should include("in")
+    dots.getString(3) should not include "out"
+    dots.getSeq[String](4) shouldBe Seq("u")
+  }
+
+  test("wrong-typed input fails at ANALYSIS, not as a codegen ClassCastException") {
+    val e = intercept[Exception] {
+      ext.sql("SELECT int8_dot(array(1, 2), array(3, 4))").collect()
+    }
+    e.getMessage should include("array<tinyint>")
+    val e2 = intercept[Exception] {
+      ext.sql("SELECT nfc_normalize(42)").collect()
+    }
+    e2.getMessage should include("string")
+  }
+
+  test("a non-literal structural argument fails at analysis with the function named") {
+    val e = intercept[Exception] {
+      ext.sql("SELECT word_shingles(split('a b', ' '), cast(id AS int)) FROM range(1)")
+        .collect()
+    }
+    e.getMessage should include("word_shingles")
+  }
+}
