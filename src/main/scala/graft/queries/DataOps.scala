@@ -629,7 +629,13 @@ object DataOps {
     * costs a shuffle but linearizes.
     */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+    docQualityOn(toks(spark, dir))
+
+  /** The gate on an explicit (doc_id, w) token frame —
+    * [[graft.query.CorpusPipeline]] runs it inside the daily flow.
+    */
+  private[graft] def docQualityOn(t: DataFrame): DataFrame =
+    t
       .select(col("doc_id"), size(col("w")).as("n"),
         size(array_distinct(col("w"))).as("nd"),
         expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
@@ -666,7 +672,13 @@ object DataOps {
     * documents.
     */
   def docRepetition(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+    docRepetitionOn(toks(spark, dir))
+
+  /** The gate on an explicit (doc_id, w) token frame —
+    * [[graft.query.CorpusPipeline]] runs it inside the daily flow.
+    */
+  private[graft] def docRepetitionOn(t: DataFrame): DataFrame =
+    t
       .select(col("doc_id"), size(col("w")).cast("long").as("n"),
         expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
           .as("mx"),
