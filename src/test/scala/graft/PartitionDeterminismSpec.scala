@@ -24,7 +24,8 @@ class PartitionDeterminismSpec extends SparkSpec {
   // collect_list, a min-struct argmin, cross-partition count sums)
   private val heavy = Seq("html_extract", "dedup_cluster_star",
     "cluster_keep_best", "lsh_recall", "corpus_select",
-    "dedup_paragraphs", "dup_windows", "doc_rarity")
+    "dedup_paragraphs", "dup_windows", "doc_rarity",
+    "dedup_spans", "hash_embed", "value_outliers")
 
   private def hash(df: DataFrame): String = {
     val cols = df.columns.sorted
