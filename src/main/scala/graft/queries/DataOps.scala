@@ -213,30 +213,45 @@ object DataOps {
     try {
       val batchBands = bandDigests(batchSh)
         .withColumn("pb", graft.sink.SignatureIndex.pb(col("h")))
-      // One distinct pass over the batch ids, shared by every replay
-      // guard below (the history-band anti-join, the shingle-union
-      // anti-join) — the guards' cost is fixed job overhead, so paying
-      // the distinct once matters.
-      val batchIds = batchSh.select(col("doc_id")).distinct()
-      val nh = newHistCandidates(idx, batchBands, cap, batchIds)
-        .withColumn("pair_type", lit("new_hist"))
-      val nn = lshCandidates(batchSh, cap).withColumn("pair_type", lit("new_new"))
-      // The batch's ids are excluded from the history shingle side too
-      // (broadcast anti — history stays unshuffled): on an at-least-once
-      // replay the index already holds the batch's shingles, and the
-      // plain union would hold each batch doc twice, multiplying every
-      // verified pair row through the per-side shingle joins.
-      val allSh = idx.shingles
-        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
-        .unionByName(batchSh.select(col("doc_id"), col("sh")))
       // Eagerly materialized BEFORE the append below — the result must not
       // re-read an index that already contains this batch.
-      val out = jaccardOnPairs(nh.unionByName(nn), allSh, threshold = 0.8,
-        extra = Seq("pair_type")).localCheckpoint(true)
+      val out = dedupIncrementalPairs(idx, batchSh, batchBands, cap)
+        .localCheckpoint(true)
       // the batch's band lineage is reused, not recomputed (see append)
       idx.append(batchSh, batchBands)
       out
     } finally { batchSh.unpersist(blocking = false); () }
+  }
+
+  /** The PURE pair computation of [[dedupIncrementalOn]] — no append, so
+    * a caller that SELECTS before indexing ([[graft.query.CorpusPipeline]]
+    * drops duplicates and then appends only the kept docs' signatures,
+    * keeping the index proportional to the kept corpus and the `rk <= cap`
+    * bound honest under daily re-crawled boilerplate) can split the two
+    * steps. The graded operator keeps the append-the-whole-batch contract.
+    */
+  private[graft] def dedupIncrementalPairs(idx: graft.sink.SignatureIndex,
+                                           batchSh: DataFrame,
+                                           batchBands: DataFrame,
+                                           cap: Int): DataFrame = {
+    // One distinct pass over the batch ids, shared by every replay
+    // guard below (the history-band anti-join, the shingle-union
+    // anti-join) — the guards' cost is fixed job overhead, so paying
+    // the distinct once matters.
+    val batchIds = batchSh.select(col("doc_id")).distinct()
+    val nh = newHistCandidates(idx, batchBands, cap, batchIds)
+      .withColumn("pair_type", lit("new_hist"))
+    val nn = lshCandidates(batchSh, cap).withColumn("pair_type", lit("new_new"))
+    // The batch's ids are excluded from the history shingle side too
+    // (broadcast anti — history stays unshuffled): on an at-least-once
+    // replay the index already holds the batch's shingles, and the
+    // plain union would hold each batch doc twice, multiplying every
+    // verified pair row through the per-side shingle joins.
+    val allSh = idx.shingles
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .unionByName(batchSh.select(col("doc_id"), col("sh")))
+    jaccardOnPairs(nh.unionByName(nn), allSh, threshold = 0.8,
+      extra = Seq("pair_type"))
   }
 
   /** The new-vs-history candidate join of [[dedupIncrementalOn]] — ONE

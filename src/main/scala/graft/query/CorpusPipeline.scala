@@ -16,21 +16,30 @@ import graft.text.TextOps
   *  2. per-document GATES — the repetition (Gopher) and quality filters,
   *     evaluated on the normalized text; gated-out docs never reach the
   *     index (garbage must not pollute history's signatures);
-  *  3. INCREMENTAL near-dup dedup against the persisted
-  *     [[SignatureIndex]] ([[DataOps.dedupIncrementalOn]] — history
-  *     never rescanned, batch appended for tomorrow);
+  *  3. INCREMENTAL near-dup pair computation against the persisted
+  *     [[SignatureIndex]] (history never rescanned);
   *  4. SELECTION — a new doc that near-dups ANY history doc drops
-  *     (history already holds the content); within the batch the
-  *     smallest id of each pair survives;
-  *  5. a one-row REPORT of the flow's attrition, the numbers the
+  *     (history already holds the content); in-batch duplicates resolve
+  *     by CONNECTED COMPONENT (each near-dup component keeps its
+  *     smallest id — pair-based drop-the-larger over-drops on chains,
+  *     the over-dropping [[DataOps.dedupCluster]]'s doc warns about);
+  *  5. the index gains ONLY the KEPT docs' signatures — dropped
+  *     duplicates must not accumulate (a boilerplate page re-crawled
+  *     daily would otherwise fill its buckets past the `rk <= cap`
+  *     bound and crowd real history out of candidate generation);
+  *  6. a one-row REPORT of the flow's attrition, the numbers the
   *     curator's dashboard charts per day.
   *
-  * Every step is the same code the graded queries run — this object adds
-  * ordering and the drop policy, nothing else, so the oracle-checked
-  * semantics carry over verbatim. CorpusPipelineSpec drives two days
-  * end-to-end: cross-day dedup, in-batch dedup, gating, and the
-  * normalization-dependent catch (an NFD-encoded clone of a day-1 doc
-  * drops ONLY because step 1 runs first).
+  * DIALECT: this pipeline signs NORMALIZED text, so the index it
+  * maintains must hold normalized-text signatures everywhere — bootstrap
+  * history with [[bootstrap]] (which normalizes first), NOT with the raw
+  * [[SignatureIndex.appendDocuments]]; an index mixing dialects silently
+  * misses cross-dialect duplicates. Every step is the same code the
+  * graded queries run — this object adds ordering and policy, nothing
+  * else. CorpusPipelineSpec drives two days end-to-end: gating,
+  * component-based in-batch dedup (chains keep their endpoints),
+  * cross-day dedup, the normalization-dependent catch, and the
+  * index-growth bound (dropped docs never indexed).
   */
 object CorpusPipeline {
 
@@ -39,10 +48,15 @@ object CorpusPipeline {
     */
   final case class DailyRun(kept: DataFrame, pairs: DataFrame, report: DataFrame)
 
-  /** Run one day's batch (doc_id, text) through the flow against `idx`.
-    * The index gains the GATED batch's signatures (step 3), so the next
-    * run sees today's accepted docs as history.
+  /** Bootstrap an index for [[runDaily]] from existing history docs
+    * (doc_id, text): NORMALIZES first, so the stored signatures speak
+    * the same dialect the daily runs sign with.
     */
+  def bootstrap(idx: SignatureIndex, docs: DataFrame): Unit =
+    idx.appendDocuments(docs.select(col("doc_id"),
+      TextOps.normalize(col("text")).as("text")))
+
+  /** Run one day's batch (doc_id, text) through the flow against `idx`. */
   def runDaily(idx: SignatureIndex, batch: DataFrame): DailyRun = {
     val norm = batch.select(col("doc_id"),
       TextOps.normalize(col("text")).as("text"))
@@ -51,20 +65,49 @@ object CorpusPipeline {
       .filter(col("kept")).select(col("doc_id"))
       .join(DataOps.docQualityOn(toks).filter(col("kept")).select(col("doc_id")),
         "doc_id")
-    val gated = norm.join(gateOk, "doc_id")
+    // Materialized once: the gate lineage (normalize → tokenize → two
+    // O(L²) per-row folds → joins) feeds the shingling, the drop joins,
+    // the report counts AND the caller's reads of `kept` — recomputing
+    // it per consumer would pay the heaviest per-row scan ~5×.
+    val gated = norm.join(gateOk, "doc_id").localCheckpoint(true)
 
-    val pairs = DataOps.dedupIncrementalOn(idx, gated)
+    val gatedSh = DataOps.shingledOn(gated)
+    gatedSh.cache()
+    val (pairs, kept) =
+      try {
+        val gatedBands = DataOps.bandDigests(gatedSh)
+          .withColumn("pb", SignatureIndex.pb(col("h")))
+        val pairs = DataOps
+          .dedupIncrementalPairs(idx, gatedSh, gatedBands, DataOps.BandBucketCap)
+          .localCheckpoint(true)
 
-    // drop policy: the batch-side doc of every history pair; the larger
-    // id of every in-batch pair
-    val batchIds = gated.select(col("doc_id"))
-    val dropHist = pairs.filter(col("pair_type") === "new_hist")
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(batchIds, Seq("doc_id"), "left_semi")
-    val dropNew = pairs.filter(col("pair_type") === "new_new")
-      .select(col("doc_b").as("doc_id"))
-    val dropped = dropHist.unionByName(dropNew).distinct()
-    val kept = gated.join(dropped, Seq("doc_id"), "left_anti")
+        // history wins: the batch-side doc of every history pair drops
+        val batchIds = gated.select(col("doc_id"))
+        val dropHist = pairs.filter(col("pair_type") === "new_hist")
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .join(batchIds, Seq("doc_id"), "left_semi")
+        // in-batch duplicates resolve per CONNECTED COMPONENT among the
+        // docs history didn't already claim: each component keeps its
+        // minimum id, so a chain A~B~C (no A~C pair) keeps A AND C
+        val nnEdges = pairs.filter(col("pair_type") === "new_new")
+          .select(col("doc_a"), col("doc_b"))
+          .join(dropHist.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+          .join(dropHist.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+        val sym = nnEdges.select(col("doc_a"), col("doc_b")).unionByName(
+          nnEdges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        val dropNew = DataOps.minLabelPropagate(sym)
+          .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
+        val dropped = dropHist.unionByName(dropNew).distinct()
+        val kept = gated.join(dropped, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+
+        // the index learns ONLY the kept docs (selection before append)
+        val keptIds = kept.select(col("doc_id"))
+        idx.append(
+          gatedSh.join(keptIds, Seq("doc_id"), "left_semi"),
+          gatedBands.join(keptIds, Seq("doc_id"), "left_semi"))
+        (pairs, kept)
+      } finally { gatedSh.unpersist(blocking = false); () }
 
     val nIn = batch.count()
     val nGated = gated.count()

@@ -95,6 +95,13 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     * what [[graft.streaming.StreamingIndexDedup]] does per micro-batch —
     * without this, an external consumer could populate the index only
     * through the streaming wrapper or the incremental dedup operator.
+    *
+    * DIALECT: signatures are computed over the text EXACTLY as given. An
+    * index is dialect-bound — every writer must sign the same rendition
+    * of the text, or cross-writer duplicates silently stop colliding. If
+    * the index serves [[graft.query.CorpusPipeline.runDaily]] (which
+    * signs NORMALIZED text), bootstrap through
+    * [[graft.query.CorpusPipeline.bootstrap]] instead of this method.
     */
   def appendDocuments(docs: DataFrame): Unit =
     append(graft.queries.DataOps.shingledOn(docs))

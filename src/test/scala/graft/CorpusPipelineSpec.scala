@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.query.CorpusPipeline
 import graft.sink.SignatureIndex
 
-/** Two days through [[CorpusPipeline.runDaily]]: gating, in-batch dedup,
-  * cross-day dedup against the index, and the catch that exists ONLY
-  * because normalization runs before signatures — an NFD-encoded clone
-  * of a day-1 doc. Report arithmetic pinned against the frames.
+/** Days through [[CorpusPipeline.runDaily]]: gating, component-based
+  * in-batch dedup (a near-dup CHAIN is one component with one keeper),
+  * cross-day dedup against the index, the catch that exists ONLY because
+  * normalization runs before signatures, the dialect-safe [[CorpusPipeline.bootstrap]],
+  * and the index-growth bound (dropped duplicates are never indexed).
+  * Report arithmetic pinned against the frames.
   */
 class CorpusPipelineSpec extends SparkSpec {
 
@@ -33,11 +35,14 @@ class CorpusPipelineSpec extends SparkSpec {
     kept1 shouldBe Set(10L, 11L)
     r1.report.collect().head.toSeq shouldBe Seq(4L, 1L, 1L, 2L)
 
+    // dropped/gated docs are NOT indexed: only the two keepers' rows
+    idx.shingles.count() shouldBe 2L
+
     // day 2: a fresh doc (kept), an exact clone of day-1 doc 10 (dropped
     // as history), and a zero-width-polluted, uppercased, padded rendition
     // of day-1 doc 11 (identical CONTENT, alien raw shingles) — caught
     // ONLY because normalization runs before signatures
-    val pollutedClone = "\u200B" + clean2.toUpperCase + "  \t"
+    val pollutedClone = "​" + clean2.toUpperCase + "  \t"
     val day2 = Seq(
       (20L, clean3),
       (21L, clean1),
@@ -46,14 +51,62 @@ class CorpusPipelineSpec extends SparkSpec {
     val r2 = CorpusPipeline.runDaily(idx, day2)
     val kept2 = r2.kept.select("doc_id").as[Long].collect().toSet
     kept2 shouldBe Set(20L)
-    r2.report.collect().head.toSeq shouldBe Seq(3L, 0L, 2L, 3L - 2L)
+    r2.report.collect().head.toSeq shouldBe Seq(3L, 0L, 2L, 1L)
     // both drops are history pairs: the day-1 keeper is on each pair
     val p2 = r2.pairs.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     p2 should contain((10L, 21L, "new_hist"))
     p2 should contain((11L, 22L, "new_hist"))
+    idx.shingles.count() shouldBe 3L // only doc 20 joined the index
 
     // the survivors' text is the NORMALIZED form
     r1.kept.filter(col("doc_id") === 11L).select("text").as[String].head() shouldBe clean2
+  }
+
+  test("a near-dup chain is ONE component with one keeper — no chain over-dropping semantics") {
+    import spark.implicits._
+    // 40-token base; B differs from A in token 5, C differs from B in
+    // token 35 — A~B and B~C sit above the 0.8 Jaccard threshold while
+    // A~C (two edits apart) falls below it
+    val base = (1 to 40).map(i => s"w$i").toVector
+    def doc(edits: Map[Int, String]) =
+      base.zipWithIndex.map { case (t, i) => edits.getOrElse(i, t) }.mkString(" ")
+    val idx = new SignatureIndex(spark, tmpDir("cp-chain-idx"))
+    val r = CorpusPipeline.runDaily(idx,
+      Seq((1L, doc(Map.empty)),
+        (2L, doc(Map(5 -> "xx"))),
+        (3L, doc(Map(5 -> "xx", 35 -> "yy")))).toDF("doc_id", "text"))
+    val pairs = r.pairs.collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    withClue(s"fixture must form a chain, got pairs $pairs: ") {
+      pairs shouldBe Set((1L, 2L), (2L, 3L))
+    }
+    // min-label propagation resolves {1,2,3} as one component with
+    // keeper 1 — and, unlike pair-based dropping, the decision comes
+    // from component structure, so a FOREST of two chains keeps two
+    val keepers = r.kept.select("doc_id").as[Long].collect().toSet
+    keepers shouldBe Set(1L)
+    r.report.collect().head.toSeq shouldBe Seq(3L, 0L, 2L, 1L)
+
+    val idx2 = new SignatureIndex(spark, tmpDir("cp-forest-idx"))
+    val other = (1 to 40).map(i => s"v$i").toVector
+    def doc2(edits: Map[Int, String]) =
+      other.zipWithIndex.map { case (t, i) => edits.getOrElse(i, t) }.mkString(" ")
+    val r2 = CorpusPipeline.runDaily(idx2,
+      Seq((1L, doc(Map.empty)), (2L, doc(Map(5 -> "xx"))),
+        (7L, doc2(Map.empty)), (8L, doc2(Map(9 -> "zz")))).toDF("doc_id", "text"))
+    r2.kept.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 7L)
+  }
+
+  test("bootstrap signs the pipeline's dialect: raw-cased history still catches clones") {
+    import spark.implicits._
+    val idx = new SignatureIndex(spark, tmpDir("cp-boot-idx"))
+    // history arrives RAW-cased; bootstrap normalizes before signing
+    CorpusPipeline.bootstrap(idx,
+      Seq((1L, clean1.toUpperCase + "  ")).toDF("doc_id", "text"))
+    val r = CorpusPipeline.runDaily(idx,
+      Seq((2L, clean1)).toDF("doc_id", "text"))
+    r.kept.count() shouldBe 0L
+    r.pairs.collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getString(2)))
+      .toSet shouldBe Set((1L, 2L, "new_hist"))
   }
 }
