@@ -178,4 +178,49 @@ class PropertySpec extends SparkSpec {
     df.filter(col("iso_rt") =!= col("t")).count() shouldBe 0L
     df.filter(col("pw_rt") =!= col("day")).count() shouldBe 0L
   }
+
+  /** Generated crawl URLs: random case, www, default/odd ports, utm and
+    * real params in any order, fragments, trailing slashes.
+    */
+  private val crawlUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.listOfN(2, token).map(_.mkString(".") + ".com")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.listOfN(2, token).map(ps => "/" + ps.mkString("/"))
+    slash <- Gen.oneOf("", "/")
+    nParams <- Gen.choose(0, 4)
+    params <- Gen.listOfN(nParams,
+      Gen.oneOf(Gen.oneOf("utm_source=x", "utm_b=2"), token.map(t => s"$t=1")))
+    frag <- Gen.oneOf("", "#top", "#s")
+  } yield {
+    val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+    s"$scheme://$www$host$port$path$slash$q$frag"
+  }
+
+  test("property: URL canonicalization is idempotent, lossless of the host, utm/frag-free") {
+    import graft.text.UrlOps
+    val urls = sample(crawlUrl, 400).distinct
+    val df = urls.toDF("u").select(
+      col("u"),
+      UrlOps.canonicalize(col("u")).as("c1"))
+      .select(col("u"), col("c1"), UrlOps.canonicalize(col("c1")).as("c2"),
+        UrlOps.host(col("c1")).as("h"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (u, c1, c2, h) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      withClue(s"url $u -> $c1: ") {
+        c2 shouldBe c1 // idempotent
+        c1 should startWith("http") // scheme survives, lowercased
+        c1.toLowerCase shouldBe c1.takeWhile(_ != '/').toLowerCase + c1.dropWhile(_ != '/')
+        c1 should not include "#"
+        ("[?&]utm_".r.findFirstIn(c1)) shouldBe None
+        // the host is the input's, lowercased, minus one leading www.
+        val inHost = u.toLowerCase.replaceFirst("^[a-z]+://", "")
+          .takeWhile(ch => ch != '/' && ch != ':' && ch != '?' && ch != '#')
+          .replaceFirst("^www\\.", "")
+        h shouldBe inHost
+      }
+    }
+  }
 }
