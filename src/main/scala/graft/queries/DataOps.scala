@@ -1268,6 +1268,54 @@ object DataOps {
       .select(col("vec_id"), col("cluster"), col("dist2"), col("rk"))
   }
 
+  /** IVF-style approximate nearest neighbor — the OTHER classic ANN
+    * scale path next to [[annLshBucket]]'s data-independent hash cells:
+    * a coarse [[kmeansLloyd]] quantizer partitions the corpus into k
+    * inverted lists; each query scores all k centroids (one broadcast
+    * row), probes its `nProbe` nearest lists, and runs the exact cosine
+    * only inside them — scanning ~nProbe/k of the corpus instead of all
+    * of it. Misses happen exactly when a true neighbor lives in an
+    * unprobed list; AnnIvfSpec measures the recall against the exhaustive
+    * [[annCosineTopk]] ground truth at two SFs and pins the pruning
+    * (candidates actually scanned < corpus). The final per-query draw is
+    * the same salted two-phase top-k as the exhaustive operator.
+    *
+    * Spec-bounded binding (float scores + approximate-by-design, the
+    * [[annLshBucket]]/[[lshRecallSampled]] pattern). At 100 TB: k grows
+    * with the corpus (lists stay bounded), the centroid scoring stays
+    * one broadcast row per batch of queries, and the probed join is a
+    * keyed equi-join on the list id.
+    */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 2,
+             nProbe: Int = 4, topK: Int = 8): DataFrame = {
+    val assigned = kmeansLloyd(spark, dir, k, iters)
+    val cents = kmeansCentroids(assigned)
+    val e = assigned.select(col("vec_id"), col("emb"), col("cluster"),
+      sqrt(VectorOps.foldDot(col("emb"), col("emb"))).as("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val oneRow = cents.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    val probes = q.crossJoin(broadcast(oneRow))
+      .select(col("q_id"), col("qe"), col("qn"), explode(expr(
+        s"""transform(slice(array_sort(transform(cents, c -> named_struct(
+              'd2', aggregate(zip_with(qe, c.cvec, (x, y) -> (x - y) * (x - y)),
+                              CAST(0 AS double), (a, v) -> a + v),
+              'cid', c.cid))), 1, $nProbe), x -> x.cid)""")).as("cluster"))
+    val scored = probes.join(e, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.foldDot(col("qe"), col("emb")) / (col("qn") * col("nrm")))
+          .as("cos"))
+    val local = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(32)))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(local)).filter(col("rk") <= topK)
+      .drop("rk")
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= topK)
+  }
+
   /** One assignment pass: nearest centroid by squared L2, ties to the
     * lowest cid via `array_min` over `struct(d2, cid)`.
     */
