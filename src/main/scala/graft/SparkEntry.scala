@@ -54,6 +54,7 @@ object SparkEntry {
     "funnel" -> (Relational.funnel _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "value_outliers" -> (Relational.valueOutliers _),
+    "daily_active" -> (Relational.dailyActive _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -398,6 +399,15 @@ object SparkEntry {
                   count(*) OVER (PARTITION BY event_type) AS n
            FROM events)
          WHERE rn <= (n + 99) // 100""",
+    "daily_active" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d0
+                    FROM events GROUP BY 1),
+         d AS (SELECT strftime(d0, '%Y-%m-%d') AS day, count(*) AS new_users
+               FROM f GROUP BY 1)
+         SELECT day, new_users,
+                (sum(new_users) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
+         FROM d""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -208,6 +208,25 @@ object Relational {
       .groupBy("cohort", "wk").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cumulative distinct users by day — the canonical growth curve,
+    * computed dedup-aware: each user counts once, on their FIRST active
+    * day (a per-user min, partial-aggregable), days then aggregate new
+    * users (partial-aggregable) and one ordered window over the DAY
+    * table accumulates — the window runs over days, not events, so its
+    * single-partition sort touches ~hundreds of rows at any corpus
+    * size (days grow with time, never with volume).
+    */
+  def dailyActive(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("d0"))
+    val perDay = firstDay.groupBy(date_format(col("d0"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   /** Per-type value outliers by RANK: the top 1% of events by `value`
     * within each event type (ceil, so every type flags at least one
     * row). Rank-based rather than threshold-based deliberately — an
