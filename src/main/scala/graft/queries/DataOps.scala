@@ -1226,7 +1226,18 @@ object DataOps {
     * ([[embeddingCentroidsProd]]'s trade, same caveat).
     */
   def kmeansLloyd(spark: SparkSession, dir: String, k: Int = 8,
-                  iters: Int = 3): DataFrame = {
+                  iters: Int = 3): DataFrame =
+    kmeansLloydWith(spark, dir, k, iters)._1
+
+  /** [[kmeansLloyd]] plus the centroid table the returned assignment was
+    * computed AGAINST (not the post-update centroids) — a consumer that
+    * must stay quantizer-CONSISTENT, like [[annIvf]]'s probe ranking,
+    * needs exactly that pair: ranking probes against freshly-updated
+    * centroids while the inverted lists were filed under the previous
+    * ones silently costs recall at moving cluster boundaries.
+    */
+  private[graft] def kmeansLloydWith(spark: SparkSession, dir: String,
+                                     k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"kmeansLloyd needs at least one iteration, got $iters")
     val e = emb(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("emb"))
@@ -1236,13 +1247,35 @@ object DataOps {
     var cents = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(w) - 1).cast("int").as("cid"),
         col("emb").as("cvec"))
+    var centsUsed = cents
     var assigned = e // placeholder; reassigned below
     for (_ <- 1 to iters) {
+      centsUsed = cents
       assigned = kmeansAssign(e, cents).localCheckpoint(true)
       cents = kmeansCentroids(assigned)
     }
-    assigned
+    (assigned, centsUsed)
   }
+
+  /** One-row broadcast frame with the sorted (cid, cvec) centroid list —
+    * `array_sort` makes collect order irrelevant, and sharing the
+    * builder keeps the quantizer's and the prober's views identical.
+    */
+  private def centroidRow(cents: DataFrame): DataFrame =
+    cents.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+
+  /** SQL producing `array<struct<d2, cid>>` of squared-L2 distances from
+    * array column `vcol` to every centroid of a [[centroidRow]] — ONE
+    * definition for the assignment argmin and the IVF probe ranking, so
+    * the distance fold's bit-pinned accumulation order cannot drift
+    * between the two.
+    */
+  private def centScoresSql(vcol: String): String =
+    s"""transform(cents, c -> named_struct(
+          'd2', aggregate(zip_with($vcol, c.cvec, (x, y) -> (x - y) * (x - y)),
+                          CAST(0 AS double), (a, s) -> a + s),
+          'cid', c.cid))"""
 
   /** Cluster-balanced diversity sample — [[kmeansLloyd]] carried to its
     * purpose: from every cluster, the `perCluster` most REPRESENTATIVE
@@ -1286,22 +1319,25 @@ object DataOps {
     * one broadcast row per batch of queries, and the probed join is a
     * keyed equi-join on the list id.
     */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 2,
-             nProbe: Int = 4, topK: Int = 8): DataFrame = {
-    val assigned = kmeansLloyd(spark, dir, k, iters)
-    val cents = kmeansCentroids(assigned)
+  private[graft] val IvfK = 16
+  private[graft] val IvfIters = 2
+  private[graft] val IvfProbe = 4
+
+  def annIvf(spark: SparkSession, dir: String, k: Int = IvfK,
+             iters: Int = IvfIters, nProbe: Int = IvfProbe,
+             topK: Int = 8): DataFrame = {
+    // the centroids the assignment was computed AGAINST — probing with
+    // the post-update centroids would rank lists the vectors were never
+    // filed under (quantizer inconsistency, silent recall loss)
+    val (assigned, cents) = kmeansLloydWith(spark, dir, k, iters)
     val e = assigned.select(col("vec_id"), col("emb"), col("cluster"),
       sqrt(VectorOps.foldDot(col("emb"), col("emb"))).as("nrm"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
-    val oneRow = cents.groupBy()
-      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-    val probes = q.crossJoin(broadcast(oneRow))
+    val probes = q.crossJoin(broadcast(centroidRow(cents)))
       .select(col("q_id"), col("qe"), col("qn"), explode(expr(
-        s"""transform(slice(array_sort(transform(cents, c -> named_struct(
-              'd2', aggregate(zip_with(qe, c.cvec, (x, y) -> (x - y) * (x - y)),
-                              CAST(0 AS double), (a, v) -> a + v),
-              'cid', c.cid))), 1, $nProbe), x -> x.cid)""")).as("cluster"))
+        s"transform(slice(array_sort(${centScoresSql("qe")}), 1, $nProbe), x -> x.cid)"))
+        .as("cluster"))
     val scored = probes.join(e, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -1319,18 +1355,12 @@ object DataOps {
   /** One assignment pass: nearest centroid by squared L2, ties to the
     * lowest cid via `array_min` over `struct(d2, cid)`.
     */
-  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val oneRow = cents.groupBy()
-      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-    e.crossJoin(broadcast(oneRow))
-      .select(col("vec_id"), col("emb"), expr(
-        """array_min(transform(cents, c -> named_struct(
-             'd2', aggregate(zip_with(emb, c.cvec, (x, y) -> (x - y) * (x - y)),
-                             CAST(0 AS double), (a, v) -> a + v),
-             'cid', c.cid)))""").as("best"))
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroidRow(cents)))
+      .select(col("vec_id"), col("emb"),
+        expr(s"array_min(${centScoresSql("emb")})").as("best"))
       .select(col("vec_id"), col("emb"),
         col("best.cid").as("cluster"), col("best.d2").as("dist2"))
-  }
 
   /** One update pass: per-(cluster, dim) sorted-value fold mean,
     * re-assembled into ordered centroid vectors.

@@ -20,9 +20,14 @@ import graft.text.TextOps
   *     [[SignatureIndex]] (history never rescanned);
   *  4. SELECTION — a new doc that near-dups ANY history doc drops
   *     (history already holds the content); in-batch duplicates resolve
-  *     by CONNECTED COMPONENT (each near-dup component keeps its
-  *     smallest id — pair-based drop-the-larger over-drops on chains,
-  *     the over-dropping [[DataOps.dedupCluster]]'s doc warns about);
+  *     by CONNECTED COMPONENT — each near-dup component keeps exactly
+  *     its smallest id, the library's established cluster-dedup policy
+  *     ([[DataOps.dedupCluster]]). Deliberately conservative: a chain
+  *     A~B~C is ONE component and keeps only A, even though C never
+  *     directly near-dups A — the transitive-closure trade every
+  *     cluster dedup makes, and unlike pair-based dropping the decision
+  *     depends only on component structure, never on which pairs the
+  *     candidate generation happened to emit;
   *  5. the index gains ONLY the KEPT docs' signatures — dropped
   *     duplicates must not accumulate (a boilerplate page re-crawled
   *     daily would otherwise fill its buckets past the `rk <= cap`
@@ -37,9 +42,9 @@ import graft.text.TextOps
   * misses cross-dialect duplicates. Every step is the same code the
   * graded queries run — this object adds ordering and policy, nothing
   * else. CorpusPipelineSpec drives two days end-to-end: gating,
-  * component-based in-batch dedup (chains keep their endpoints),
-  * cross-day dedup, the normalization-dependent catch, and the
-  * index-growth bound (dropped docs never indexed).
+  * component-based in-batch dedup (one keeper per component, chain and
+  * forest cases), cross-day dedup, the normalization-dependent catch,
+  * and the index-growth bound (dropped docs never indexed).
   */
 object CorpusPipeline {
 
@@ -88,7 +93,8 @@ object CorpusPipeline {
           .join(batchIds, Seq("doc_id"), "left_semi")
         // in-batch duplicates resolve per CONNECTED COMPONENT among the
         // docs history didn't already claim: each component keeps its
-        // minimum id, so a chain A~B~C (no A~C pair) keeps A AND C
+        // minimum id (the dedup_cluster policy; a chain A~B~C is one
+        // component keeping only A — the transitive-closure trade)
         val nnEdges = pairs.filter(col("pair_type") === "new_new")
           .select(col("doc_a"), col("doc_b"))
           .join(dropHist.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")

@@ -23,8 +23,9 @@ class AnnIvfSpec extends SparkSpec {
   }
 
   test("recall@8 vs exhaustive truth holds at two SFs") {
-    // measured 0.875 at BOTH SFs (deterministic — no RNG anywhere);
-    // pinned with margin for future corpus regenerations
+    // measured 0.90 (sf0.001) / 0.875 (sf0.01) with the consistent
+    // quantizer (deterministic — no RNG anywhere); pinned with margin
+    // for future corpus regenerations
     val r1 = recallAt("/root/testdata/sf0.001")
     val r2 = recallAt("/root/testdata/sf0.01")
     withClue(s"recall sf0.001=$r1 sf0.01=$r2: ") {
@@ -37,13 +38,16 @@ class AnnIvfSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     // every returned neighbor must come from a probed list — reconstruct
-    // the probed fraction from the assignment
-    val assigned = DataOps.kmeansLloyd(spark, dir, 16, 2)
+    // the probed fraction from the assignment, at the operator's OWN
+    // defaults so a tuning change can't leave this pinned to a stale
+    // quantizer
+    val assigned = DataOps
+      .kmeansLloyd(spark, dir, DataOps.IvfK, DataOps.IvfIters)
       .select(col("vec_id"), col("cluster"))
     val sizes = assigned.groupBy("cluster").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // nProbe=4 of k=16 lists: even the 4 LARGEST lists stay under the corpus
-    val worst = sizes.values.toSeq.sorted.reverse.take(4).sum
+    // even the nProbe LARGEST lists stay under the corpus
+    val worst = sizes.values.toSeq.sorted.reverse.take(DataOps.IvfProbe).sum
     worst should be < n
 
     val a = DataOps.annIvf(spark, dir).collect().map(_.toSeq).toSet

@@ -6,7 +6,7 @@ import graft.query.CorpusPipeline
 import graft.sink.SignatureIndex
 
 /** Days through [[CorpusPipeline.runDaily]]: gating, component-based
-  * in-batch dedup (a near-dup CHAIN is one component with one keeper),
+  * in-batch dedup (one keeper per near-dup component, chain + forest),
   * cross-day dedup against the index, the catch that exists ONLY because
   * normalization runs before signatures, the dialect-safe [[CorpusPipeline.bootstrap]],
   * and the index-growth bound (dropped duplicates are never indexed).
@@ -42,7 +42,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // as history), and a zero-width-polluted, uppercased, padded rendition
     // of day-1 doc 11 (identical CONTENT, alien raw shingles) — caught
     // ONLY because normalization runs before signatures
-    val pollutedClone = "​" + clean2.toUpperCase + "  \t"
+    val pollutedClone = "\u200B" + clean2.toUpperCase + "  \t"
     val day2 = Seq(
       (20L, clean3),
       (21L, clean1),
@@ -63,7 +63,7 @@ class CorpusPipelineSpec extends SparkSpec {
     r1.kept.filter(col("doc_id") === 11L).select("text").as[String].head() shouldBe clean2
   }
 
-  test("a near-dup chain is ONE component with one keeper — no chain over-dropping semantics") {
+  test("a near-dup chain is ONE component with one keeper (the dedup_cluster policy)") {
     import spark.implicits._
     // 40-token base; B differs from A in token 5, C differs from B in
     // token 35 — A~B and B~C sit above the 0.8 Jaccard threshold while
@@ -80,9 +80,9 @@ class CorpusPipelineSpec extends SparkSpec {
     withClue(s"fixture must form a chain, got pairs $pairs: ") {
       pairs shouldBe Set((1L, 2L), (2L, 3L))
     }
-    // min-label propagation resolves {1,2,3} as one component with
-    // keeper 1 — and, unlike pair-based dropping, the decision comes
-    // from component structure, so a FOREST of two chains keeps two
+    // min-label propagation resolves {1,2,3} as ONE component with
+    // keeper 1 (the transitive-closure trade); the decision depends only
+    // on component structure, so a FOREST of two chains keeps two
     val keepers = r.kept.select("doc_id").as[Long].collect().toSet
     keepers shouldBe Set(1L)
     r.report.collect().head.toSeq shouldBe Seq(3L, 0L, 2L, 1L)
