@@ -55,6 +55,7 @@ object SparkEntry {
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "value_outliers" -> (Relational.valueOutliers _),
     "daily_active" -> (Relational.dailyActive _),
+    "key_skew" -> (Relational.keySkew _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -408,6 +409,12 @@ object SparkEntry {
                 (sum(new_users) OVER (ORDER BY day
                    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
          FROM d""",
+    "key_skew" ->
+      """SELECT user_id, count(*) AS n_rows,
+                ((1000 * count(*)) // (SELECT count(*) FROM events))::BIGINT
+                  AS share_milli
+         FROM events GROUP BY 1
+         ORDER BY n_rows DESC, user_id LIMIT 10""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

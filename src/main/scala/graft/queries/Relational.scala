@@ -227,6 +227,25 @@ object Relational {
     perDay.withColumn("cum_users", sum(col("new_users")).over(w))
   }
 
+  /** Join-key skew diagnostic — the query you run BEFORE deciding to
+    * salt: the ten hottest keys with row counts and integer per-mille
+    * share of the table. Partial-aggregable groupBy, then a global
+    * top-10 by `orderBy + limit` — Spark plans `TakeOrderedAndProject`
+    * (per-partition heaps + driver merge of 10 rows), NOT a
+    * single-partition window sort, so the diagnostic itself is safe on
+    * the skewed data it measures. The total is a one-row broadcast.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val total = e.agg(count(lit(1)).as("tot"))
+    e.groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_rows"),
+        expr("(1000 * n_rows) div tot").as("share_milli"))
+      .orderBy(col("n_rows").desc, col("user_id"))
+      .limit(10)
+  }
+
   /** Per-type value outliers by RANK: the top 1% of events by `value`
     * within each event type (ceil, so every type flags at least one
     * row). Rank-based rather than threshold-based deliberately — an
