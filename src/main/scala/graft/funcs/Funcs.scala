@@ -60,6 +60,14 @@ object Funcs {
 
   /** P5 — author cleanup: strip the "By " prefix PhocusWire renders
     * (reference: PhocusWire/PhocusWireSource.py:160-163).
+    *
+    * DELIBERATE divergence: the reference's `str.replace("By ", "")`
+    * removes EVERY occurrence (PhocusWireSource.py:163), so an author
+    * literally named "Stand By Me" would lose its interior "By ". This
+    * engine anchors the strip to the prefix (`^By `), which agrees with
+    * the reference on every real byline ("By Jane Doe") and preserves
+    * interior text — the prefix form is the intended semantics; the
+    * replace-all is a Python idiom artifact.
     */
   def cleanAuthor(author: Column): Column =
     regexp_replace(author, "^By ", "")
