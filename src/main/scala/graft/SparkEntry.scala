@@ -69,6 +69,7 @@ object SparkEntry {
     "lang_id" -> (DataOps.langId _),
     "doc_quality" -> (DataOps.docQuality _),
     "token_counts" -> (DataOps.tokenCounts _),
+    "bpe_pair_counts" -> (DataOps.bpePairCounts _),
     "doc_repetition" -> (DataOps.docRepetition _),
     "dedup_paragraphs" -> (DataOps.dedupParagraphs _),
     "doc_rarity" -> (DataOps.docRarity _),

@@ -671,9 +671,13 @@ object DataOps {
           + lit(200) - expr("(200 * mx) div n")).cast("long").as("score_milli"))
       .withColumn("kept", col("score_milli") >= 750)
 
-  /** Token counting three ways: whitespace split, regex word extraction
-    * (the BPE-ish tokenizer stand-in), and a subword estimate
-    * (ceil(len/4) units per word — the ~4-chars-per-BPE-token rule).
+  /** Token counting three ways: whitespace split, regex word extraction,
+    * and a subword ESTIMATE (ceil(len/4) units per word — the
+    * ~4-chars-per-BPE-token rule). The estimate column is the
+    * oracle-gradable stand-in; REAL subword counts from the trained
+    * tokenizer are [[tokenCountsBpe]] (spec-bounded — the trained vocab
+    * is engine-internal state no SQL oracle can replay), and real-count
+    * packing is [[packSequencesBpe]].
     */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -683,6 +687,123 @@ object DataOps {
       size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens"),
       expr("""aggregate(transform(split(text, ' '), t -> (length(t) + 3) div 4),
               cast(0 AS bigint), (a, x) -> a + x)""").as("subwords"))
+
+  // ------------------------------------------------------ BPE tokenizer
+
+  private val BpeMerges = 64
+  /** Training-vocabulary cap: merges are trained on the top-K word types
+    * by corpus count. Zipf makes the tail's pair-count contribution
+    * negligible, and the cap bounds the driver-side training input
+    * unconditionally — the knob that keeps [[bpeMergesOf]] honest at
+    * 100 TB (the ENCODE path has no such cap; see [[bpeEncodeTable]]).
+    */
+  private val BpeTrainVocabCap = 1 << 16
+
+  /** (word, c) corpus word-type counts — the aggregated vocabulary every
+    * BPE stage consumes. ONE keyed shuffle over the exploded corpus; the
+    * result is orders of magnitude smaller than the corpus (types vs
+    * tokens).
+    */
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+
+  /** GRADED BPE component: iteration-0 adjacent character-pair counts
+    * over the word vocabulary, weighted by word frequency — the exact
+    * table the first training round maximizes over, and the one stage of
+    * BPE training both engines can compute closed-form (later rounds
+    * depend on the previous merge, which no non-recursive SQL replays).
+    * Deterministic integers, so the oracle hash-matches; the iterative
+    * remainder of training is spec-bounded in BpeSpec against a plain
+    * driver-Scala mirror.
+    *
+    * Scale shape: two keyed shuffles (type counts, then pair counts) —
+    * both outputs vocabulary-sized, never corpus-sized.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    wordCounts(spark, dir)
+      .filter(length(col("word")) >= 2)
+      .select(col("c"), col("word"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).cast("bigint").as("cnt"))
+
+  /** Train the BPE merge list on the corpus and return it as a table
+    * (rank, left, right, merged, score) — [[graft.text.Bpe.train]] over
+    * the aggregated word vocabulary. The `limit` before the collect is
+    * [[BpeTrainVocabCap]] applied as a deterministic top-K (count DESC,
+    * word ASC — `TakeOrdered`, never a full sort); the collect is
+    * justified the same way [[graft.sink.ArticleStore]]'s bucket-id
+    * collect is — it pulls the CAPPED vocabulary aggregate, not corpus
+    * data, and driver-side training over the aggregated type table is
+    * how production tokenizers train. Fully deterministic: same corpus →
+    * bit-identical merge table (BpeSpec pins it, including under input
+    * reordering).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val m = bpeMergesOf(spark, dir, BpeMerges)
+    import spark.implicits._
+    m.map(g => (g.rank, g.left, g.right, g.merged, g.score))
+      .toDF("rank", "left", "right", "merged", "score")
+  }
+
+  private def bpeMergesOf(spark: SparkSession, dir: String,
+                          numMerges: Int): Seq[graft.text.Bpe.Merge] = {
+    val top = wordCounts(spark, dir)
+      .orderBy(col("c").desc, col("word"))
+      .limit(BpeTrainVocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    graft.text.Bpe.train(top.toIndexedSeq, numMerges)
+  }
+
+  /** (word, bpe_n) longest-match token counts for every word TYPE in
+    * `words`, with the trained vocab broadcast — the encode table the
+    * corpus-side joins consume. Encoding is a pure per-row function, so
+    * this is a zero-shuffle distributed map over the type frame (NOT a
+    * driver loop: unlike training, encode must cover every type, and the
+    * type table at 100 TB outgrows any driver). `mapPartitions` here is
+    * the codec-boundary use the repo reserves it for — a tight scalar
+    * loop over broadcast state that built-ins cannot express.
+    */
+  private def bpeEncodeTable(words: DataFrame, vocab: Set[String]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    words.select(col("word")).as[String]
+      .mapPartitions { it => val v = bc.value
+        it.map(w => (w, graft.text.Bpe.encodeCount(w, v))) }
+      .toDF("word", "bpe_n")
+  }
+
+  /** REAL subword token counts per document from the corpus-trained BPE
+    * tokenizer — the column [[tokenCounts]]'s `subwords` estimates.
+    * Train (driver, capped vocab) → encode every word type (distributed,
+    * broadcast vocab) → broadcast-join the type table to the exploded
+    * corpus and sum per doc. Spec-bounded ([[BpeSpec]]: bit-exact vs a
+    * plain per-doc driver recompute at two SFs): the trained vocab is
+    * engine-internal state, so no SQL oracle can replay it.
+    *
+    * Scale shape: the type table is vocabulary-sized (broadcast here;
+    * drop the hint past broadcast scale and it is a plain keyed join),
+    * the per-doc sum is one partial-aggregable shuffle, and nothing
+    * corpus-sized ever leaves the executors.
+    */
+  def tokenCountsBpe(spark: SparkSession, dir: String): DataFrame =
+    bpeDocTokens(spark, dir, BpeMerges)
+
+  private def bpeDocTokens(spark: SparkSession, dir: String,
+                           numMerges: Int): DataFrame = {
+    val vocab = graft.text.Bpe.vocabOf(bpeMergesOf(spark, dir, numMerges))
+    val enc = bpeEncodeTable(wordCounts(spark, dir).select(col("word")), vocab)
+    toks(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("word"))
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(col("bpe_n")).cast("bigint").as("bpe_tokens"))
+  }
 
   // ------------------------------------------- crawl hygiene & repetition
 
@@ -1546,16 +1667,35 @@ object DataOps {
     * matching how production packs per output shard); a single global
     * sequence would serialize the corpus through one task.
     */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(spark, dir).select(col("doc_id"), col("lang"),
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packOn(toks(spark, dir).select(col("doc_id"), col("lang"),
       size(col("w")).as("n_tokens"),
-      pmod(col("doc_id"), lit(32)).cast("long").as("shard"))
+      pmod(col("doc_id"), lit(32)).cast("long").as("shard")))
+
+  /** The packing window on an explicit (doc_id, lang, n_tokens, shard)
+    * frame — ONE definition of the bin assignment, shared by the graded
+    * whitespace-count form and the real-BPE-count form so the packing
+    * semantics cannot drift between them.
+    */
+  private def packOn(t: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $PackBudget").cast("bigint").as("bin"))
   }
+
+  /** [[packSequences]] over REAL trained-BPE token counts
+    * ([[tokenCountsBpe]]) instead of the whitespace count — the form
+    * whose bins are actual training-sequence budgets. Spec-bounded for
+    * the same reason as its input; the bin WINDOW is byte-shared with
+    * the graded form ([[packOn]]).
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
+    packOn(bpeDocTokens(spark, dir, BpeMerges)
+      .select(col("doc_id"), col("lang"),
+        col("bpe_tokens").as("n_tokens"),
+        pmod(col("doc_id"), lit(32)).cast("long").as("shard")))
 
   /** Near-duplicate CLUSTERS from the verified LSH pairs: connected
     * components by iterative min-label propagation — each node adopts the
@@ -2228,6 +2368,13 @@ object DataOps {
                list_aggregate(list_transform(string_split(text, ' '),
                  t -> (length(t) + 3) // 4), 'sum')::BIGINT AS subwords
         FROM documents""",
+      "bpe_pair_counts" -> """
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (SELECT word, count(*) AS c FROM w
+               WHERE length(word) >= 2 GROUP BY 1),
+        p0 AS (SELECT word, c, unnest(range(1, length(word)))::INT AS i FROM wc),
+        p AS (SELECT substr(word, i, 2) AS pair, c FROM p0)
+        SELECT pair, sum(c)::BIGINT AS cnt FROM p GROUP BY 1""",
       "doc_repetition" -> """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         m AS (SELECT doc_id, len(w) AS n,

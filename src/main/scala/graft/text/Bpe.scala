@@ -1,0 +1,144 @@
+package graft.text
+
+import scala.collection.mutable
+
+/** Deterministic byte-pair-encoding (BPE) tokenizer — the real subword
+  * counter behind [[graft.queries.DataOps.tokenCountsBpe]] and
+  * [[graft.queries.DataOps.packSequencesBpe]], replacing the ceil(len/4)
+  * subword ESTIMATE the r7 review called out as the one non-real token
+  * budget in the pipeline (token budgets drive packing, chunking, and every
+  * training-cost estimate).
+  *
+  * The reference has no comparable unit (its atom is the article,
+  * helper_utils/helpers.py:40-50); this is a north-star LLM-pipeline
+  * component built to the public BPE spec (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units").
+  *
+  * Design constraints, in the repo's established order:
+  *
+  *  - **Deterministic end to end.** Training ties break by (count DESC,
+  *    pair lexicographic ASC) — no RNG, no hash-map iteration order
+  *    anywhere near a decision. Two engines (or two cluster runs) training
+  *    on the same (word, count) vocabulary emit the SAME merge list
+  *    bit-for-bit, which is what makes the merge table spec-boundable and
+  *    the iteration-0 pair counts oracle-gradable
+  *    ([[graft.queries.DataOps.bpePairCounts]]).
+  *  - **Apply by longest match.** Encoding greedily takes the longest
+  *    vocab prefix at each position (single characters always fall back,
+  *    so every word encodes — unseen characters included). Longest-match
+  *    apply is O(L·Lmax) per word with no merge-replay loop, and its
+  *    determinism does not depend on merge-order replay.
+  *  - **Train on the aggregated vocabulary, not the corpus.** Training
+  *    consumes (distinct word, corpus count) — at 100 TB that frame is a
+  *    groupBy-shuffle output orders of magnitude smaller than the corpus
+  *    (Zipf: ~millions of types against trillions of tokens), and capping
+  *    to the top-K types by count bounds it unconditionally. The driver
+  *    loop over that vocabulary is how production tokenizers train (the
+  *    corpus-side work — word counting, encode application — stays fully
+  *    distributed; see the DataOps bindings).
+  */
+object Bpe {
+
+  /** One trained merge: `left` + `right` fused into `left + right`,
+    * `score` = the pair's weighted frequency when it won its round.
+    */
+  final case class Merge(rank: Int, left: String, right: String, score: Long) {
+    def merged: String = left + right
+  }
+
+  /** Train `numMerges` greedy merges over a (word, count) vocabulary.
+    * Each round counts adjacent symbol pairs across all words (weighted
+    * by word count), merges the winner everywhere, and records it.
+    * Stops early when no pair occurs at least twice — merging a
+    * once-seen pair memorizes a single word and every later round would
+    * tie-break among noise.
+    *
+    * Deterministic: winner = max count, ties by lexicographically
+    * smallest (left, right). Input order never matters (counts aggregate
+    * into a sorted scan).
+    */
+  def train(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    // symbol sequences, aggregated so duplicate input words can't double-count
+    val agg = mutable.LinkedHashMap.empty[String, Long]
+    wordCounts.foreach { case (w, c) => agg(w) = agg.getOrElse(w, 0L) + c }
+    var words: Vector[(Vector[String], Long)] =
+      agg.iterator.map { case (w, c) => (w.map(_.toString).toVector, c) }.toVector
+    val merges = Vector.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      // deterministic winner: count desc, then (left, right) lex asc —
+      // selected by a full scan, never by map iteration order
+      val best = counts.iterator.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, cand @ (pair, c)) => acc match {
+          case Some((bp, bc)) if bc > c => acc
+          case Some((bp, bc)) if bc == c &&
+            (bp._1 < pair._1 || (bp._1 == pair._1 && bp._2 <= pair._2)) => acc
+          case _ => Some(cand)
+        }
+      }
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          merges += Merge(rank, l, r, c)
+          val fused = l + r
+          words = words.map { case (syms, wc) =>
+            if (syms.length < 2) (syms, wc)
+            else {
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                  out += fused; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.result(), wc)
+            }
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.result()
+  }
+
+  /** The multi-character vocabulary a merge list induces (single
+    * characters are implicit — [[encode]] always falls back to them).
+    */
+  def vocabOf(merges: Seq[Merge]): Set[String] = merges.map(_.merged).toSet
+
+  /** Greedy longest-match encode: at each position take the longest
+    * prefix present in `vocab`, falling back to the single character —
+    * every word encodes, unseen characters included. Concatenating the
+    * result always rebuilds the word exactly (BpeSpec pins it).
+    */
+  def encode(word: String, vocab: Set[String]): Seq[String] = {
+    if (word.isEmpty) return Nil
+    val maxLen = if (vocab.isEmpty) 1 else math.max(1, vocab.iterator.map(_.length).max)
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      var take = 1
+      var len = math.min(maxLen, word.length - i)
+      while (len > 1 && take == 1) {
+        if (vocab.contains(word.substring(i, i + len))) take = len
+        len -= 1
+      }
+      out += word.substring(i, i + take)
+      i += take
+    }
+    out.result()
+  }
+
+  /** Token count of [[encode]] without materializing the segments. */
+  def encodeCount(word: String, vocab: Set[String]): Int =
+    encode(word, vocab).length
+}
