@@ -1267,6 +1267,62 @@ object DataOps {
       .select(col("keep_id"), col("drop_id"), round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** SemDeDup-style CLUSTER-LOCAL semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — the public spec): coarse k-means partitions the
+    * embedding space, then near-duplicate MEANINGS are pruned by exact
+    * cosine threshold WITHIN each cluster only. This is how embedding
+    * dedup actually runs at 100 TB: [[dedupEmbedding]]'s global block
+    * join is the exact reference semantics, but its compute is O(N²/2)
+    * however it is blocked; clustering first cuts the pair space to
+    * Σ|cluster|²/2 and the per-cluster joins are embarrassingly
+    * parallel. The trade is recall at cluster BOUNDARIES — a near-dup
+    * pair split across clusters is never compared. SemanticDedupSpec
+    * measures that recall against the exact operator at two SFs; raise
+    * `k` with the corpus (smaller clusters, cheaper joins — boundary
+    * losses stay rare because near-dups sit close in exactly the space
+    * the quantizer partitions).
+    *
+    * Determinism + subset property: the assignment is the bit-pinned
+    * [[kmeansLloyd]] (KMeansSpec), and pair scoring reuses
+    * [[dedupEmbedding]]'s cosine — same [[VectorOps.dot]] fold on the
+    * same float arrays, and both dot and the norm product are exactly
+    * commutative — so every emitted pair carries the IDENTICAL `cos`
+    * the exact operator emits for it (spec-pinned).
+    *
+    * Scale shape: one broadcast-centroid assignment (zero shuffles),
+    * one keyed join to carry the cluster id, then the [[dedupEmbedding]]
+    * block-cell equi-join with `cluster` ADDED to the join key — same
+    * replication bound, strictly smaller cells.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String, k: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    val assigned = kmeansLloyd(spark, dir, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val b = PairBlocks
+    val e = emb(spark, dir).join(assigned, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"),
+        pmod(col("vec_id"), lit(b)).cast("int").as("blk"))
+    val left = e.withColumn("cell",
+      explode(expr(s"transform(sequence(blk, ${b - 1}), j -> blk * $b + j)")))
+    val right = e.withColumn("cell",
+      explode(expr(s"transform(sequence(0, blk), i -> i * $b + blk)")))
+    left.as("a").join(right.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.cell") === col("b.cell") &&
+          (col("a.blk") =!= col("b.blk") || col("a.vec_id") < col("b.vec_id")))
+      .select(
+        col("a.cluster").as("cluster"),
+        least(col("a.vec_id"), col("b.vec_id")).as("keep_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("drop_id"),
+        (VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("cluster"), col("keep_id"), col("drop_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
   /** Per-language document-length percentiles (exact interpolated
     * quantiles — Spark `percentile` and DuckDB `quantile_cont` share the
     * definition). Exact percentiles need a sort per group; at 100 TB use

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.DataOps
+
+/** [[DataOps.dedupSemantic]] contract (spec-bounded binding, the N39/N50
+  * pattern — the output depends on the trained quantizer, so no SQL oracle
+  * can replay it):
+  *
+  *  - every emitted pair is an exact [[DataOps.dedupEmbedding]] pair with
+  *    the IDENTICAL rounded cosine (subset property — cluster-locality
+  *    can only REMOVE comparisons, never invent or rescore one);
+  *  - fully deterministic (bit-pinned k-means + exact float ops);
+  *  - recall vs the exact operator clears a floor at two SFs, and the
+  *    k-trade moves the right way (smaller k → fewer boundary splits →
+  *    recall up);
+  *  - the closest pair in the corpus co-clusters and is found — the
+  *    SemDeDup premise that recall concentrates where similarity does.
+  *
+  * The measured recall at the 0.4 operator threshold (~0.3-0.46 here) is
+  * the HONEST number for this corpus: its qualifying pairs sit at ~66°
+  * (dedupEmbedding scaladoc), far below the ≥0.9 regime production
+  * SemDeDup prunes, where co-clustering is tight. The spec asserts the
+  * structural properties and a conservative floor, not a flattering one.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("keep_id", "drop_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"semantic pairs are a cos-exact subset with bounded recall ($dir)") {
+      val exact = pairs(DataOps.dedupEmbedding(spark, dir))
+      val sem = pairs(DataOps.dedupSemantic(spark, dir))
+      assert(sem.subsetOf(exact),
+        s"cluster-local pairs must be exact pairs; extras: ${sem.diff(exact).take(3)}")
+      val recall = sem.size.toDouble / exact.size
+      withClue(s"recall $recall (${sem.size}/${exact.size}): ") {
+        recall should be >= 0.25
+      }
+    }
+  }
+
+  test("deterministic: two runs agree exactly") {
+    val dir = "/root/testdata/sf0.001"
+    pairs(DataOps.dedupSemantic(spark, dir)) shouldBe
+      pairs(DataOps.dedupSemantic(spark, dir))
+  }
+
+  test("coarser clustering recovers recall; the closest pair co-clusters") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = pairs(DataOps.dedupEmbedding(spark, dir))
+    val coarse = pairs(DataOps.dedupSemantic(spark, dir, k = 2))
+    val fine = pairs(DataOps.dedupSemantic(spark, dir, k = 16))
+    coarse.size should be >= fine.size
+    // the corpus's single closest pair (cos >= 0.5) must be found: near-dups
+    // co-cluster precisely because they are close in the partitioned space
+    val closest = exact.filter(_._3 >= 0.5)
+    closest should not be empty
+    val sem = pairs(DataOps.dedupSemantic(spark, dir))
+    closest.foreach(p => assert(sem.contains(p),
+      s"closest pair $p split across clusters"))
+  }
+}
