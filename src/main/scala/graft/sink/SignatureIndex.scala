@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
@@ -16,9 +16,22 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType,
   * band join key instead of the primary key):
   *
   * {{{
-  *   base/bands/pb=<p>/part-*.parquet     (doc_id, b, h, rk)
-  *   base/shingles/part-*.parquet         (doc_id, sh)
+  *   base/_GEN                            generation pointer (absent = 0)
+  *   base/bands/pb=<p>/part-*.parquet     (doc_id, b, h, rk)   [gen 0]
+  *   base/shingles/part-*.parquet         (doc_id, sh)         [gen 0]
+  *   base/gen<g>/bands|shingles/...       generation g >= 1 (post-compact)
   * }}}
+  *
+  * The generation pointer is the ArticleStore `_CURRENT` pattern applied
+  * to compaction: every read and append resolves the live table
+  * directories through ONE atomic pointer read, and [[compact]] publishes
+  * a rewritten generation with an atomic rename swap — a concurrent
+  * reader (e.g. [[graft.queries.DataOps.dedupIncrementalOn]] mid-job)
+  * sees either the old generation or the new one, never a half-swapped
+  * index. The previous generation is RETAINED through the swap so a
+  * reader that resolved just before it keeps its files; generations two
+  * compactions old are deleted (readers a full compaction cycle stale
+  * are out of contract, as with ArticleStore's RetainVersions).
   *
   *  - `bands` holds one row per (doc, LSH band): `b` = band ordinal, `h` =
   *    the band digest, `rk` = the doc's ARRIVAL RANK within its (b, h)
@@ -48,10 +61,41 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
   import SignatureIndex._
 
   private val base = new Path(basePath)
-  private def fs: FileSystem =
-    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def bandsPath = new Path(base, "bands")
-  private def shinglesPath = new Path(base, "shingles")
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = base.getFileSystem(conf)
+  private def genPointer = new Path(base, "_GEN")
+
+  /** Current generation — one pointer read; 0 (the base-dir layout) when
+    * the pointer has never been written.
+    */
+  private def currentGen: Long =
+    if (!fs.exists(genPointer)) 0L
+    else {
+      val in = fs.open(genPointer)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toLong
+      finally in.close()
+    }
+
+  private def genRoot(g: Long): Path =
+    if (g == 0L) base else new Path(base, s"gen$g")
+  private def bandsPathAt(g: Long) = new Path(genRoot(g), "bands")
+  private def shinglesPathAt(g: Long) = new Path(genRoot(g), "shingles")
+  private def bandsPath = bandsPathAt(currentGen)
+  private def shinglesPath = shinglesPathAt(currentGen)
+
+  /** Atomic generation publish — the ArticleStore pointer-swap pattern:
+    * rename with OVERWRITE, never delete-then-create, so a concurrent
+    * pointer read always sees a complete generation number.
+    */
+  private def publishGen(g: Long): Unit = {
+    val tmp = new Path(base, s"_GEN.tmp$g")
+    val out = fs.create(tmp, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(fs.makeQualified(base).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(genPointer),
+      Options.Rename.OVERWRITE)
+  }
 
   private def readOrEmpty(p: Path, schema: StructType): DataFrame =
     if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
@@ -176,40 +220,48 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     * the file-count collapse, and that incremental dedup over a
     * compacted index is byte-identical.
     *
-    * Concurrency: run in a maintenance window with no concurrent
-    * appender or reader — the swap is rename-based (write to a temp
-    * dir, move the live dir aside, move the temp in, drop the old), so
-    * a reader between the two renames would see an empty index, and a
-    * crash there leaves the data intact under `*.old.*` for manual
-    * recovery (the [[graft.sink.ArticleStore]] store keeps versioned
-    * manifests for exactly this reason; this index trades that
-    * machinery for append-only simplicity and a documented window).
+    * Concurrency: readers are safe THROUGHOUT — the rewritten tables are
+    * written into the NEXT generation directory while every reader keeps
+    * resolving the current one, then the generation pointer is swapped
+    * with one atomic rename ([[publishGen]]). A reader that resolved its
+    * paths an instant before the swap still has its generation on disk
+    * (the previous generation is retained; only older ones are deleted),
+    * so there is no reader-visible unavailability window — the r7 review
+    * gap, closed with the [[graft.sink.ArticleStore]] manifest pattern
+    * this scaladoc used to merely cite. Crash safety: a crash before the
+    * swap leaves the live pointer untouched (the partial next-gen dir is
+    * deleted and rewritten by the next attempt); a crash after the swap
+    * loses only the cleanup, which the next compaction re-runs.
+    * APPENDS remain excluded during compaction (they would land in the
+    * old generation and vanish at the swap) — the maintenance window now
+    * applies to writers only.
     */
   def compact(): Unit = {
-    def rewrite(path: Path, write: (DataFrame, String) => Unit, df: DataFrame): Unit = {
-      if (!fs.exists(path)) return
-      val stamp = java.util.UUID.randomUUID().toString
-      val tmp = new Path(base, s"${path.getName}.compact.$stamp")
-      write(df, tmp.toString)
-      val old = new Path(base, s"${path.getName}.old.$stamp")
-      if (!fs.rename(path, old)) {
-        fs.delete(tmp, true) // don't orphan a full table copy
-        throw new java.io.IOException(s"compact: cannot move $path aside")
-      }
-      if (!fs.rename(tmp, path)) {
-        val restored = fs.rename(old, path) // restore the live dir before failing
-        throw new java.io.IOException(
-          s"compact: cannot move $tmp into place" +
-            (if (restored) s" (live dir restored; compacted copy left at $tmp)"
-             else s"; RESTORE ALSO FAILED — live data is at $old, compacted copy at $tmp"))
-      }
-      fs.delete(old, true)
+    val g = currentGen
+    if (!fs.exists(bandsPathAt(g)) && !fs.exists(shinglesPathAt(g))) return
+    val next = g + 1
+    // debris from a compaction that crashed before its pointer swap
+    if (fs.exists(genRoot(next))) fs.delete(genRoot(next), true)
+    if (fs.exists(bandsPathAt(g)))
+      bands.repartition(col("pb"))
+        .write.partitionBy("pb").parquet(bandsPathAt(next).toString)
+    if (fs.exists(shinglesPathAt(g)))
+      shingles.repartition(4).write.parquet(shinglesPathAt(next).toString)
+    publishGen(next)
+    // Retain generation g for in-flight readers; drop anything older.
+    // Gen 0's tables live in the base dir itself, so dropping gen 0
+    // means dropping its two table dirs — NEVER the base dir.
+    def dropGen(old: Long): Unit = {
+      if (old == 0L) {
+        if (fs.exists(bandsPathAt(0L))) fs.delete(bandsPathAt(0L), true)
+        if (fs.exists(shinglesPathAt(0L))) fs.delete(shinglesPathAt(0L), true)
+      } else if (fs.exists(genRoot(old))) fs.delete(genRoot(old), true)
+      ()
     }
-    rewrite(bandsPath,
-      (df, out) => df.repartition(col("pb"))
-        .write.partitionBy("pb").parquet(out), bands)
-    rewrite(shinglesPath,
-      (df, out) => df.repartition(4).write.parquet(out), shingles)
+    // g-1 is the normal cleanup; g-2 re-runs one lost to a crash
+    // between a previous swap and its cleanup
+    if (g >= 1) dropGen(g - 1)
+    if (g >= 2) dropGen(g - 2)
   }
 }
 

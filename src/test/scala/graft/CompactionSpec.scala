@@ -51,9 +51,56 @@ class CompactionSpec extends SparkSpec {
 
     bandRows shouldBe bandsBefore
     shingleRows shouldBe shinglesBefore
+    // the LIVE generation holds the collapsed file set; the previous
+    // generation is retained for in-flight readers until the next
+    // compaction, so the on-disk total collapses one compaction later
+    parquetFiles(s"$base/gen1") should be < filesBefore
+    idx.compact()
     parquetFiles(base) should be < filesBefore
     // replay of the same batch over the compacted index: identical pairs
     // (the replay guard makes the second run side-effect-free)
     pairsNow shouldBe pairsBefore
+  }
+
+  test("a reader that resolved before the compaction swap survives it") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = tmpDir("compaction-reader")
+    val idx = new SignatureIndex(spark, base)
+    for (part <- 0 until 3)
+      idx.append(DataOps.shingledOn(d.filter(col("doc_id") % 3 === part)))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+
+    // resolve the table BEFORE the swap — this reader's file listing is
+    // pinned to the pre-compaction generation
+    val preSwap = idx.bands
+    val expected = rows(preSwap)
+    idx.compact()
+    // the previous generation is retained through the swap: the stale
+    // reader completes with the full pre-swap row set, no missing files
+    rows(preSwap) shouldBe expected
+    // a fresh resolve sees the new generation with identical content
+    rows(idx.bands) shouldBe expected
+
+    // appends land in the LIVE generation after the swap and a second
+    // compaction (which drops the oldest generation) loses nothing
+    val extra = Seq((7777L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    idx.append(DataOps.shingledOn(extra))
+    val withExtra = rows(idx.bands)
+    withExtra.size should be > expected.size
+    idx.compact()
+    rows(idx.bands) shouldBe withExtra
+    // the generation pointer exists and gen 0's base-dir tables are gone
+    // (second compaction dropped them), while the base dir itself — and
+    // the retained previous generation — survive
+    assert(new java.io.File(base, "_GEN").exists())
+    assert(!new java.io.File(base, "bands").exists())
+    assert(new java.io.File(base, "gen1").exists())
+    assert(new java.io.File(base, "gen2").exists())
   }
 }
