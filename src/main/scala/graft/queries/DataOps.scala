@@ -2005,8 +2005,12 @@ object DataOps {
   /** Benchmark decontamination: flag every training doc that shares ANY
     * 3-shingle with the eval set (`doc_id % 97 == 0` plays the held-out
     * benchmark). The overlap test is a semi-join shuffled on the shingle
-    * string — never a broadcast (the benchmark suite grows too). Docs
-    * with < 3 tokens carry no shingles and cannot be contaminated.
+    * string — the EXACT form, which never broadcasts and so survives a
+    * benchmark suite that grows with the corpus. For the common case — a
+    * bounded eval suite — [[decontaminateBloom]] is the zero-extra-shuffle
+    * binding (broadcast Bloom filter over the eval shingles, exact-graded
+    * + approx-binding, the KMV/HLL pairing discipline). Docs with < 3
+    * tokens carry no shingles and cannot be contaminated.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingled(spark, dir)
@@ -2018,6 +2022,48 @@ object DataOps {
         .select(col("doc_id")).distinct()
       docs(spark, dir).filter(col("doc_id") % 97 =!= 0)
         .join(contaminated.withColumn("c", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("c"), lit(false)).as("contaminated"))
+    }
+  }
+
+  /** The broadcast binding of [[decontaminate]] for a BOUNDED eval suite —
+    * the common production case (benchmark suites are thousands of docs,
+    * not a corpus fraction): build one Bloom filter over the eval
+    * shingles and probe each training doc's shingle array per-row
+    * (native early-exit [[graft.funcs.BloomAnyContains]]). The corpus
+    * side becomes a ZERO-SHUFFLE scan — no shingle explode, no semi-join
+    * shuffle; the only jobs beyond it are eval-side (count + filter
+    * build), both bounded by the suite.
+    *
+    * Error contract (DecontaminateBloomSpec): false NEGATIVES are
+    * impossible by construction (Bloom filters never miss an inserted
+    * element), so every exactly-contaminated doc is flagged; false
+    * POSITIVES over-flag clean docs only. MEASURED floor, not just the
+    * textbook envelope: Spark's `util.sketch.BloomFilter` derives all k
+    * probe positions from one 32-bit double-hash pair, so two keys whose
+    * (h1, h2) collide alias at ANY bit width — on this corpus (270 eval
+    * shingles × 16k probe shingles at sf0.01) that floor is 1-3 aliased
+    * shingles REGARDLESS of fpp (measured identical at 1e-6/1e-9/1e-12),
+    * over-flagging ~1% of docs, deterministically (fixed seeds).
+    * Over-flagging errs safe for decontamination; callers needing the
+    * nominal envelope at larger probe×item products should hash shingles
+    * to 64-bit (`xxhash64`) BEFORE the filter or use the graded shuffled
+    * form — which is why BOTH bindings exist. Size by bits ~21n/ln2 at
+    * 1e-6 (a 10⁸-shingle suite is ~360 MB: past broadcast, shuffle).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+                         fpp: Double = 1e-6): DataFrame = {
+    val sh = shingled(spark, dir)
+    cachedScope(sh) {
+      val evalSh = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("s")).distinct()
+      val bf = evalSh.stat.bloomFilter("s", math.max(evalSh.count(), 1L), fpp)
+      val flags = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          graft.funcs.BloomAnyContains(col("sh"), bf).as("c"))
+      docs(spark, dir).filter(col("doc_id") % 97 =!= 0)
+        .join(flags, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           coalesce(col("c"), lit(false)).as("contaminated"))
     }
