@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expression: does ANY element of an `array<string>`
@@ -21,12 +22,25 @@ import org.apache.spark.util.sketch.BloomFilter
   * `DataFrameStatFunctions.bloomFilter` inserts for string columns, so a
   * filter built there is probe-compatible by construction.
   *
-  * The filter object is a constructor argument, not a child expression:
-  * it is query-constant state (like a broadcast hash table), and keeping
-  * it out of the expression tree means codegen embeds ONE JVM reference
-  * instead of re-deserializing filter bytes per batch.
+  * An optional CONFIRM filter closes the sketch's aliasing floor: Spark's
+  * `BloomFilterImpl` derives all k probe positions from one 32-bit
+  * double-hash pair (`h1 + i·h2 mod m`), so a probe whose step aliases
+  * the bit array (~1/m of probes) collapses onto few positions and
+  * false-positives at ~the fill ratio no matter how low the requested
+  * fpp — an fpp-INDEPENDENT floor ≈ probes·fill/m (measured: identical
+  * FP counts at 1e-6/1e-9/1e-12). When `confirm` is set, an element
+  * counts only if BOTH filters might contain it, the second probed under
+  * a salt prefix — independent (h1, h2) draws, so the per-element floor
+  * SQUARES (measured: 3 → 0 aliased shingles on the sf0.01 corpus) while
+  * false negatives stay impossible (both filters hold every true item).
+  *
+  * The filter objects are constructor arguments, not child expressions:
+  * they are query-constant state (like a broadcast hash table), and
+  * keeping them out of the expression tree means codegen embeds plain
+  * JVM references instead of re-deserializing filter bytes per batch.
   */
-case class BloomAnyContains(child: Expression, bloom: BloomFilter)
+case class BloomAnyContains(child: Expression, bloom: BloomFilter,
+                            confirm: Option[(BloomFilter, String)] = None)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -40,13 +54,22 @@ case class BloomAnyContains(child: Expression, bloom: BloomFilter)
         s"$prettyName expects an array<string> argument, got ${t.catalogString}")
     }
 
+  // UTF8String salt so eval and codegen concatenate identical bytes
+  @transient private lazy val confirmSalt: UTF8String =
+    UTF8String.fromString(confirm.map(_._2).getOrElse(""))
+
   override protected def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var i = 0
     var found = false
     while (i < n && !found) {
-      found = bloom.mightContainBinary(arr.getUTF8String(i).getBytes)
+      val u = arr.getUTF8String(i)
+      found = bloom.mightContainBinary(u.getBytes) && (confirm match {
+        case Some((bf2, _)) =>
+          bf2.mightContainBinary(UTF8String.concat(confirmSalt, u).getBytes)
+        case None => true
+      })
       i += 1
     }
     found
@@ -55,15 +78,33 @@ case class BloomAnyContains(child: Expression, bloom: BloomFilter)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bf = ctx.addReferenceObj("bloomFilter", bloom,
       classOf[BloomFilter].getName)
+    val u8 = classOf[UTF8String].getName
+    val confirmCheck = confirm match {
+      case Some((bf2, _)) =>
+        val bf2Ref = ctx.addReferenceObj("confirmFilter", bf2,
+          classOf[BloomFilter].getName)
+        val saltRef = ctx.addReferenceObj("confirmSalt", confirmSalt, u8)
+        (u: String, found: String) =>
+          s"""
+             |if ($found) {
+             |  $found = $bf2Ref.mightContainBinary(
+             |    $u8.concat($saltRef, $u).getBytes());
+             |}
+           """.stripMargin
+      case None => (_: String, _: String) => ""
+    }
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val found = ctx.freshName("found")
+      val u = ctx.freshName("u")
       s"""
          |int $n = $arr.numElements();
          |boolean $found = false;
          |for (int $i = 0; $i < $n && !$found; $i++) {
-         |  $found = $bf.mightContainBinary($arr.getUTF8String($i).getBytes());
+         |  $u8 $u = $arr.getUTF8String($i);
+         |  $found = $bf.mightContainBinary($u.getBytes());
+         |  ${confirmCheck(u, found)}
          |}
          |${ev.value} = $found;
        """.stripMargin
@@ -75,7 +116,17 @@ case class BloomAnyContains(child: Expression, bloom: BloomFilter)
 }
 
 object BloomAnyContains {
-  /** Column-API binding. */
+  /** Column-API binding, single filter. */
   def apply(shingles: Column, bloom: BloomFilter): Column =
     GraftSql.column(BloomAnyContains(GraftSql.expression(shingles), bloom))
+
+  /** Column-API binding with an aliasing-floor CONFIRM filter: an element
+    * counts only if `bloom` might contain its bytes AND `confirm` might
+    * contain `salt + element` — see the class scaladoc for why this
+    * squares the sketch's fpp-independent floor.
+    */
+  def apply(shingles: Column, bloom: BloomFilter,
+            confirm: BloomFilter, salt: String): Column =
+    GraftSql.column(BloomAnyContains(GraftSql.expression(shingles), bloom,
+      Some((confirm, salt))))
 }

@@ -2037,20 +2037,25 @@ object DataOps {
     * build), both bounded by the suite.
     *
     * Error contract (DecontaminateBloomSpec): false NEGATIVES are
-    * impossible by construction (Bloom filters never miss an inserted
+    * impossible by construction (both filters hold every inserted
     * element), so every exactly-contaminated doc is flagged; false
-    * POSITIVES over-flag clean docs only. MEASURED floor, not just the
-    * textbook envelope: Spark's `util.sketch.BloomFilter` derives all k
-    * probe positions from one 32-bit double-hash pair, so two keys whose
-    * (h1, h2) collide alias at ANY bit width — on this corpus (270 eval
-    * shingles × 16k probe shingles at sf0.01) that floor is 1-3 aliased
-    * shingles REGARDLESS of fpp (measured identical at 1e-6/1e-9/1e-12),
-    * over-flagging ~1% of docs, deterministically (fixed seeds).
-    * Over-flagging errs safe for decontamination; callers needing the
-    * nominal envelope at larger probe×item products should hash shingles
-    * to 64-bit (`xxhash64`) BEFORE the filter or use the graded shuffled
-    * form — which is why BOTH bindings exist. Size by bits ~21n/ln2 at
-    * 1e-6 (a 10⁸-shingle suite is ~360 MB: past broadcast, shuffle).
+    * POSITIVES over-flag clean docs only, and the binding engineers them
+    * to ~zero. The operative hazard is NOT the textbook fpp envelope:
+    * Spark's `util.sketch.BloomFilter` derives all k probe positions
+    * from one 32-bit double-hash pair (`h1 + i·h2 mod m`), so the ~1/m
+    * of probes whose step aliases the bit array collapse onto few
+    * positions and false-positive at ~the fill ratio however low the
+    * requested fpp — floor ≈ probes·fill/m, MEASURED fpp-independent
+    * (identical FP counts at 1e-6/1e-9/1e-12 on this corpus: 16k probes,
+    * m ≈ 8-16k bits, 1-3 aliased shingles → ~1% of docs over-flagged).
+    * The fix is structural: a SECOND filter over salt-prefixed shingles
+    * gives every element an independent (h1, h2) draw, an element counts
+    * only if both filters agree ([[graft.funcs.BloomAnyContains]]'s
+    * confirm probe), and the per-element floor squares — measured 0
+    * over-flagged shingles and 0 over-flagged docs at both test SFs.
+    * Size by bits ~21n/ln2 at 1e-6, ×2 for the pair (a 10⁸-shingle
+    * suite is ~720 MB: past broadcast scale, use the graded shuffled
+    * form — which is why BOTH bindings exist).
     */
   def decontaminateBloom(spark: SparkSession, dir: String,
                          fpp: Double = 1e-6): DataFrame = {
@@ -2058,16 +2063,26 @@ object DataOps {
     cachedScope(sh) {
       val evalSh = sh.filter(col("doc_id") % 97 === 0)
         .select(explode(col("sh")).as("s")).distinct()
-      val bf = evalSh.stat.bloomFilter("s", math.max(evalSh.count(), 1L), fpp)
+      val n = math.max(evalSh.count(), 1L)
+      val bf = evalSh.stat.bloomFilter("s", n, fpp)
+      val bf2 = evalSh.select(concat(lit(BloomConfirmSalt), col("s")).as("s"))
+        .stat.bloomFilter("s", n, fpp)
       val flags = sh.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"),
-          graft.funcs.BloomAnyContains(col("sh"), bf).as("c"))
+          graft.funcs.BloomAnyContains(col("sh"), bf, bf2, BloomConfirmSalt)
+            .as("c"))
       docs(spark, dir).filter(col("doc_id") % 97 =!= 0)
         .join(flags, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           coalesce(col("c"), lit(false)).as("contaminated"))
     }
   }
+
+  /** Salt prefix for [[decontaminateBloom]]'s confirm filter — any fixed
+    * non-empty string works; it only has to make the second filter's
+    * hash draws independent of the first's.
+    */
+  private val BloomConfirmSalt = "g2:"
 
   private val SearchTerms = Seq("query", "window", "join")
 

@@ -13,10 +13,10 @@ import graft.queries.DataOps
   *    flags is flagged by the Bloom binding (a Bloom filter never misses
   *    an inserted element — and this assertion also proves the probe
   *    rendition matches the build rendition bit-for-bit);
-  *  - over-flagging is bounded: extra flagged docs stay within ~2% of the
-  *    corpus — the operative bound is the 32-bit double-hash aliasing
-  *    floor of Spark's sketch (measured fpp-independent; see the operator
-  *    scaladoc), not the nominal fpp envelope;
+  *  - over-flagging is ~zero: the dual salted-filter probe squares the
+  *    32-bit double-hash aliasing floor of Spark's sketch (measured
+  *    fpp-independent on a single filter; see the operator scaladoc) —
+  *    the spec allows at most one stray doc;
   *  - deterministic across runs (fixed hash seeds, no RNG);
   *  - the native early-exit kernel agrees with a per-element built-ins
   *    probe (the repo's native-vs-mirror discipline).
@@ -44,7 +44,7 @@ class DecontaminateBloomSpec extends SparkSpec {
       val extras = bloom.diff(exact).size
       val nDocs = exactDf.count()
       withClue(s"$extras Bloom over-flags on $nDocs docs: ") {
-        extras should be <= math.max(1L, nDocs / 50).toInt
+        extras should be <= 1
       }
     }
   }
@@ -73,5 +73,21 @@ class DecontaminateBloomSpec extends SparkSpec {
     val out = withNull.select(graft.funcs.BloomAnyContains(col("sh"), bf)).collect()
     out(0).getBoolean(0) shouldBe true
     assert(out(1).isNullAt(0))
+  }
+
+  test("confirm filter: an element counts only when BOTH filters agree") {
+    import spark.implicits._
+    val bf1 = org.apache.spark.util.sketch.BloomFilter.create(100, 1e-9)
+    val bf2 = org.apache.spark.util.sketch.BloomFilter.create(100, 1e-9)
+    // "alpha" in both (under salt in bf2); "beta" only in bf1 — a stand-in
+    // for an aliasing false positive the confirm probe must veto
+    bf1.putBinary("alpha".getBytes("UTF-8"))
+    bf1.putBinary("beta".getBytes("UTF-8"))
+    bf2.putBinary("s:alpha".getBytes("UTF-8"))
+    val df = Seq(Seq("alpha"), Seq("beta"), Seq("beta", "alpha")).toDF("sh")
+    val got = df.select(
+      graft.funcs.BloomAnyContains(col("sh"), bf1, bf2, "s:").as("c"))
+      .collect().map(_.getBoolean(0)).toSeq
+    got shouldBe Seq(true, false, true)
   }
 }
