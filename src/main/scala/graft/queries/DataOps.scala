@@ -805,6 +805,54 @@ object DataOps {
         sum(col("bpe_n")).cast("bigint").as("bpe_tokens"))
   }
 
+  /** The tokenize-to-ids EXPORT step — what a training pipeline actually
+    * materializes: each document as its ordered BPE token-id sequence.
+    * Id space is deterministic without any extra corpus pass: a merged
+    * symbol's id is its merge RANK (0 until numMerges), a single-char
+    * fallback's id is `numMerges + codepoint` — stable across corpora
+    * sharing a merge table, which is what lets day N's export decode
+    * against day 1's tokenizer. (Chars are encoded per UTF-16 unit —
+    * exact for this corpus's ASCII; a surrogate-aware variant would
+    * iterate code points.)
+    *
+    * Scale shape: word TYPES are encoded once (distributed, broadcast
+    * vocab — [[bpeEncodeTable]]'s justification), then one broadcast
+    * join tags each token occurrence and ONE per-doc aggregation
+    * reassembles the sequence (`collect_list` of (pos, ids) → sort →
+    * flatten — per-doc state bounded by doc length, the bound every
+    * per-row array fold in this file already carries). Spec-bounded:
+    * BpeSpec pins size-consistency with [[tokenCountsBpe]] and the
+    * full id→symbol DECODE round-trip back to the document text.
+    */
+  def bpeEncodeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesOf(spark, dir, BpeMerges)
+    val vocab = graft.text.Bpe.vocabOf(merges)
+    val rankOf = merges.map(m => (m.merged, m.rank)).toMap
+    val nM = BpeMerges
+    val spark2 = spark
+    import spark2.implicits._
+    val bcVocab = spark.sparkContext.broadcast(vocab)
+    val bcRank = spark.sparkContext.broadcast(rankOf)
+    val encIds = wordCounts(spark, dir).select(col("word")).as[String]
+      .mapPartitions { it =>
+        val v = bcVocab.value; val r = bcRank.value
+        it.map { w =>
+          val ids = graft.text.Bpe.encode(w, v).map { s =>
+            r.getOrElse(s, nM + s.charAt(0).toInt)
+          }.toArray
+          (w, ids)
+        }
+      }.toDF("word", "ids")
+    toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .join(broadcast(encIds), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), x -> x.ids))")
+        .as("token_ids"))
+      .select(col("doc_id"), size(col("token_ids")).as("n_tokens"),
+        col("token_ids"))
+  }
+
   // ------------------------------------------- crawl hygiene & repetition
 
   /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1, the

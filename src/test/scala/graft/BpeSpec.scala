@@ -115,6 +115,31 @@ class BpeSpec extends SparkSpec {
     got.map(_._1).toSeq shouldBe got.indices
   }
 
+  test("bpe_encode_docs: id sequences decode back to the document text") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = Bpe.train(
+      corpusWords(dir).sortBy { case (w, c) => (-c, w) }.take(1 << 16), 64)
+    val symOf = merges.map(m => (m.rank, m.merged)).toMap
+    def decode(id: Int): String =
+      symOf.getOrElse(id, (id - 64).toChar.toString)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = DataOps.tokenCountsBpe(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bpe_tokens")).toMap
+    val out = DataOps.bpeEncodeDocs(spark, dir).collect()
+    out.length shouldBe texts.size
+    out.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val ids = r.getSeq[Int](2)
+      // count consistency with the counting operator
+      ids.length.toLong shouldBe counts(doc)
+      r.getAs[Int]("n_tokens") shouldBe ids.length
+      // full decode round-trip: concatenated symbols == text minus spaces
+      ids.map(decode).mkString shouldBe texts(doc).replace(" ", "")
+    }
+  }
+
   test("pack_sequences_bpe: bins are the packing window over real counts") {
     val dir = "/root/testdata/sf0.01"
     val out = DataOps.packSequencesBpe(spark, dir).cache()
