@@ -2107,23 +2107,42 @@ object DataOps {
     */
   def decontaminateBloom(spark: SparkSession, dir: String,
                          fpp: Double = 1e-6): DataFrame = {
-    val sh = shingled(spark, dir)
-    cachedScope(sh) {
-      val evalSh = sh.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("sh")).as("s")).distinct()
-      val n = math.max(evalSh.count(), 1L)
-      val bf = evalSh.stat.bloomFilter("s", n, fpp)
-      val bf2 = evalSh.select(concat(lit(BloomConfirmSalt), col("s")).as("s"))
-        .stat.bloomFilter("s", n, fpp)
-      val flags = sh.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"),
-          graft.funcs.BloomAnyContains(col("sh"), bf, bf2, BloomConfirmSalt)
-            .as("c"))
-      docs(spark, dir).filter(col("doc_id") % 97 =!= 0)
-        .join(flags, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("c"), lit(false)).as("contaminated"))
-    }
+    val sh = shingledOn(docs(spark, dir), passthrough = Seq("lang"))
+    cachedScope(sh) { decontaminateBloomFlags(spark, dir, sh, fpp) }
+  }
+
+  /** The pre-checkpoint body of [[decontaminateBloom]] — exposed so
+    * PlanShapeSpec can pin the corpus side's ZERO-Exchange plan (the
+    * public operator's eager checkpoint collapses its visible plan to a
+    * bare RDD scan, which would make the pin vacuous). The corpus side
+    * is two pushed-down scans and a union — the shingled docs probed
+    * per-row, plus the <3-token docs (which carry no shingles and
+    * cannot be contaminated) re-attached with `false` — no join, no
+    * shuffle anywhere in the result plan; the only shuffles the
+    * operator ever runs are the EVAL-side distinct + filter builds,
+    * bounded by the suite.
+    */
+  private[graft] def decontaminateBloomFlags(spark: SparkSession, dir: String,
+                                             sh: DataFrame,
+                                             fpp: Double): DataFrame = {
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val n = math.max(evalSh.count(), 1L)
+    val bf = evalSh.stat.bloomFilter("s", n, fpp)
+    val bf2 = evalSh.select(concat(lit(BloomConfirmSalt), col("s")).as("s"))
+      .stat.bloomFilter("s", n, fpp)
+    val flagged = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        graft.funcs.BloomAnyContains(col("sh"), bf, bf2, BloomConfirmSalt)
+          .as("contaminated"))
+    // unspread scan: this branch filters to the handful of <3-token docs
+    // and projects three columns — the test-parallelism round-robin would
+    // be the plan's only Exchange, for no work worth distributing
+    val shingleless = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 97 =!= 0 &&
+        size(TextOps.tokens(col("text"))) < 3)
+      .select(col("doc_id"), col("lang"), lit(false).as("contaminated"))
+    flagged.unionByName(shingleless)
   }
 
   /** Salt prefix for [[decontaminateBloom]]'s confirm filter — any fixed

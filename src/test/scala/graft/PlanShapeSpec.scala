@@ -88,4 +88,28 @@ class PlanShapeSpec extends SparkSpec {
     plan should not include "NestedLoop"
     plan should not include "Cartesian"
   }
+
+  test("decontaminate_bloom: the corpus side never shuffles — zero Exchanges") {
+    // pin the PRE-checkpoint plan via the test hook: the public operator's
+    // eager checkpoint collapses its visible plan to a bare RDD scan
+    val sh = DataOps.shingledOn(
+      spark.read.parquet(s"$sf/documents.parquet"), passthrough = Seq("lang"))
+    val df = DataOps.decontaminateBloomFlags(spark, sf, sh, 1e-6)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the binding: two pushed-down scans + union with a
+    // per-row Bloom probe — no shingle explode shuffle, no join at all
+    plan should not include "Exchange"
+    plan should include("graft_bloom_any")
+    plan should include("Union")
+  }
+
+  test("token_counts_bpe: the type-table join broadcasts, one keyed aggregation") {
+    val df = DataOps.tokenCountsBpe(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should include("partial_count")
+  }
 }
