@@ -56,6 +56,7 @@ object SparkEntry {
     "value_outliers" -> (Relational.valueOutliers _),
     "daily_active" -> (Relational.dailyActive _),
     "key_skew" -> (Relational.keySkew _),
+    "window_hopping" -> (Relational.windowHopping _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -416,6 +417,20 @@ object SparkEntry {
                   AS share_milli
          FROM events GROUP BY 1
          ORDER BY n_rows DESC, user_id LIMIT 10""",
+    // Hop windows of size 2×slide: event at µs `tu` falls in starts
+    // (tu div slide - k)·slide for k in {0, 1} — the same alignment
+    // (multiples of the slide from the epoch) Spark's window() uses.
+    "window_hopping" ->
+      """WITH e AS (SELECT epoch_us(ts)::BIGINT AS tu, event_type, user_id
+                    FROM events),
+         k AS (SELECT unnest([0, 1]) AS k),
+         w AS (SELECT ((tu // 1800000000 - k.k) * 1800000000)::BIGINT AS ws,
+                      event_type, user_id
+               FROM e, k)
+         SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*)::BIGINT AS n_events,
+                count(DISTINCT user_id)::BIGINT AS n_users
+         FROM w GROUP BY 1, 2""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -246,6 +246,27 @@ object Relational {
       .limit(10)
   }
 
+  /** Hopping-window aggregation: per (1-hour window, event type), event
+    * and distinct-user counts, with the window sliding every 30 minutes —
+    * each event lands in exactly size/slide = 2 windows. This is the
+    * batch form of the Structured Streaming `window()` aggregation
+    * ([[graft.streaming.StreamingIngest.windowedCounts]] is the streaming
+    * binding with a real watermark); tumbling windows are the slide ==
+    * size special case. One keyed shuffle on (window, type) with partial
+    * aggregation; the 2× row expansion happens map-side before the
+    * combine, so the shuffle carries window CELLS, not events. Counts
+    * only — exact integers in both engines (a float `sum(value)` is
+    * order-dependent in its last ulp and can flip a rounding boundary).
+    */
+  def windowHopping(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("window_start"),
+              col("event_type"), col("n_events"), col("n_users"))
+
   /** Per-type value outliers by RANK: the top 1% of events by `value`
     * within each event type (ceil, so every type flags at least one
     * row). Rank-based rather than threshold-based deliberately — an

@@ -47,4 +47,22 @@ class RelationalSpec extends SparkSpec {
       .filter(col("n_users") > col("n")).count() shouldBe 0L
     out.unpersist()
   }
+
+  test("window_hopping: every event lands in exactly size/slide = 2 windows") {
+    val out = Relational.windowHopping(spark, sf).cache()
+    val events = Tables(spark, sf, "events")
+    // total window-cell mass is exactly 2× the event count
+    out.agg(sum(col("n_events"))).head.getLong(0) shouldBe 2L * events.count()
+    // per-type mass doubles too (no type leaks across windows)
+    val perType = events.groupBy("event_type").count()
+    out.groupBy("event_type").agg(sum(col("n_events")).as("m"))
+      .join(perType, "event_type")
+      .filter(col("m") =!= col("count") * 2).count() shouldBe 0L
+    // window starts sit on the 30-minute slide grid
+    out.filter(!col("window_start").endsWith(":00:00") &&
+               !col("window_start").endsWith(":30:00")).count() shouldBe 0L
+    // distinct users never exceed events in a cell
+    out.filter(col("n_users") > col("n_events")).count() shouldBe 0L
+    out.unpersist()
+  }
 }
