@@ -57,6 +57,7 @@ object SparkEntry {
     "daily_active" -> (Relational.dailyActive _),
     "key_skew" -> (Relational.keySkew _),
     "window_hopping" -> (Relational.windowHopping _),
+    "rolling_active_7d" -> (Relational.rollingActive _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -81,6 +82,8 @@ object SparkEntry {
     "domain_stats" -> (DataOps.domainStats _),
     "dedup_url" -> (DataOps.dedupUrl _),
     "clean_corpus" -> (DataOps.cleanCorpus _),
+    "host_cap" -> (DataOps.hostCap _),
+    "mixture_select" -> (DataOps.mixtureSelect _),
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
@@ -431,6 +434,20 @@ object SparkEntry {
                 event_type, count(*)::BIGINT AS n_events,
                 count(DISTINCT user_id)::BIGINT AS n_users
          FROM w GROUP BY 1, 2""",
+    // Each user-day serves report days day..day+6; only observed days
+    // are reported (join with the day table).
+    "rolling_active_7d" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+                     FROM events),
+         days AS (SELECT DISTINCT day FROM du),
+         ex AS (SELECT (du.day + k.k)::DATE AS day, du.user_id
+                FROM du CROSS JOIN (SELECT unnest(range(0, 7))::INT AS k) k),
+         r AS (SELECT ex.day, count(DISTINCT ex.user_id)::BIGINT AS n_users_7d
+               FROM ex JOIN days USING (day) GROUP BY 1),
+         d1 AS (SELECT day, count(DISTINCT user_id)::BIGINT AS n_users_1d
+                FROM du GROUP BY 1)
+         SELECT strftime(r.day, '%Y-%m-%d') AS day, d1.n_users_1d, r.n_users_7d
+         FROM r JOIN d1 USING (day)""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -661,15 +661,24 @@ object DataOps {
     * [[graft.query.CorpusPipeline]] runs it inside the daily flow.
     */
   private[graft] def docQualityOn(t: DataFrame): DataFrame =
-    t
-      .select(col("doc_id"), size(col("w")).as("n"),
+    qualityScoredOn(t, Nil).select(col("doc_id"), col("score_milli"))
+      .withColumn("kept", col("score_milli") >= 750)
+
+  /** ONE definition of the quality-score arithmetic, with passthrough
+    * columns for consumers that need the score NEXT TO other per-doc
+    * facts ([[mixtureSelect]] needs lang and the token count) — a second
+    * transcription of the formula is how graded scores drift.
+    */
+  private def qualityScoredOn(t: DataFrame, extra: Seq[String]): DataFrame = {
+    val keep = extra.map(col)
+    t.select(col("doc_id") +: keep ++: Seq(size(col("w")).as("n"),
         size(array_distinct(col("w"))).as("nd"),
         expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
-          .as("mx"))
-      .select(col("doc_id"),
+          .as("mx")): _*)
+      .select(col("doc_id") +: keep ++: Seq(col("n"),
         (expr("(400 * least(n, 50)) div 50") + expr("(800 * nd) div n")
-          + lit(200) - expr("(200 * mx) div n")).cast("long").as("score_milli"))
-      .withColumn("kept", col("score_milli") >= 750)
+          + lit(200) - expr("(200 * mx) div n")).cast("long").as("score_milli")): _*)
+  }
 
   /** Token counting three ways: whitespace split, regex word extraction,
     * and a subword ESTIMATE (ceil(len/4) units per word — the
@@ -1253,6 +1262,79 @@ object DataOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url_canon")).as("n_pages"),
         round(avg(col("n_chars")), 2).as("avg_chars"))
+
+  private val HostCapK = 3
+
+  /** Domain capping — keep at most [[HostCapK]] documents per host,
+    * best-quality first (ties by doc_id): the per-domain quota every
+    * crawl-curation pipeline applies so one boilerplate-heavy site cannot
+    * dominate the corpus. Hosts are FEW and hot by construction (that is
+    * the problem being solved), so the top-K runs salted two-phase (the
+    * [[stratifiedSample]] shape): per-(host, salt) row_number over 32
+    * cells cuts each host to ≤ 32·K survivors, then the global per-host
+    * window ranks only those — the full corpus never serializes through
+    * one task per host. The host↔score join is a doc_id equi-join; at
+    * scale both sides come off the same doc scan co-partitioned.
+    */
+  def hostCap(spark: SparkSession, dir: String): DataFrame = {
+    val h = docs(spark, dir).select(col("doc_id"),
+      UrlOps.host(UrlOps.canonicalize(synthUrl(col("doc_id"), col("source"))))
+        .as("host"))
+    val q = docQualityOn(toks(spark, dir)).select(col("doc_id"), col("score_milli"))
+    val scored = h.join(q, "doc_id")
+    val local = Window.partitionBy(col("host"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    val survivors = scored.withColumn("crn", row_number().over(local))
+      .filter(col("crn") <= HostCapK).drop("crn")
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= HostCapK)
+      .select(col("host"), col("doc_id"), col("score_milli"), col("rn"))
+  }
+
+  /** Per-language token-budget targets in per-mille of each language's
+    * total token mass: downsample the dominant language, keep most of the
+    * rare ones — the shape of a real pretraining mixture.
+    */
+  private val MixEnMilli = 300
+  private val MixOtherMilli = 700
+
+  /** Token-budget mixture selection: for each language, keep the
+    * highest-quality documents until the language's token budget
+    * ([[MixEnMilli]]/[[MixOtherMilli]] of its total token mass) is
+    * reached — LAYER-granular: whole quality-score layers are kept while
+    * the running layer total fits, and the first overflowing layer is
+    * dropped entirely. Layer granularity is what makes the operator
+    * partial-aggregable end to end: the only ordered structure is the
+    * per-language (score → token mass) histogram, which is BOUNDED by the
+    * score range (≤ ~1401 rows per language at any corpus size — the
+    * [[graft.queries.Relational.dailyActive]] structural argument), so
+    * its cumulative window is safe; per-doc decisions are then a
+    * broadcast join against that tiny layer table. Doc-granular greedy
+    * selection (split the boundary layer by doc_id) would instead need a
+    * global per-language cumsum over DOCUMENTS — a window no 100 TB plan
+    * should contain.
+    */
+  def mixtureSelect(spark: SparkSession, dir: String): DataFrame = {
+    val s = qualityScoredOn(toks(spark, dir), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        col("n").cast("long").as("n_tokens"), col("score_milli"))
+    val hist = s.groupBy(col("lang"), col("score_milli"))
+      .agg(sum(col("n_tokens")).as("layer_tokens"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("score_milli").desc)
+    val layers = hist
+      .withColumn("cum", sum(col("layer_tokens")).over(wl))
+      .withColumn("total", sum(col("layer_tokens"))
+        .over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("score_milli"),
+        (col("cum") * 1000 <= col("total") *
+          when(col("lang") === "en", MixEnMilli).otherwise(MixOtherMilli))
+          .as("kept"))
+    s.join(broadcast(layers), Seq("lang", "score_milli"))
+      .select(col("doc_id"), col("lang"), col("score_milli"),
+        col("n_tokens"), col("kept"))
+  }
 
   private val PairBlocks = 8
 
@@ -2855,6 +2937,46 @@ object DataOps {
                (SELECT count(*) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_families,
                (SELECT coalesce(sum(e.n_docs - 1), 0) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_docs,
                (SELECT count(*) FROM (${base("dedup_minhash_lsh")}) p)::BIGINT AS near_dup_pairs""",
+      // domain capping: canonical-URL host joined to the quality score
+      // (both component SQLs nested verbatim), global per-host top-K
+      "host_cap" -> s"""
+        WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
+        c AS (SELECT doc_id, $urlCanonSql AS url_canon FROM u),
+        h AS (SELECT doc_id,
+                regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
+              FROM c),
+        q AS (${base("doc_quality")}),
+        r AS (SELECT h.host, h.doc_id, q.score_milli,
+                row_number() OVER (PARTITION BY h.host
+                                   ORDER BY q.score_milli DESC, h.doc_id) AS rn
+              FROM h JOIN q ON q.doc_id = h.doc_id)
+        SELECT host, doc_id, score_milli, rn FROM r WHERE rn <= $HostCapK""",
+      // layer-granular token-budget mixture: quality histogram per lang,
+      // cumulative layer mass vs the per-mille target, docs join the
+      // layer decision
+      "mixture_select" -> s"""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, lang, len(w) AS n, len(list_distinct(w)) AS nd,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS mx
+              FROM toks),
+        s AS (SELECT doc_id, lang, n::BIGINT AS n_tokens,
+                ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                 + 200 - (200 * mx) // n)::BIGINT AS score_milli
+              FROM m),
+        hi AS (SELECT lang, score_milli, sum(n_tokens)::BIGINT AS layer_tokens
+               FROM s GROUP BY 1, 2),
+        cw AS (SELECT lang, score_milli,
+                 sum(layer_tokens) OVER (PARTITION BY lang
+                                         ORDER BY score_milli DESC) AS cum,
+                 sum(layer_tokens) OVER (PARTITION BY lang) AS total
+               FROM hi),
+        k AS (SELECT lang, score_milli,
+                cum * 1000 <= total * (CASE WHEN lang = 'en'
+                  THEN $MixEnMilli ELSE $MixOtherMilli END) AS kept
+              FROM cw)
+        SELECT s.doc_id, s.lang, s.score_milli, s.n_tokens, k.kept
+        FROM s JOIN k USING (lang, score_milli)""",
       // crawl-hygiene capstone: paragraph dedup gated by the repetition
       // and quality filters, all three component SQLs nested verbatim
       "clean_corpus" -> s"""

@@ -267,6 +267,34 @@ object Relational {
                 .as("window_start"),
               col("event_type"), col("n_events"), col("n_users"))
 
+  /** Trailing 7-day distinct active users per day (the rolling-DAU/WAU
+    * curve), next to the plain daily count. A distinct count over a
+    * sliding event-time range has no partial-aggregable window form, so
+    * the scalable shape is contribute-then-count: reduce events to the
+    * distinct (day, user) table (one keyed shuffle — the big one, and it
+    * carries one row per user-day, not per event), expand each user-day
+    * map-side to the exactly 7 report days it can serve, and count
+    * distinct users per report day (second shuffle, bounded by 7× the
+    * user-day table). Report days are restricted to OBSERVED days via a
+    * broadcast of the tiny day table — a day with no events reports
+    * nothing rather than a phantom trailing count.
+    */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val du = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day")).distinct()
+    val d1 = du.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_1d"))
+    val rolled = du
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+      .join(broadcast(days), "day")
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_users_7d"))
+    rolled.join(d1, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_users_1d"), col("n_users_7d"))
+  }
+
   /** Per-type value outliers by RANK: the top 1% of events by `value`
     * within each event type (ceil, so every type flags at least one
     * row). Rank-based rather than threshold-based deliberately — an

@@ -473,4 +473,54 @@ class DataOpsSpec extends SparkSpec {
     // queries whose true nearest neighbor landed in the same bucket.
     out.count() should be > 0L
   }
+
+  test("host_cap: ≤ 3 per host, ranks dense, members are the true per-host best") {
+    val out = DataOps.hostCap(spark, sf).cache()
+    val perHost = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    perHost.foreach { case (_, rows) =>
+      rows.length should be <= 3
+      rows.map(_._4).sorted shouldBe (1 to rows.length)
+      // rank order is score desc, then doc_id asc
+      rows.sortBy(_._4).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        case _ =>
+      }
+    }
+    // membership check against a naive global recompute
+    val all = DataOps.urlCanonical(spark, sf).select("doc_id", "host")
+      .join(DataOps.docQuality(spark, sf).select("doc_id", "score_milli"), "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    perHost.foreach { case (host, rows) =>
+      val want = all(host).sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet
+      rows.map(_._2).toSet shouldBe want
+    }
+    out.unpersist()
+  }
+
+  test("mixture_select: per-lang kept token mass fits the target, maximally") {
+    val out = DataOps.mixtureSelect(spark, sf).cache()
+    val rows = out.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val target = if (lang == "en") 300L else 700L
+      val total = rs.map(_._3).sum
+      val kept = rs.filter(_._4).map(_._3).sum
+      kept * 1000 should be <= target * total
+      // kept is a PREFIX of the score order: no dropped layer above a kept one
+      val layers = rs.groupBy(_._2).toSeq.sortBy(-_._1)
+        .map { case (sc, g) => (sc, g.map(_._3).sum, g.head._4) }
+      layers.map(_._3).dropWhile(identity).exists(identity) shouldBe false
+      // maximality: the best dropped layer would not have fit
+      layers.find(!_._3).foreach { case (_, lt, _) =>
+        (kept + lt) * 1000 should be > target * total
+      }
+      // layer decisions are uniform within a (lang, score) layer
+      rs.groupBy(_._2).values.foreach(g => g.map(_._4).distinct.length shouldBe 1)
+    }
+    out.unpersist()
+  }
 }

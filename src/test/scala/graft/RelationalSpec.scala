@@ -65,4 +65,24 @@ class RelationalSpec extends SparkSpec {
     out.filter(col("n_users") > col("n_events")).count() shouldBe 0L
     out.unpersist()
   }
+
+  test("rolling_active_7d: trailing window dominates the daily count") {
+    val out = Relational.rollingActive(spark, sf).cache()
+    val du = Tables(spark, sf, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct().cache()
+    // one row per observed day
+    out.count() shouldBe du.select("day").distinct().count()
+    // the 7-day count can never be below the same day's 1-day count,
+    // nor above the total user population
+    out.filter(col("n_users_7d") < col("n_users_1d")).count() shouldBe 0L
+    val totalUsers = du.select("user_id").distinct().count()
+    out.filter(col("n_users_7d") > totalUsers).count() shouldBe 0L
+    // golden recompute for the max observed day: union of its trailing week
+    val maxDay = out.agg(max(col("day"))).head.getString(0)
+    val want = du.filter(col("day") > date_sub(to_date(lit(maxDay)), 7) &&
+        col("day") <= to_date(lit(maxDay)))
+      .select("user_id").distinct().count()
+    out.filter(col("day") === maxDay).head.getLong(2) shouldBe want
+    du.unpersist(); out.unpersist()
+  }
 }
