@@ -58,6 +58,7 @@ object SparkEntry {
     "key_skew" -> (Relational.keySkew _),
     "window_hopping" -> (Relational.windowHopping _),
     "rolling_active_7d" -> (Relational.rollingActive _),
+    "event_transitions" -> (Relational.eventTransitions _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -448,6 +449,24 @@ object SparkEntry {
                 FROM du GROUP BY 1)
          SELECT strftime(r.day, '%Y-%m-%d') AS day, d1.n_users_1d, r.n_users_7d
          FROM r JOIN d1 USING (day)""",
+    // Sequence order is (event-time µs, event_id) so same-µs ties are
+    // deterministic in both engines.
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS tu,
+                           event_id
+                    FROM events),
+         s AS (SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY tu, event_id) AS next_type
+               FROM e),
+         g AS (SELECT event_type AS prev_type, next_type,
+                 count(*)::BIGINT AS n_transitions
+               FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n_transitions,
+                ((1000 * n_transitions) //
+                 (sum(n_transitions) OVER (PARTITION BY prev_type)))::BIGINT
+                  AS p_milli
+         FROM g""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

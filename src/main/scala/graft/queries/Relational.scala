@@ -267,6 +267,34 @@ object Relational {
                 .as("window_start"),
               col("event_type"), col("n_events"), col("n_users"))
 
+  /** Per-user event-sequence transition counts (the first-order Markov
+    * table behind next-event prediction and funnel discovery): for each
+    * ordered pair of consecutive events of one user, count (prev_type →
+    * next_type), with an integer per-mille transition probability
+    * normalized per prev_type. Sequence order is (event-time µs,
+    * event_id) — the id tiebreak makes the sequence, and therefore the
+    * graded counts, deterministic even under same-microsecond events.
+    * The `lead` window partitions by user (millions of small partitions —
+    * the well-behaved window case), the count is one partial-aggregable
+    * shuffle on the (prev, next) cell, and the probability normalization
+    * windows over the ≤ |types|² result table, which is bounded by the
+    * type alphabet at any corpus size.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val g = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    g.withColumn("tot",
+        sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        expr("(1000 * n_transitions) div tot").cast("long").as("p_milli"))
+  }
+
   /** Trailing 7-day distinct active users per day (the rolling-DAU/WAU
     * curve), next to the plain daily count. A distinct count over a
     * sliding event-time range has no partial-aggregable window form, so

@@ -66,6 +66,22 @@ class RelationalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("event_transitions: mass = events − users, probabilities normalize") {
+    val out = Relational.eventTransitions(spark, sf).cache()
+    val e = Tables(spark, sf, "events")
+    // each user with k events contributes exactly k−1 transitions
+    val want = e.count() - e.select("user_id").distinct().count()
+    out.agg(sum(col("n_transitions"))).head.getLong(0) shouldBe want
+    // per-prev probabilities sum to 1000 within integer-floor slack
+    val sums = out.groupBy("prev_type").agg(sum(col("p_milli")).as("s"),
+      count(lit(1)).as("k")).collect()
+    sums.foreach { r =>
+      r.getLong(1) should be <= 1000L
+      r.getLong(1) should be > 1000L - r.getLong(2)
+    }
+    out.unpersist()
+  }
+
   test("rolling_active_7d: trailing window dominates the daily count") {
     val out = Relational.rollingActive(spark, sf).cache()
     val du = Tables(spark, sf, "events")
