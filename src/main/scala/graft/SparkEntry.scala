@@ -85,6 +85,7 @@ object SparkEntry {
     "clean_corpus" -> (DataOps.cleanCorpus _),
     "host_cap" -> (DataOps.hostCap _),
     "mixture_select" -> (DataOps.mixtureSelect _),
+    "dsir_counts" -> (DataOps.dsirCounts _),
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),

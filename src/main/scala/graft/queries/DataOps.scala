@@ -1124,6 +1124,84 @@ object DataOps {
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sign")).as("weight"))
 
+  private val DsirBuckets = 4096
+
+  /** Per-occurrence hashed n-gram features (unigrams + word bigrams, NOT
+    * distinct — DSIR models occurrence distributions) with the target
+    * flag. Target corpus = the `en` documents, the "looks like the
+    * high-resource reference set" proxy this synthetic corpus affords.
+    */
+  private def dsirFeatures(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        expr("""concat(w, CASE WHEN size(w) >= 2
+                  THEN transform(sequence(0, size(w) - 2),
+                         i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
+                  ELSE array() END)""").as("f"))
+      .select(col("doc_id"), col("is_target"), explode(col("f")).as("t"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(TextOps.tokenHash16("dsir:", col("t")), lit(DsirBuckets))
+          .cast("long").as("bucket"))
+
+  /** DSIR-style hashed importance counts (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * public spec): unigram+bigram occurrences hashed into
+    * [[DsirBuckets]] buckets, counted separately for the target corpus
+    * and the raw rest. This is the entire TRAINED STATE of the method —
+    * two integer histograms — and it is exactly SQL-replayable, so it is
+    * the graded operator; the float scoring over it is
+    * [[dsirScore]] (spec-bounded, the N54 bit-exact-mirror pattern).
+    * One partial-aggregable shuffle of hashed features onto a
+    * constant-bounded key space.
+    */
+  def dsirCounts(spark: SparkSession, dir: String): DataFrame =
+    dsirFeatures(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("n_raw"))
+
+  /** Per-document DSIR importance score and selection: Σ over the doc's
+    * feature OCCURRENCES (in array order — a deterministic fold, so the
+    * double is bit-reproducible) of
+    * log((n_target[b]+1)/(T+B)) − log((n_raw[b]+1)/(R+B)), the
+    * add-one-smoothed log-likelihood ratio of the two hashed n-gram
+    * models; `selected` = score > 0 (more target-like than raw-like) —
+    * the deterministic threshold form of DSIR's importance resampling
+    * (the sampling step needs RNG; the ranking it induces is the score).
+    *
+    * Scale shape: the trained state ([[dsirCounts]]) collapses to
+    * [[DsirBuckets]] rows — collected once and folded into a LITERAL
+    * ratio array (constant-bounded driver state, the k-means-centroid
+    * pattern), so scoring is per-row, zero shuffles, zero joins: exactly
+    * how a 100 TB scoring pass wants to run.
+    */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val counts = dsirCounts(spark, dir).collect()
+    val nt = new Array[Long](DsirBuckets)
+    val nr = new Array[Long](DsirBuckets)
+    counts.foreach { r =>
+      nt(r.getLong(0).toInt) = r.getLong(1); nr(r.getLong(0).toInt) = r.getLong(2)
+    }
+    val tT = nt.sum + DsirBuckets.toDouble
+    val tR = nr.sum + DsirBuckets.toDouble
+    val ratios = (0 until DsirBuckets).map(b =>
+      math.log((nt(b) + 1.0) / tT) - math.log((nr(b) + 1.0) / tR))
+    toks(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("""concat(w, CASE WHEN size(w) >= 2
+                  THEN transform(sequence(0, size(w) - 2),
+                         i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
+                  ELSE array() END)""").as("f"))
+      .withColumn("ratios", array(ratios.map(lit): _*))
+      .select(col("doc_id"), col("lang"),
+        expr(s"""aggregate(
+                  transform(f, t -> element_at(ratios,
+                    cast(pmod(conv(substring(md5(concat('dsir:', t)), 1, 4), 16, 10),
+                              $DsirBuckets) AS int) + 1)),
+                  cast(0 AS double), (a, x) -> a + x)""").as("score"))
+      .withColumn("selected", col("score") > 0)
+  }
+
   /** The corpus DASHBOARD — the one-row report a data curator reads every
     * morning: corpus size, language/source mix, quality and repetition
     * pass rates, exact-duplicate volume and near-dup pair count, each
@@ -2937,6 +3015,25 @@ object DataOps {
                (SELECT count(*) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_families,
                (SELECT coalesce(sum(e.n_docs - 1), 0) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_docs,
                (SELECT count(*) FROM (${base("dedup_minhash_lsh")}) p)::BIGINT AS near_dup_pairs""",
+      // DSIR trained state: hashed unigram+bigram occurrence histograms,
+      // target (en) vs raw; md5-prefix bucket arithmetic via hd()
+      "dsir_counts" -> s"""
+        WITH toks AS (SELECT doc_id, lang = 'en' AS is_target,
+                             string_split(text, ' ') AS w
+                      FROM documents),
+        f AS (SELECT is_target,
+                unnest(list_concat(w, list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1]))) AS t
+              FROM toks),
+        h AS (SELECT is_target, md5('dsir:' || t) AS hh FROM f),
+        b AS (SELECT is_target,
+                ((${hd("hh", 1)}*4096 + ${hd("hh", 2)}*256
+                  + ${hd("hh", 3)}*16 + ${hd("hh", 4)}) % $DsirBuckets)::BIGINT
+                  AS bucket
+              FROM h)
+        SELECT bucket, (count(*) FILTER (is_target))::BIGINT AS n_target,
+               (count(*) FILTER (NOT is_target))::BIGINT AS n_raw
+        FROM b GROUP BY 1""",
       // domain capping: canonical-URL host joined to the quality score
       // (both component SQLs nested verbatim), global per-host top-K
       "host_cap" -> s"""
