@@ -59,6 +59,7 @@ object SparkEntry {
     "window_hopping" -> (Relational.windowHopping _),
     "rolling_active_7d" -> (Relational.rollingActive _),
     "event_transitions" -> (Relational.eventTransitions _),
+    "salted_join" -> (Relational.saltedJoinHot _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -468,6 +469,16 @@ object SparkEntry {
                  (sum(n_transitions) OVER (PARTITION BY prev_type)))::BIGINT
                   AS p_milli
          FROM g""",
+    // The salt cancels out by construction — the oracle is the PLAIN
+    // join, proving the salted rewrite is semantics-preserving.
+    "salted_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 < 5 THEN 0
+                                ELSE user_id END AS k, event_id
+                    FROM events),
+         dim AS (SELECT DISTINCT k, k % 7 AS cohort FROM e)
+         SELECT dim.cohort::BIGINT AS cohort, count(*)::BIGINT AS n_events,
+                count(DISTINCT e.k)::BIGINT AS n_keys
+         FROM e JOIN dim USING (k) GROUP BY 1""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

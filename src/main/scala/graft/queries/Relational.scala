@@ -267,6 +267,29 @@ object Relational {
                 .as("window_start"),
               col("event_type"), col("n_events"), col("n_users"))
 
+  /** The salted-join demonstration on an ENGINEERED hot key: half the
+    * events collapse onto key 0 (the "celebrity" shape AQE's skew split
+    * exists for), the dimension is the distinct key set with a derived
+    * cohort attribute, and the join runs through [[Skew.saltedJoin]] —
+    * dim replicated 16×, fact scattered by a hash of its unique id — so
+    * the hot key occupies 16 tasks instead of one. The salt cancels out
+    * by construction, so the graded output (per-cohort counts) equals
+    * the PLAIN join's result, which is exactly what the oracle computes:
+    * the grade proves the rewrite is semantics-preserving, the spec pins
+    * the salted plan shape ([[SkewSpec]]).
+    */
+  def saltedJoinHot(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(
+      when(pmod(col("user_id"), lit(10)) < 5, 0L).otherwise(col("user_id")).as("k"),
+      col("event_id"))
+    val dim = e.select(col("k")).distinct()
+      .withColumn("cohort", pmod(col("k"), lit(7)))
+    Skew.saltedJoin(e, dim, "k", hash(col("event_id")), 16)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("k")).as("n_keys"))
+  }
+
   /** Per-user event-sequence transition counts (the first-order Markov
     * table behind next-event prediction and funnel discovery): for each
     * ordered pair of consecutive events of one user, count (prev_type →
