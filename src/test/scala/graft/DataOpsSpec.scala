@@ -501,6 +501,31 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("mixtureSelectBpe: real-token weights, decisions mirror the shared window") {
+    val out = DataOps.mixtureSelectBpe(spark, sf).cache()
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // the weights are REAL subword counts: strictly more mass than words
+    val ws = DataOps.tokenCounts(spark, sf)
+      .agg(sum(col("ws_tokens"))).head.getLong(0)
+    rows.map(_._4).sum should be > ws
+    // driver mirror of the shared layer window over the BPE-weighted hist
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val target = if (lang == "en") 300L else 700L
+      val total = rs.map(_._4).sum
+      val layers = rs.groupBy(_._3).view
+        .mapValues(_.map(_._4).sum).toSeq.sortBy(-_._1)
+      val cums = layers.scanLeft(0L)(_ + _._2).tail
+      val keptScores = layers.zip(cums)
+        .filter { case (_, cum) => cum * 1000 <= target * total }
+        .map(_._1._1).toSet
+      rs.foreach { case (_, _, sc, _, kept) =>
+        kept shouldBe keptScores.contains(sc)
+      }
+    }
+    out.unpersist()
+  }
+
   test("mixture_select: per-lang kept token mass fits the target, maximally") {
     val out = DataOps.mixtureSelect(spark, sf).cache()
     val rows = out.collect()
