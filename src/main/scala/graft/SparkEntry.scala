@@ -60,6 +60,7 @@ object SparkEntry {
     "rolling_active_7d" -> (Relational.rollingActive _),
     "event_transitions" -> (Relational.eventTransitions _),
     "salted_join" -> (Relational.saltedJoinHot _),
+    "table_profile" -> (Relational.tableProfile _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
@@ -479,6 +480,34 @@ object SparkEntry {
          SELECT dim.cohort::BIGINT AS cohort, count(*)::BIGINT AS n_events,
                 count(DISTINCT e.k)::BIGINT AS n_keys
          FROM e JOIN dim USING (k) GROUP BY 1""",
+    // ts distinctness counted on epoch MICROS — the table's read dialect
+    // (nanos→µs) — so both engines see the same aliasing.
+    "table_profile" ->
+      """SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+                (count(*) - count(event_id))::BIGINT AS n_nulls,
+                count(DISTINCT event_id)::BIGINT AS n_distinct,
+                min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id
+         FROM events
+         UNION ALL
+         SELECT 'ts', count(*), count(*) - count(ts),
+                count(DISTINCT epoch_us(ts)), NULL::BIGINT, NULL::BIGINT
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*), count(*) - count(user_id),
+                count(DISTINCT user_id), min(user_id), max(user_id)
+         FROM events
+         UNION ALL
+         SELECT 'event_type', count(*), count(*) - count(event_type),
+                count(DISTINCT event_type), NULL::BIGINT, NULL::BIGINT
+         FROM events
+         UNION ALL
+         SELECT 'value', count(*), count(*) - count(value),
+                count(DISTINCT value), NULL::BIGINT, NULL::BIGINT
+         FROM events
+         UNION ALL
+         SELECT 'props', count(*), count(*) - count(props),
+                count(DISTINCT props), NULL::BIGINT, NULL::BIGINT
+         FROM events""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -267,6 +267,46 @@ object Relational {
                 .as("window_start"),
               col("event_type"), col("n_events"), col("n_users"))
 
+  /** Column-level table profile — the data-quality report run before
+    * anything else touches a new table: per column, row/null/distinct
+    * counts plus min/max for the integer key columns. ONE pass: a single
+    * wide aggregate then `stack` to long form, so the table is scanned
+    * once (the multi-distinct aggregate plans Spark's standard expand —
+    * one map-side expansion, no extra scans). Timestamp distinctness is
+    * counted on epoch MICROS explicitly (the nanos→µs conversion is the
+    * table's read dialect; counting on the raw column would let the two
+    * engines disagree on sub-µs aliasing). At 100 TB the exact distinct
+    * counts swap for the KMV/HLL bindings (N16) — same report shape.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id").isNull.cast("long")).as("nn_event_id"),
+        countDistinct(col("event_id")).as("nd_event_id"),
+        sum(col("ts").isNull.cast("long")).as("nn_ts"),
+        countDistinct(unix_micros(col("ts"))).as("nd_ts"),
+        sum(col("user_id").isNull.cast("long")).as("nn_user_id"),
+        countDistinct(col("user_id")).as("nd_user_id"),
+        sum(col("event_type").isNull.cast("long")).as("nn_event_type"),
+        countDistinct(col("event_type")).as("nd_event_type"),
+        sum(col("value").isNull.cast("long")).as("nn_value"),
+        countDistinct(col("value")).as("nd_value"),
+        sum(col("props").isNull.cast("long")).as("nn_props"),
+        countDistinct(col("props")).as("nd_props"),
+        min(col("event_id")).as("mn_event_id"), max(col("event_id")).as("mx_event_id"),
+        min(col("user_id")).as("mn_user_id"), max(col("user_id")).as("mx_user_id"))
+      .selectExpr(
+        """stack(6,
+             'event_id', n, nn_event_id, nd_event_id, mn_event_id, mx_event_id,
+             'ts', n, nn_ts, nd_ts, cast(null AS bigint), cast(null AS bigint),
+             'user_id', n, nn_user_id, nd_user_id, mn_user_id, mx_user_id,
+             'event_type', n, nn_event_type, nd_event_type, cast(null AS bigint), cast(null AS bigint),
+             'value', n, nn_value, nd_value, cast(null AS bigint), cast(null AS bigint),
+             'props', n, nn_props, nd_props, cast(null AS bigint), cast(null AS bigint)
+           ) AS (col_name, n_rows, n_nulls, n_distinct, min_id, max_id)""")
+  }
+
   /** The salted-join demonstration on an ENGINEERED hot key: half the
     * events collapse onto key 0 (the "celebrity" shape AQE's skew split
     * exists for), the dimension is the distinct key set with a derived
