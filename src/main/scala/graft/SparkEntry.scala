@@ -88,6 +88,8 @@ object SparkEntry {
     "host_cap" -> (DataOps.hostCap _),
     "mixture_select" -> (DataOps.mixtureSelect _),
     "dsir_counts" -> (DataOps.dsirCounts _),
+    "corpus_diff" -> (DataOps.corpusDiff _),
+    "corpus_overlap" -> (DataOps.corpusOverlap _),
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),

@@ -1341,6 +1341,63 @@ object DataOps {
         countDistinct(col("url_canon")).as("n_pages"),
         round(avg(col("n_chars")), 2).as("avg_chars"))
 
+  /** Crawl-to-crawl corpus diff — "what changed since yesterday", the
+    * question every incremental curation run answers first. Two crawls
+    * are derived deterministically from the documents table (the
+    * [[decontaminate]] synthesis pattern): OLD = doc_id % 5 ≠ 4, NEW =
+    * doc_id % 5 ≠ 0, with every doc_id % 7 = 3 page re-crawled with
+    * edited content. Each side collapses to (doc_id, md5) — content
+    * equality by hash, constant bytes per doc regardless of document
+    * size — and one full-outer doc_id equi-join classifies every id:
+    * added / removed / changed / unchanged. One keyed shuffle join of
+    * two hash tables: the 100 TB diff shape (at scale the hashes come
+    * from the stored manifest instead of rehashing, same join).
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val neu = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Exact cross-corpus shingle overlap — "did the new crawl add
+    * anything, and how much of the old corpus does it re-cover": the two
+    * corpora are the even- and odd-indexed sources, each collapses to
+    * its DISTINCT shingle set (one partial-aggregable distinct per side,
+    * the big shuffles), and one row reports set sizes, intersection, and
+    * integer per-mille containment both ways + Jaccard. The intersection
+    * is a shingle equi-join of two distinct sets; everything after is
+    * one-row arithmetic. This is the exact graded reference — the
+    * constant-space corpus-level estimate over the SAME question is the
+    * KMV/HLL sketch family (N16), per the repo's exact+approx pairing.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val side = shingledOn(docs(spark, dir),
+        passthrough = Seq("source"))
+      .select((expr("CAST(substring(source, 4) AS INT)") % 2 === 0).as("even"),
+        explode(col("sh")).as("s"))
+    val a = side.filter(col("even")).select(col("s")).distinct()
+    val b = side.filter(!col("even")).select(col("s")).distinct()
+    val na = a.agg(count(lit(1)).as("n_sh_a"))
+    val nb = b.agg(count(lit(1)).as("n_sh_b"))
+    val ni = a.join(b, Seq("s"), "left_semi").agg(count(lit(1)).as("n_common"))
+    na.crossJoin(nb).crossJoin(ni) // three one-row broadcasts
+      .select(col("n_sh_a"), col("n_sh_b"), col("n_common"),
+        expr("(1000 * n_common) div n_sh_a").as("contain_a_milli"),
+        expr("(1000 * n_common) div n_sh_b").as("contain_b_milli"),
+        expr("(1000 * n_common) div (n_sh_a + n_sh_b - n_common)")
+          .as("jaccard_milli"))
+  }
+
   private val HostCapK = 3
 
   /** Domain capping — keep at most [[HostCapK]] documents per host,
@@ -3038,6 +3095,41 @@ object DataOps {
                (SELECT count(*) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_families,
                (SELECT coalesce(sum(e.n_docs - 1), 0) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_docs,
                (SELECT count(*) FROM (${base("dedup_minhash_lsh")}) p)::BIGINT AS near_dup_pairs""",
+      // crawl-to-crawl diff: both derived crawls and the hash compare
+      // replayed verbatim
+      "corpus_diff" -> """
+        WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents
+                     WHERE doc_id % 5 != 4),
+        neu AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                           ELSE text END) AS h_new
+                FROM documents WHERE doc_id % 5 != 0)
+        SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+               CASE WHEN h_old IS NULL THEN 'added'
+                    WHEN h_new IS NULL THEN 'removed'
+                    WHEN h_old != h_new THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN neu USING (doc_id)""",
+      // exact cross-corpus shingle overlap, one-row report
+      "corpus_overlap" -> """
+        WITH toks AS (SELECT substring(source, 4)::INT % 2 = 0 AS even,
+                             string_split(text, ' ') AS w
+                      FROM documents),
+        shx AS (SELECT even, unnest(list_distinct(list_transform(
+                  range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM toks WHERE len(w) >= 3),
+        a AS (SELECT DISTINCT s FROM shx WHERE even),
+        b AS (SELECT DISTINCT s FROM shx WHERE NOT even),
+        m AS (SELECT (SELECT count(*) FROM a)::BIGINT AS n_sh_a,
+                     (SELECT count(*) FROM b)::BIGINT AS n_sh_b,
+                     (SELECT count(*) FROM a JOIN b USING (s))::BIGINT AS n_common)
+        SELECT n_sh_a, n_sh_b, n_common,
+               ((1000 * n_common) // n_sh_a)::BIGINT AS contain_a_milli,
+               ((1000 * n_common) // n_sh_b)::BIGINT AS contain_b_milli,
+               ((1000 * n_common) // (n_sh_a + n_sh_b - n_common))::BIGINT
+                 AS jaccard_milli
+        FROM m""",
       // DSIR trained state: hashed unigram+bigram occurrence histograms,
       // target (en) vs raw; md5-prefix bucket arithmetic via hd()
       "dsir_counts" -> s"""

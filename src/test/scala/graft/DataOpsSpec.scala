@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.DataOps
+import graft.queries.{DataOps, Tables}
 import graft.text.TextOps
 
 /** Invariant + golden-value tests for the LLM-data-pipeline operators
@@ -499,6 +499,42 @@ class DataOpsSpec extends SparkSpec {
       rows.map(_._2).toSet shouldBe want
     }
     out.unpersist()
+  }
+
+  test("corpus_diff: statuses follow the synthesis arithmetic exactly") {
+    val got = DataOps.corpusDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val ids = Tables(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val expected =
+        if (id % 5 == 0 && id % 5 != 4) "removed"       // old only
+        else if (id % 5 == 4) "added"                   // new only
+        else if (id % 7 == 3) "changed"                 // both, re-crawled
+        else "unchanged"
+      got(id) shouldBe expected
+    }
+    got.size shouldBe ids.length.toLong
+  }
+
+  test("corpus_overlap: one row whose set algebra is internally consistent") {
+    val r = DataOps.corpusOverlap(spark, sf).head()
+    val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    c should be <= math.min(a, b)
+    r.getLong(3) shouldBe (1000 * c) / a
+    r.getLong(4) shouldBe (1000 * c) / b
+    r.getLong(5) shouldBe (1000 * c) / (a + b - c)
+    // independent recompute of the intersection via set difference
+    val side = Tables(spark, sf, "documents")
+      .select((expr("CAST(substring(source, 4) AS INT)") % 2 === 0).as("even"),
+        TextOps.tokens(col("text")).as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 3)
+      .select(col("even"), explode(TextOps.shingles(col("w"), 3)).as("s"))
+    val sa = side.filter(col("even")).select("s").distinct()
+    val sb = side.filter(!col("even")).select("s").distinct()
+    sa.count() shouldBe a
+    sb.count() shouldBe b
+    (a - sa.exceptAll(sb).count()) shouldBe c
   }
 
   test("mixtureSelectBpe: real-token weights, decisions mirror the shared window") {
