@@ -43,6 +43,26 @@ object StreamingIngest {
         org.apache.spark.sql.functions.col(ArticleSchema.SourceName))
       .count()
 
+  /** Hopping (sliding) windowed counts — the streaming binding of the
+    * batch `window_hopping` aggregation (N67): each article lands in
+    * size/slide windows, state per open window cell is evicted once the
+    * watermark passes the window end + lateness, and a window emits
+    * exactly once (append mode) when the watermark passes its end. Same
+    * map-side cell expansion as the batch form — the shuffle carries
+    * window cells, not articles.
+    */
+  def hoppingCounts(articles: DataFrame, size: String = "1 hour",
+                    slide: String = "30 minutes",
+                    lateness: String = "1 day"): DataFrame =
+    articles
+      .withWatermark(ArticleSchema.NewsPublishedTime, lateness)
+      .groupBy(
+        org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col(ArticleSchema.NewsPublishedTime),
+          size, slide),
+        org.apache.spark.sql.functions.col(ArticleSchema.SourceName))
+      .count()
+
   /** Streaming keyed dedup with bounded state — the streaming form of Q4
     * (in-run dedup). `dropDuplicatesWithinWatermark` keeps the FIRST row
     * seen per `Article_id` (the reference's first-wins rule: pages arrive
