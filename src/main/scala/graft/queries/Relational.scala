@@ -267,6 +267,30 @@ object Relational {
                 .as("window_start"),
               col("event_type"), col("n_events"), col("n_users"))
 
+  /** Count-min-sketch frequency estimates for the hottest join keys —
+    * the constant-space binding of [[keySkew]], completing the sketch
+    * suite (KMV/HLL for distinct counts, t-digest for quantiles, Bloom
+    * for membership, CMS for frequency). One aggregate pass folds the
+    * whole table into a fixed (depth × width) counter grid (partial-
+    * aggregable: sketches merge by cell-wise add), the 10 candidate keys
+    * come from the exact diagnostic, and the estimates read off the
+    * sketch on the driver. CMS never under-counts (every hash cell only
+    * gains mass), and over-counts by at most ε·N with probability 1−δ —
+    * both bounds spec-pinned against the exact counts. Deterministic:
+    * fixed seed, integer counters.
+    */
+  def keySkewSketch(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = t(spark, dir, "events")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val top = keySkew(spark, dir).select("user_id", "n_rows").collect()
+    import spark.implicits._
+    top.map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+      .toSeq.toDF("user_id", "n_true", "n_est")
+  }
+
   /** Column-level table profile — the data-quality report run before
     * anything else touches a new table: per column, row/null/distinct
     * counts plus min/max for the integer key columns. ONE pass: a single

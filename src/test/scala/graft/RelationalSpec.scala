@@ -82,6 +82,17 @@ class RelationalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("keySkewSketch: CMS never under-counts, over-count within the ε bound") {
+    val out = Relational.keySkewSketch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 10
+    val n = Tables(spark, sf, "events").count()
+    out.foreach { case (_, nTrue, nEst) =>
+      nEst should be >= nTrue           // CMS cells only gain mass
+      nEst - nTrue should be <= (0.001 * n).toLong + 1 // ε·N slack
+    }
+  }
+
   test("rolling_active_7d: trailing window dominates the daily count") {
     val out = Relational.rollingActive(spark, sf).cache()
     val du = Tables(spark, sf, "events")
