@@ -90,6 +90,7 @@ object SparkEntry {
     "dsir_counts" -> (DataOps.dsirCounts _),
     "corpus_diff" -> (DataOps.corpusDiff _),
     "corpus_overlap" -> (DataOps.corpusOverlap _),
+    "classifier_infer" -> (DataOps.classifierInfer _),
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),

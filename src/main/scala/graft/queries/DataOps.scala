@@ -1124,6 +1124,34 @@ object DataOps {
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sign")).as("weight"))
 
+  /** Deterministic integer weight per [[hashEmbed]] dimension — the
+    * Knuth-multiplicative spread keeps neighboring dims uncorrelated;
+    * products stay ≪ 2⁶³ so both engines compute identical BIGINTs.
+    */
+  private def classifierWeight(dim: Int): Long =
+    (dim.toLong * 2654435761L) % 1001L - 500L
+
+  /** Linear classifier INFERENCE over the hashed bag-of-words embedding —
+    * the fastText-shaped quality/topic gate every curation pipeline runs,
+    * as a pure integer pass so it grades exactly: logit = Σ_dim
+    * w[dim]·x[dim] with x the signed [[hashEmbed]] counts and w a fixed
+    * integer weight vector (a real pipeline broadcasts trained weights;
+    * the fixed vector stands in with identical plumbing). The weight
+    * lookup is `element_at` on a 64-long LITERAL array — map-side, no
+    * join — and the per-doc sum is one partial-aggregable keyed shuffle
+    * (the same shuffle [[hashEmbed]] already pays: inference is FREE on
+    * top of featurization). `flagged` = logit > 0.
+    */
+  def classifierInfer(spark: SparkSession, dir: String): DataFrame = {
+    val w = array((0 until HashEmbedDims).map(d => lit(classifierWeight(d))): _*)
+    hashEmbed(spark, dir)
+      .select(col("doc_id"),
+        (col("weight") * element_at(w, col("dim").cast("int") + 1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("logit"))
+      .withColumn("flagged", col("logit") > 0)
+  }
+
   private val DsirBuckets = 4096
 
   /** Per-occurrence hashed n-gram features (unigrams + word bigrams, NOT
@@ -3095,6 +3123,14 @@ object DataOps {
                (SELECT count(*) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_families,
                (SELECT coalesce(sum(e.n_docs - 1), 0) FROM (${base("dedup_exact")}) e WHERE e.n_docs > 1)::BIGINT AS exact_dup_docs,
                (SELECT count(*) FROM (${base("dedup_minhash_lsh")}) p)::BIGINT AS near_dup_pairs""",
+      // linear inference over the hashed embedding: hash_embed nested
+      // verbatim, weights replayed by the same integer formula
+      "classifier_infer" -> s"""
+        WITH x AS (${base("hash_embed")})
+        SELECT doc_id,
+               sum(weight * ((dim * 2654435761) % 1001 - 500))::BIGINT AS logit,
+               sum(weight * ((dim * 2654435761) % 1001 - 500)) > 0 AS flagged
+        FROM x GROUP BY 1""",
       // crawl-to-crawl diff: both derived crawls and the hash compare
       // replayed verbatim
       "corpus_diff" -> """

@@ -501,6 +501,21 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("classifier_infer: logits mirror a driver dot of hashEmbed features") {
+    val feats = DataOps.hashEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def w(dim: Long): Long = (dim * 2654435761L) % 1001L - 500L
+    val want = feats.groupBy(_._1).view
+      .mapValues(_.map { case (_, d, x) => x * w(d) }.sum).toMap
+    val got = DataOps.classifierInfer(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    got.length shouldBe want.size
+    got.foreach { case (id, logit, flagged) =>
+      logit shouldBe want(id)
+      flagged shouldBe (logit > 0)
+    }
+  }
+
   test("corpus_diff: statuses follow the synthesis arithmetic exactly") {
     val got = DataOps.corpusDiff(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
