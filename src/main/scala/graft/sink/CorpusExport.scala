@@ -43,6 +43,18 @@ object CorpusExport {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC export/read — the other columnar format large estates demand
+    * (Hive-ecosystem consumers). Same writer discipline as parquet:
+    * callers compose with `repartitionByRange`/`partitionBy` upstream.
+    * ORC carries its own row-group (stripe) min/max statistics, so
+    * pushed predicates prune stripes just as parquet prunes row groups.
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orcRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Schema-evolution read: parquet exports accrete columns over time
     * (a v2 writer adds `quality`; v1 files simply lack it).
     * `mergeSchema` unions the file footers so old files surface the new
