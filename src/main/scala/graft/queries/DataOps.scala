@@ -309,7 +309,15 @@ object DataOps {
     val batch = d.filter(pmod(col("doc_id"), lit(2)) === 0)
     val path = incrFixtures.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx-")
-      tmp.toFile.deleteOnExit()
+      // deleteOnExit cannot remove a non-empty tree — recursive delete
+      // in a shutdown hook is the cleanup that actually fires
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F}
+        import scala.jdk.CollectionConverters._
+        try F.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => F.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
       val idx = new graft.sink.SignatureIndex(spark, tmp.toString)
       idx.append(shingledOn(d.filter(pmod(col("doc_id"), lit(2)) =!= 0)))
       tmp.toString
@@ -1168,6 +1176,24 @@ object DataOps {
 
   private val DsirBuckets = 4096
 
+  /** ONE definition of the DSIR featurization, shared by the graded
+    * histogram builder and the scorer — the training histograms and the
+    * scoring fold MUST featurize identically or the ratios are looked up
+    * for a different model than was trained (the [[qualityScoredOn]]
+    * drift rule). `DsirFeatureSql` builds the per-doc unigram+bigram
+    * occurrence array from a token-array column `w`; `DsirBucketSql`
+    * maps one feature `t` to its bucket (the inline SQL spelling of
+    * `pmod(tokenHash16("dsir:", t), DsirBuckets)`, equality-covered by
+    * the count-vs-score agreement in DsirSpec).
+    */
+  private val DsirFeatureSql =
+    """concat(w, CASE WHEN size(w) >= 2
+         THEN transform(sequence(0, size(w) - 2),
+                i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
+         ELSE array() END)"""
+  private def dsirBucketSql(t: String): String =
+    s"cast(pmod(conv(substring(md5(concat('dsir:', $t)), 1, 4), 16, 10), $DsirBuckets) AS int)"
+
   /** Per-occurrence hashed n-gram features (unigrams + word bigrams, NOT
     * distinct — DSIR models occurrence distributions) with the target
     * flag. Target corpus = the `en` documents, the "looks like the
@@ -1176,14 +1202,10 @@ object DataOps {
   private def dsirFeatures(spark: SparkSession, dir: String): DataFrame =
     toks(spark, dir)
       .select(col("doc_id"), (col("lang") === "en").as("is_target"),
-        expr("""concat(w, CASE WHEN size(w) >= 2
-                  THEN transform(sequence(0, size(w) - 2),
-                         i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
-                  ELSE array() END)""").as("f"))
+        expr(DsirFeatureSql).as("f"))
       .select(col("doc_id"), col("is_target"), explode(col("f")).as("t"))
       .select(col("doc_id"), col("is_target"),
-        pmod(TextOps.tokenHash16("dsir:", col("t")), lit(DsirBuckets))
-          .cast("long").as("bucket"))
+        expr(dsirBucketSql("t")).cast("long").as("bucket"))
 
   /** DSIR-style hashed importance counts (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling" — the
@@ -1229,17 +1251,11 @@ object DataOps {
     val ratios = (0 until DsirBuckets).map(b =>
       math.log((nt(b) + 1.0) / tT) - math.log((nr(b) + 1.0) / tR))
     toks(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        expr("""concat(w, CASE WHEN size(w) >= 2
-                  THEN transform(sequence(0, size(w) - 2),
-                         i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
-                  ELSE array() END)""").as("f"))
+      .select(col("doc_id"), col("lang"), expr(DsirFeatureSql).as("f"))
       .withColumn("ratios", array(ratios.map(lit): _*))
       .select(col("doc_id"), col("lang"),
         expr(s"""aggregate(
-                  transform(f, t -> element_at(ratios,
-                    cast(pmod(conv(substring(md5(concat('dsir:', t)), 1, 4), 16, 10),
-                              $DsirBuckets) AS int) + 1)),
+                  transform(f, t -> element_at(ratios, ${dsirBucketSql("t")} + 1)),
                   cast(0 AS double), (a, x) -> a + x)""").as("score"))
       .withColumn("selected", col("score") > 0)
   }

@@ -398,8 +398,10 @@ object Relational {
     val du = t(spark, dir, "events")
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val days = du.select(col("day")).distinct()
+    // du is already distinct (day, user): plain count, no second
+    // distinct-aggregation pass over the operator's biggest intermediate
     val d1 = du.groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as("n_users_1d"))
+      .agg(count(lit(1)).as("n_users_1d"))
     val rolled = du
       .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("user_id"))
       .select(date_add(col("day"), col("k")).as("day"), col("user_id"))

@@ -36,9 +36,15 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  factSalt: Column, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not carry a __salt column — it is saltedJoin's internal name")
     val dimS = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    fact.withColumn("__salt", pmod(factSalt, lit(salts)).cast("int"))
+    // null-safe scatter: a null salt expression must not silently drop
+    // the row from an inner join (the plain join would keep it) — null
+    // rows all land on replica 0, preserving exact join equality.
+    fact.withColumn("__salt",
+        coalesce(pmod(factSalt, lit(salts)).cast("int"), lit(0)))
       .join(dimS, Seq(key, "__salt"))
       .drop("__salt")
   }

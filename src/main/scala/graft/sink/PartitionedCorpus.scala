@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
 object PartitionedCorpus {
 
   def write(df: DataFrame, path: String): Unit =
-    df.repartition(col("lang"))
+    // (lang, bucket) repartitioning: each task still writes exactly ONE
+    // lang directory (no small-file explosion), but a language spreads
+    // over up to 16 tasks — repartitioning on lang alone would funnel
+    // the dominant language's entire volume through a single task, the
+    // same serialization this file's own docs warn against.
+    df.repartition(col("lang"), pmod(col("doc_id"), lit(16)))
       .sortWithinPartitions(col("lang"), col("doc_id"))
       .write.mode("overwrite")
       .partitionBy("lang")

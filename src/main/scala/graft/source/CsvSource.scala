@@ -36,7 +36,8 @@ object CsvSource {
   val CorruptColumn = "_corrupt_record"
 
   private def withCorrupt(schema: StructType): StructType =
-    StructType(schema.fields :+ StructField(CorruptColumn, StringType))
+    if (schema.fieldNames.contains(CorruptColumn)) schema
+    else StructType(schema.fields :+ StructField(CorruptColumn, StringType))
 
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
