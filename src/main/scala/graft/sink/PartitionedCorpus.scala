@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
 object PartitionedCorpus {
 
   def write(df: DataFrame, path: String): Unit =
-    // (lang, bucket) repartitioning: each task still writes exactly ONE
-    // lang directory (no small-file explosion), but a language spreads
-    // over up to 16 tasks — repartitioning on lang alone would funnel
-    // the dominant language's entire volume through a single task, the
-    // same serialization this file's own docs warn against.
+    // (lang, bucket) repartitioning: file count is bounded by the CELL
+    // count (langs × 16) rather than tasks × langs — no small-file
+    // explosion — while a language spreads over up to 16 tasks;
+    // repartitioning on lang alone would funnel the dominant language's
+    // entire volume through a single task, the same serialization this
+    // file's own docs warn against. (A task that receives two cells by
+    // hash collision writes two files — still within the cell bound.)
     df.repartition(col("lang"), pmod(col("doc_id"), lit(16)))
       .sortWithinPartitions(col("lang"), col("doc_id"))
       .write.mode("overwrite")
