@@ -91,6 +91,7 @@ object SparkEntry {
     "corpus_diff" -> (DataOps.corpusDiff _),
     "corpus_overlap" -> (DataOps.corpusOverlap _),
     "classifier_infer" -> (DataOps.classifierInfer _),
+    "simhash_recall" -> (DataOps.simhashRecall _),
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),

@@ -434,6 +434,29 @@ object DataOps {
     cachedScope(big) { lshRecallOn(big, big) }
   }
 
+  /** The SimHash twin of [[lshRecall]]: the same exact ≥ 0.8 Jaccard
+    * ground truth, each truth pair flagged with whether the production
+    * SimHash path ([[dedupSimhash]], hamming ≤ 3 over 32-bit bigram
+    * fingerprints) surfaced it. Run together the two monitors tell a
+    * curation team WHICH near-dup detector is dropping recall on their
+    * corpus — MinHash-LSH (shingle-set resemblance) and SimHash
+    * (weighted-feature proximity) miss DIFFERENT pair shapes, so the
+    * flags are not interchangeable. Same cost envelope as [[lshRecall]]
+    * (the truth side dominates; the SimHash side is one banded
+    * self-join).
+    */
+  def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val big = shingled(spark, dir)
+    cachedScope(big) {
+      val exact = ngramPairsOn(big, threshold = 0.8)
+      val sim = dedupSimhash(spark, dir)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("fnd"))
+      exact.join(sim, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          coalesce(col("fnd"), lit(false)).as("found_by_simhash"))
+    }
+  }
+
   /** Exact ground truth over `truth` (a subset of the corpus shingles),
     * LSH candidates over the FULL corpus `big` — truth pairs flagged with
     * whether production LSH found them.
@@ -3051,6 +3074,13 @@ object DataOps {
         FROM (${ngramSql("0.8")}) exq
         LEFT JOIN (${base("dedup_minhash_lsh")}) lshq
           ON lshq.doc_a = exq.doc_a AND lshq.doc_b = exq.doc_b""",
+      // SimHash twin of lsh_recall: same exact truth, simhash flag
+      "simhash_recall" -> s"""
+        SELECT exq.doc_a, exq.doc_b, exq.jaccard,
+               (simq.doc_a IS NOT NULL) AS found_by_simhash
+        FROM (${ngramSql("0.8")}) exq
+        LEFT JOIN (${base("dedup_simhash")}) simq
+          ON simq.doc_a = exq.doc_a AND simq.doc_b = exq.doc_b""",
       // quality-aware representative: both components' SQL nested verbatim
       "cluster_keep_best" -> s"""
         WITH cl AS ($clusterSql), q AS (${base("doc_quality")})

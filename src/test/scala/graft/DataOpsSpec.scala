@@ -501,6 +501,23 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("simhash_recall: same truth as lsh_recall, flags match the simhash pair set") {
+    val out = DataOps.simhashRecall(spark, sf).cache()
+    val lsh = DataOps.lshRecall(spark, sf)
+      .select("doc_a", "doc_b", "jaccard")
+    // identical exact ground truth
+    out.select("doc_a", "doc_b", "jaccard").exceptAll(lsh).count() shouldBe 0L
+    lsh.exceptAll(out.select("doc_a", "doc_b", "jaccard")).count() shouldBe 0L
+    // the flag is exactly membership in dedup_simhash's pair set
+    val simPairs = DataOps.dedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.collect().foreach { r =>
+      r.getBoolean(3) shouldBe simPairs.contains((r.getLong(0), r.getLong(1)))
+    }
+    out.unpersist()
+  }
+
   test("classifier_infer: logits mirror a driver dot of hashEmbed features") {
     val feats = DataOps.hashEmbed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
