@@ -1539,10 +1539,15 @@ object DataOps {
 
   /** The layer-selection window + broadcast decision join on an explicit
     * (doc_id, lang, n_tokens, score_milli) frame — ONE definition of the
-    * budget semantics, shared by the graded whitespace-count form and the
-    * real-BPE-count form ([[mixtureSelectBpe]]) so they cannot drift.
+    * budget semantics, shared by the graded whitespace-count form, the
+    * real-BPE-count form ([[mixtureSelectBpe]]) and the temperature form
+    * ([[mixtureTemperature]]) so they cannot drift. `targetMilli` is the
+    * per-language budget in per-mille of that language's own token mass,
+    * evaluated over `lang` in the layer frame.
     */
-  private def mixtureOn(s: DataFrame): DataFrame = {
+  private def mixtureOn(s: DataFrame,
+                        targetMilli: Column = when(col("lang") === "en", MixEnMilli)
+                          .otherwise(MixOtherMilli)): DataFrame = {
     val hist = s.groupBy(col("lang"), col("score_milli"))
       .agg(sum(col("n_tokens")).as("layer_tokens"))
     val wl = Window.partitionBy(col("lang")).orderBy(col("score_milli").desc)
@@ -1551,12 +1556,46 @@ object DataOps {
       .withColumn("total", sum(col("layer_tokens"))
         .over(Window.partitionBy(col("lang"))))
       .select(col("lang"), col("score_milli"),
-        (col("cum") * 1000 <= col("total") *
-          when(col("lang") === "en", MixEnMilli).otherwise(MixOtherMilli))
-          .as("kept"))
+        (col("cum") * 1000 <= col("total") * targetMilli).as("kept"))
     s.join(broadcast(layers), Seq("lang", "score_milli"))
       .select(col("doc_id"), col("lang"), col("score_milli"),
         col("n_tokens"), col("kept"))
+  }
+
+  /** Temperature-sampled mixture (the mC4/XLM-R technique): language l's
+    * share of the OUTPUT corpus is ∝ (its token mass)^τ — τ = 1
+    * reproduces the natural distribution, τ → 0 flattens toward uniform,
+    * upsampling rare languages at the dominant language's expense. The
+    * global output budget (`budgetMilli` of total corpus tokens) is
+    * apportioned into per-language budgets on the DRIVER from the
+    * alphabet-bounded per-language totals (sorted fold — deterministic),
+    * converted to per-mille of each language's own mass, clamped to
+    * [0, 1000], and fed into the byte-shared [[mixtureOn]] layer
+    * selection. Quality ordering within each language is unchanged —
+    * temperature decides HOW MUCH of a language to keep, the quality
+    * layers decide WHICH documents fill that budget.
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String,
+                         tauMilli: Int = 500,
+                         budgetMilli: Int = 500): DataFrame = {
+    val s = qualityScoredOn(toks(spark, dir), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        col("n").cast("long").as("n_tokens"), col("score_milli"))
+    val totals = s.groupBy(col("lang")).agg(sum(col("n_tokens")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val weights = totals.map { case (l, n) =>
+      (l, math.pow(n.toDouble, tauMilli / 1000.0)) }
+    val sumW = weights.map(_._2).sum
+    val budget = budgetMilli.toDouble / 1000.0 * totals.map(_._2).sum
+    val tgt = weights.map { case (l, wl) =>
+      val nl = totals.find(_._1 == l).get._2
+      val milli = math.floor(1000.0 * (budget * wl / sumW) / nl).toLong
+      (l, math.min(1000L, math.max(0L, milli)))
+    }
+    val targetExpr = tgt.foldLeft(lit(0L): Column) { case (acc, (l, m)) =>
+      when(col("lang") === l, lit(m)).otherwise(acc)
+    }
+    mixtureOn(s, targetExpr)
   }
 
   /** [[mixtureSelect]] over REAL trained-BPE token counts
