@@ -92,6 +92,8 @@ object SparkEntry {
     "corpus_overlap" -> (DataOps.corpusOverlap _),
     "classifier_infer" -> (DataOps.classifierInfer _),
     "simhash_recall" -> (DataOps.simhashRecall _),
+    "cluster_sizes" -> (DataOps.clusterSizes _),
+    "chunk_cdc" -> (DataOps.chunkCdc _),
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),

@@ -2192,6 +2192,19 @@ object DataOps {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Duplicate-family size distribution — the monitoring readout over
+    * [[dedupCluster]] a curation team checks before choosing a dedup
+    * policy ("are my duplicates pairs, or thousand-member boilerplate
+    * families?"): per cluster size, how many clusters and how many docs
+    * that size class holds. Two partial-aggregable shuffles over keys
+    * that SHRINK at each step (docs → clusters → size classes).
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupCluster(spark, dir)
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Min-label propagation with pointer jumping over a SYMMETRIC edge set
     * (doc_a, doc_b): each node adopts the minimum label among itself and
     * its neighbors, then chases one pointer hop (rep := min(rep,
@@ -2384,6 +2397,51 @@ object DataOps {
         size(expr(s"slice(w, chunk_idx * $ChunkS + 1, $ChunkW)")).as("n_tokens"),
         md5(expr(s"concat_ws(' ', slice(w, chunk_idx * $ChunkS + 1, $ChunkW))"))
           .as("chunk_hash"))
+
+  private val CdcWindow = 4
+  private val CdcMask = 64
+
+  /** Content-defined chunking (the rsync/FastCDC idea applied to token
+    * streams): a chunk boundary falls AFTER token p whenever the hash of
+    * the [[CdcWindow]]-token window ending at p hits 0 mod [[CdcMask]]
+    * (expected chunk ≈ 64 tokens), plus a forced boundary at EOF. Unlike
+    * [[chunkDocuments]]' fixed stride, boundaries depend only on LOCAL
+    * content, so an insertion near the head re-chunks O(1) chunks
+    * instead of shifting every downstream window — the property that
+    * makes chunk-hash dedup across crawl versions actually converge
+    * (edited pages share every chunk outside the edit). Per-doc boundary
+    * flags are pure per-row arithmetic; the chunk index is a running
+    * boundary count (per-doc window over token positions — documents are
+    * the natural bounded partition), and chunks reassemble with one
+    * keyed aggregation.
+    */
+  def chunkCdc(spark: SparkSession, dir: String): DataFrame =
+    chunkCdcOn(toks(spark, dir))
+
+  /** The chunker on an explicit (doc_id, w) frame — the spec drives the
+    * insertion-stability property through this entry point.
+    */
+  private[graft] def chunkCdcOn(t: DataFrame): DataFrame = {
+    val marked = t
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w)), p -> struct(
+              p AS p, element_at(w, p) AS tok,
+              (p = size(w) OR (p >= $CdcWindow AND
+                 pmod(conv(substring(md5(concat_ws(' ',
+                   slice(w, p - ${CdcWindow - 1}, $CdcWindow))), 1, 4), 16, 10),
+                   $CdcMask) = 0)) AS b))""")).as("t"))
+      .select(col("doc_id"), col("t.p").as("p"), col("t.tok").as("tok"),
+        col("t.b").as("b"))
+    val prevBoundaries = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .withColumn("chunk_idx",
+        coalesce(sum(col("b").cast("long")).over(prevBoundaries), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')"))
+          .as("chunk_hash"))
+  }
 
   /** Quality-aware cluster representative selection: where
     * [[dedupCluster]] keeps each near-dup cluster's MINIMUM id, a real
@@ -3106,6 +3164,28 @@ object DataOps {
                len(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)]) AS n_tokens,
                md5(array_to_string(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)], ' ')) AS chunk_hash
         FROM ch""",
+      // content-defined chunking: window-hash boundaries + running count
+      "chunk_cdc" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        px AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                 p -> {'p': p, 'tok': w[p], 'last': p = len(w),
+                       'hh': CASE WHEN p >= $CdcWindow
+                               THEN md5(array_to_string(w[p - ${CdcWindow - 1}:p], ' '))
+                               ELSE NULL END})) AS u
+               FROM toks),
+        tb AS (SELECT doc_id, u.p AS p, u.tok AS tok,
+                 (u.last OR (u.hh IS NOT NULL AND
+                   (${hd("u.hh", 1)}*4096 + ${hd("u.hh", 2)}*256
+                    + ${hd("u.hh", 3)}*16 + ${hd("u.hh", 4)}) % $CdcMask = 0)) AS b
+               FROM px),
+        cx AS (SELECT doc_id, p, tok,
+                 coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+               FROM tb)
+        SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, count(*)::BIGINT AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash
+        FROM cx GROUP BY 1, 2""",
       // recall monitor: ground truth and LSH path nested verbatim
       "lsh_recall" -> s"""
         SELECT exq.doc_a, exq.doc_b, exq.jaccard,
@@ -3164,6 +3244,14 @@ object DataOps {
                array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
         FROM ex GROUP BY term HAVING count(*) >= 100""",
       "dedup_cluster" -> clusterSql,
+      // dup-family size distribution: the cluster fixpoint nested verbatim
+      "cluster_sizes" -> s"""
+        WITH cl AS ($clusterSql),
+        sz AS (SELECT cluster_rep, count(*)::BIGINT AS cluster_size
+               FROM cl GROUP BY 1)
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+               (cluster_size * count(*))::BIGINT AS n_docs
+        FROM sz GROUP BY 1""",
       "decontaminate" -> """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         shx AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),

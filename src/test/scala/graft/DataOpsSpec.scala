@@ -501,6 +501,39 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chunk_cdc: chunks tile each doc; an insertion only re-chunks locally") {
+    import spark.implicits._
+    val out = DataOps.chunkCdc(spark, sf).cache()
+    // tiling: per-doc chunk token counts sum to the doc's token count,
+    // and chunk indices are dense from 0
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(
+        TextOps.tokens(col("text"))).as("n"))
+    out.groupBy("doc_id").agg(sum(col("n_tokens")).as("s"),
+        count(lit(1)).as("k"), max(col("chunk_idx")).as("mx"))
+      .join(toks, "doc_id")
+      .filter(col("s") =!= col("n") || col("mx") =!= col("k") - 1)
+      .count() shouldBe 0L
+
+    // insertion stability — THE content-defined property: inserting one
+    // token near the head of a long doc leaves every chunk outside the
+    // edited neighborhood identical (fixed-stride chunking would shift
+    // and change every downstream chunk hash)
+    val base = Tables(spark, sf, "documents")
+      .orderBy(desc("n_chars")).select("text").head.getString(0)
+      .split(" ").toSeq
+    val edited = (base.take(3) :+ "INSERTED") ++ base.drop(3)
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "w")
+    val chunks = DataOps.chunkCdcOn(two).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = h1.intersect(h2).size
+    // everything after the first post-edit boundary is shared
+    shared should be >= h1.size - 2
+    shared should be >= 1
+  }
+
   test("simhash_recall: same truth as lsh_recall, flags match the simhash pair set") {
     val out = DataOps.simhashRecall(spark, sf).cache()
     val lsh = DataOps.lshRecall(spark, sf)
