@@ -94,6 +94,7 @@ object SparkEntry {
     "simhash_recall" -> (DataOps.simhashRecall _),
     "cluster_sizes" -> (DataOps.clusterSizes _),
     "chunk_cdc" -> (DataOps.chunkCdc _),
+    "chunk_reuse" -> (DataOps.chunkReuse _),
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),

@@ -2192,6 +2192,41 @@ object DataOps {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Chunk-hash reuse across crawl versions — the CDC payoff as a
+    * number: for each CHANGED document of the [[corpusDiff]] synthesis,
+    * how many of the new version's distinct chunk hashes its old version
+    * already had (the chunks a content-addressed store would NOT store
+    * again, and chunk-level dedup would not re-process). Because
+    * [[chunkCdc]] boundaries are local, an append-edit leaves every
+    * chunk before the edit shared — reuse is exactly the chunk mass
+    * outside the edited tail. On this corpus's SHORT docs (≈ 2 chunks
+    * each) that is modest by construction (a single-chunk doc reuses
+    * nothing; measured mean ≈ 250‰ at sf0.01); on real multi-KB pages it
+    * approaches 1 — the DataOpsSpec insertion test on the longest
+    * document pins the high-reuse case. Both versions run the SAME
+    * chunker ([[chunkCdcOn]]); per-doc distinct-hash joins on
+    * (doc_id, hash) — one keyed shuffle pair.
+    */
+  def chunkReuse(spark: SparkSession, dir: String): DataFrame = {
+    val changed = docs(spark, dir)
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4 &&
+        col("doc_id") % 7 === 3)
+    def hashes(d: DataFrame) =
+      chunkCdcOn(d.select(col("doc_id"), TextOps.tokens(col("text")).as("w")))
+        .select(col("doc_id"), col("chunk_hash")).distinct()
+    val oldH = hashes(changed)
+    val newH = hashes(changed.withColumn("text", concat(col("text"), lit(" v2"))))
+    newH.as("n")
+      .join(oldH.as("o"),
+        col("o.doc_id") === col("n.doc_id") &&
+          col("o.chunk_hash") === col("n.chunk_hash"), "left")
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"),
+        count(col("o.chunk_hash")).as("n_shared"))
+      .select(col("doc_id"), col("n_new"), col("n_shared"),
+        expr("(1000 * n_shared) div n_new").cast("long").as("reuse_milli"))
+  }
+
   /** Duplicate-family size distribution — the monitoring readout over
     * [[dedupCluster]] a curation team checks before choosing a dedup
     * policy ("are my duplicates pairs, or thousand-member boilerplate
@@ -2763,6 +2798,26 @@ object DataOps {
         FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
         JOIN sz sb ON sb.doc_id = i2.doc_b
         WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= $t"""
+    // content-defined chunking pipeline over any (doc_id, text) source:
+    // ends at CTE `cx` carrying (doc_id, p, tok, chunk_idx)
+    def cdcSql(src: String) = s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ($src)),
+        px AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                 p -> {'p': p, 'tok': w[p], 'last': p = len(w),
+                       'hh': CASE WHEN p >= $CdcWindow
+                               THEN md5(array_to_string(w[p - ${CdcWindow - 1}:p], ' '))
+                               ELSE NULL END})) AS u
+               FROM toks),
+        tb AS (SELECT doc_id, u.p AS p, u.tok AS tok,
+                 (u.last OR (u.hh IS NOT NULL AND
+                   (${hd("u.hh", 1)}*4096 + ${hd("u.hh", 2)}*256
+                    + ${hd("u.hh", 3)}*16 + ${hd("u.hh", 4)}) % $CdcMask = 0)) AS b
+               FROM px),
+        cx AS (SELECT doc_id, p, tok,
+                 coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+               FROM tb)"""
     val h32 = (0 until 8)
       .map(i => s"${hd("hh", i + 1)}::BIGINT * ${1L << (4 * (7 - i))}")
       .mkString(" + ")
@@ -3164,28 +3219,39 @@ object DataOps {
                len(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)]) AS n_tokens,
                md5(array_to_string(w[(chunk_idx*$ChunkS + 1):(chunk_idx*$ChunkS + $ChunkW)], ' ')) AS chunk_hash
         FROM ch""",
-      // content-defined chunking: window-hash boundaries + running count
-      "chunk_cdc" -> s"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        px AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
-                 p -> {'p': p, 'tok': w[p], 'last': p = len(w),
-                       'hh': CASE WHEN p >= $CdcWindow
-                               THEN md5(array_to_string(w[p - ${CdcWindow - 1}:p], ' '))
-                               ELSE NULL END})) AS u
-               FROM toks),
-        tb AS (SELECT doc_id, u.p AS p, u.tok AS tok,
-                 (u.last OR (u.hh IS NOT NULL AND
-                   (${hd("u.hh", 1)}*4096 + ${hd("u.hh", 2)}*256
-                    + ${hd("u.hh", 3)}*16 + ${hd("u.hh", 4)}) % $CdcMask = 0)) AS b
-               FROM px),
-        cx AS (SELECT doc_id, p, tok,
-                 coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER
-                   (PARTITION BY doc_id ORDER BY p
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-               FROM tb)
+      // content-defined chunking: window-hash boundaries + running count.
+      // cdcSql is parameterized over the (doc_id, text) source so
+      // chunk_reuse chunks two crawl versions with the SAME pipeline.
+      "chunk_cdc" -> s"""${cdcSql("SELECT doc_id, text FROM documents")}
         SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, count(*)::BIGINT AS n_tokens,
                md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash
         FROM cx GROUP BY 1, 2""",
+      // CDC payoff, quantified: distinct chunk hashes the edited (new)
+      // version of each changed doc shares with its old version
+      "chunk_reuse" -> s"""
+        WITH oldh AS (
+          ${cdcSql(s"""SELECT doc_id, text FROM documents
+                       WHERE doc_id % 5 NOT IN (0, 4) AND doc_id % 7 = 3""")}
+          , ch AS (SELECT doc_id, chunk_idx,
+                     md5(string_agg(tok, ' ' ORDER BY p)) AS h
+                   FROM cx GROUP BY 1, 2)
+          SELECT DISTINCT doc_id, h FROM ch),
+        newh AS (
+          ${cdcSql(s"""SELECT doc_id, text || ' v2' AS text FROM documents
+                       WHERE doc_id % 5 NOT IN (0, 4) AND doc_id % 7 = 3""")}
+          , ch AS (SELECT doc_id, chunk_idx,
+                     md5(string_agg(tok, ' ' ORDER BY p)) AS h
+                   FROM cx GROUP BY 1, 2)
+          SELECT DISTINCT doc_id, h FROM ch),
+        agg AS (SELECT n.doc_id,
+                  count(*)::BIGINT AS n_new,
+                  count(o.h)::BIGINT AS n_shared
+                FROM newh n LEFT JOIN oldh o
+                  ON o.doc_id = n.doc_id AND o.h = n.h
+                GROUP BY 1)
+        SELECT doc_id, n_new, n_shared,
+               ((1000 * n_shared) // n_new)::BIGINT AS reuse_milli
+        FROM agg""",
       // recall monitor: ground truth and LSH path nested verbatim
       "lsh_recall" -> s"""
         SELECT exq.doc_a, exq.doc_b, exq.jaccard,
