@@ -307,16 +307,25 @@ object DataOps {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val batch = d.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val path = incrFixtures.computeIfAbsent(dir, _ => {
+    // Freshness: the cache key carries the source file's (mtime, length),
+    // so a process that rewrites the data at `dir` gets a fresh fixture —
+    // the invariant the per-call rebuild used to provide, at the cost of
+    // one fs stat instead of a full re-index.
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = s"$dir@${src.lastModified}:${src.length}"
+    val path = incrFixtures.computeIfAbsent(key, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx-")
       // deleteOnExit cannot remove a non-empty tree — recursive delete
       // in a shutdown hook is the cleanup that actually fires
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files => F}
         import scala.jdk.CollectionConverters._
-        try F.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => F.deleteIfExists(p))
-        catch { case _: Throwable => () }
+        try {
+          val walk = F.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => F.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () }
       }))
       val idx = new graft.sink.SignatureIndex(spark, tmp.toString)
       idx.append(shingledOn(d.filter(pmod(col("doc_id"), lit(2)) =!= 0)))
@@ -448,12 +457,8 @@ object DataOps {
   def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val big = shingled(spark, dir)
     cachedScope(big) {
-      val exact = ngramPairsOn(big, threshold = 0.8)
-      val sim = dedupSimhash(spark, dir)
-        .select(col("doc_a"), col("doc_b"), lit(true).as("fnd"))
-      exact.join(sim, Seq("doc_a", "doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"), col("jaccard"),
-          coalesce(col("fnd"), lit(false)).as("found_by_simhash"))
+      recallFlagOn(ngramPairsOn(big, threshold = 0.8),
+        dedupSimhash(spark, dir), "found_by_simhash")
     }
   }
 
@@ -472,14 +477,22 @@ object DataOps {
     * flag-subset test pins the equivalence against the verified
     * [[dedupMinhashLsh]] output.
     */
-  private def lshRecallOn(big: DataFrame, truth: DataFrame): DataFrame = {
-    val exact = ngramPairsOn(truth, threshold = 0.8)
-    val lsh = lshCandidates(big, BandBucketCap)
-      .select(col("doc_a"), col("doc_b"), lit(true).as("fnd"))
-    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+  private def lshRecallOn(big: DataFrame, truth: DataFrame): DataFrame =
+    recallFlagOn(ngramPairsOn(truth, threshold = 0.8),
+      lshCandidates(big, BandBucketCap), "found_by_lsh")
+
+  /** ONE definition of the truth-vs-detector flag join shared by every
+    * recall monitor ([[lshRecall]], [[simhashRecall]], the sampled
+    * binding) — the monitors are sold as a comparable pair, so their
+    * flag semantics must be structurally incapable of diverging.
+    */
+  private def recallFlagOn(exact: DataFrame, found: DataFrame,
+                           flagName: String): DataFrame =
+    exact.join(
+        found.select(col("doc_a"), col("doc_b"), lit(true).as("fnd")),
+        Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        coalesce(col("fnd"), lit(false)).as("found_by_lsh"))
-  }
+        coalesce(col("fnd"), lit(false)).as(flagName))
 
   /** The 100 TB binding of [[lshRecall]]: the quadratic exact-truth side
     * runs over a deterministic 1/`denom` hash sample of the corpus
@@ -1183,9 +1196,12 @@ object DataOps {
     * integer weight vector (a real pipeline broadcasts trained weights;
     * the fixed vector stands in with identical plumbing). The weight
     * lookup is `element_at` on a 64-long LITERAL array — map-side, no
-    * join — and the per-doc sum is one partial-aggregable keyed shuffle
-    * (the same shuffle [[hashEmbed]] already pays: inference is FREE on
-    * top of featurization). `flagged` = logit > 0.
+    * join — and the per-doc sum is one partial-aggregable keyed shuffle.
+    * (That shuffle is a SECOND Exchange after [[hashEmbed]]'s
+    * (doc_id, dim) aggregation — doc_id partitioning is not implied by
+    * (doc_id, dim) — but it carries at most [[HashEmbedDims]] rows per
+    * doc, so inference costs one near-free reduce on top of
+    * featurization.) `flagged` = logit > 0.
     */
   def classifierInfer(spark: SparkSession, dir: String): DataFrame = {
     val w = array((0 until HashEmbedDims).map(d => lit(classifierWeight(d))): _*)
@@ -1581,21 +1597,27 @@ object DataOps {
     val s = qualityScoredOn(toks(spark, dir), Seq("lang"))
       .select(col("doc_id"), col("lang"),
         col("n").cast("long").as("n_tokens"), col("score_milli"))
-    val totals = s.groupBy(col("lang")).agg(sum(col("n_tokens")).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val weights = totals.map { case (l, n) =>
-      (l, math.pow(n.toDouble, tauMilli / 1000.0)) }
-    val sumW = weights.map(_._2).sum
-    val budget = budgetMilli.toDouble / 1000.0 * totals.map(_._2).sum
-    val tgt = weights.map { case (l, wl) =>
-      val nl = totals.find(_._1 == l).get._2
-      val milli = math.floor(1000.0 * (budget * wl / sumW) / nl).toLong
-      (l, math.min(1000L, math.max(0L, milli)))
+    // The scored frame feeds the driver totals AND both mixtureOn
+    // branches — cache it for the scope so the O(L²) quality fold runs
+    // once, not three times (cachedScope eagerly materializes the result
+    // before unpersisting).
+    cachedScope(s) {
+      val totals = s.groupBy(col("lang")).agg(sum(col("n_tokens")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val weights = totals.map { case (l, n) =>
+        (l, math.pow(n.toDouble, tauMilli / 1000.0)) }
+      val sumW = weights.map(_._2).sum
+      val budget = budgetMilli.toDouble / 1000.0 * totals.map(_._2).sum
+      val tgt = weights.map { case (l, wl) =>
+        val nl = totals.find(_._1 == l).get._2
+        val milli = math.floor(1000.0 * (budget * wl / sumW) / nl).toLong
+        (l, math.min(1000L, math.max(0L, milli)))
+      }
+      val targetExpr = tgt.foldLeft(lit(0L): Column) { case (acc, (l, m)) =>
+        when(col("lang") === l, lit(m)).otherwise(acc)
+      }
+      mixtureOn(s, targetExpr)
     }
-    val targetExpr = tgt.foldLeft(lit(0L): Column) { case (acc, (l, m)) =>
-      when(col("lang") === l, lit(m)).otherwise(acc)
-    }
-    mixtureOn(s, targetExpr)
   }
 
   /** [[mixtureSelect]] over REAL trained-BPE token counts
@@ -2458,13 +2480,19 @@ object DataOps {
     */
   private[graft] def chunkCdcOn(t: DataFrame): DataFrame = {
     val marked = t
+      // The window-hash operand sits under a structural CASE guard (not
+      // a short-circuit conjunct): slice(w, p-3, 4) is invalid for p < 4
+      // (index-0 error, or a silent from-the-end slice for negatives),
+      // and guarding by evaluation ORDER would break under any refactor
+      // that rearranges the conjuncts — the DuckDB mirror guards the
+      // same way.
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(w)), p -> struct(
               p AS p, element_at(w, p) AS tok,
-              (p = size(w) OR (p >= $CdcWindow AND
+              (p = size(w) OR (CASE WHEN p >= $CdcWindow THEN
                  pmod(conv(substring(md5(concat_ws(' ',
                    slice(w, p - ${CdcWindow - 1}, $CdcWindow))), 1, 4), 16, 10),
-                   $CdcMask) = 0)) AS b))""")).as("t"))
+                   $CdcMask) = 0 ELSE false END)) AS b))""")).as("t"))
       .select(col("doc_id"), col("t.p").as("p"), col("t.tok").as("tok"),
         col("t.b").as("b"))
     val prevBoundaries = Window.partitionBy(col("doc_id")).orderBy(col("p"))
