@@ -223,4 +223,27 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: saltedJoin ≡ plain join on arbitrary frames, nulls included") {
+    // keys drawn from a tiny domain (forced collisions + hot keys),
+    // nullable keys on the fact side, nullable salt source values
+    val keyGen: Gen[Option[Long]] =
+      Gen.frequency(8 -> Gen.choose(0L, 4L).map(Some(_)), 1 -> Gen.const(None))
+    val saltSrc: Gen[Option[Long]] =
+      Gen.frequency(9 -> Gen.choose(Long.MinValue, Long.MaxValue).map(Some(_)),
+        1 -> Gen.const(None))
+    val facts = sample(Gen.zip(keyGen, saltSrc), 300).zipWithIndex
+      .map { case ((k, sv), i) => (i.toLong, k, sv) }
+    val dims = sample(Gen.zip(Gen.choose(0L, 6L), token), 20)
+      .distinctBy(_._1)
+    val fact = facts.toDF("row_id", "k", "salt_src")
+      .select(col("row_id"), col("k"), col("salt_src"))
+    val dim = dims.toDF("k", "attr")
+    val salted = graft.queries.Skew
+      .saltedJoin(fact, dim, "k", hash(col("salt_src")), 8)
+      .select("row_id", "k", "attr")
+    val plain = fact.join(dim, Seq("k")).select("row_id", "k", "attr")
+    salted.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(salted).count() shouldBe 0L
+  }
 }
