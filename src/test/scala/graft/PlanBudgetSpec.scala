@@ -1,0 +1,44 @@
+package graft
+
+/** Shuffle budgets for headline graded queries: each query's physical
+  * plan may not contain MORE Exchanges than the count its design calls
+  * for (the values asserted here are today's actual plans). A failing
+  * budget means an edit introduced a shuffle the operator's scaladoc
+  * does not account for — the regression this spec exists to catch
+  * before a 100 TB run does. (Eagerly-checkpointed operators expose a
+  * collapsed public plan and are budgeted elsewhere, on their
+  * pre-checkpoint plans, in PlanShapeSpec.)
+  */
+class PlanBudgetSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shuffles(name: String): Int = {
+    val p = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    ("Exchange hashpartitioning".r.findAllIn(p).length
+      + "Exchange rangepartitioning".r.findAllIn(p).length
+      + "Exchange SinglePartition".r.findAllIn(p).length)
+  }
+
+  private val budgets = Seq(
+    "dedup_exact" -> 1,        // one keyed shuffle on the content hash
+    "doc_quality" -> 0,        // per-row fold, no shuffle
+    "token_counts" -> 0,       // per-row fold, no shuffle
+    "corpus_select" -> 2,      // quality join + near-dup anti side
+    "window_hopping" -> 2,     // partial + distinct expand
+    "rolling_active_7d" -> 6,  // user-day distinct + two distinct counts
+    "event_transitions" -> 3,  // per-user window + cell agg + normalize
+    "dsir_counts" -> 1,        // one bounded-key histogram shuffle
+    "classifier_infer" -> 2,   // featurize agg + per-doc reduce
+    "host_cap" -> 2,           // salted cut + per-host rank
+    "mixture_select" -> 2,     // histogram + bounded layer window
+    "table_profile" -> 2,      // one expand pass + the one-row stack
+    "chunk_cdc" -> 1,          // per-doc boundary window + reassembly
+    "cluster_sizes" -> 2)      // clusters → size classes
+
+  budgets.foreach { case (name, budget) =>
+    test(s"shuffle budget: $name stays within $budget Exchanges") {
+      shuffles(name) should be <= budget
+    }
+  }
+}
