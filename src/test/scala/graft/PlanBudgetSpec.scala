@@ -13,6 +13,10 @@ class PlanBudgetSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def shuffles(name: String): Int = {
+    // budgets are claims about the canonical COLD plan — a sibling
+    // suite's leftover cache substitutes InMemoryRelations with their
+    // own partitioning into matching subtrees and shifts the count
+    spark.catalog.clearCache()
     val p = SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
     ("Exchange hashpartitioning".r.findAllIn(p).length
