@@ -389,11 +389,28 @@ object DataOps {
     * prefix bound is lossless for any t: see class scaladoc).
     */
   private def ngramPairsOn(big: DataFrame, threshold: Double): DataFrame = {
-    // |d| rides along from size(sh) — the shingle array is already
-    // distinct, so the per-doc posting count needs no second window pass
-    // over the exploded frame (r3 ADVICE).
-    val ex = big.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
+    // The exploded column is the shingle's xxhash64, NOT the shingle
+    // string. Everything the exploded frame feeds — global frequency,
+    // per-doc prefix rank, the candidate self-join — only needs a
+    // consistent total order and equality on shingles, which any fixed
+    // hash provides; the ~30-byte strings never leave their arrays. A
+    // hash collision can only MERGE two shingles, so hash-set Jaccard
+    // >= string Jaccard and every true pair still collides inside its
+    // hash-prefix (the filter stays lossless; collisions only ADD
+    // candidates), and the exact verification below runs on the original
+    // string arrays, filtering any collision-born pair. Net effect: the
+    // exploded + cached frames shrink from string postings to 8-byte
+    // longs — the largest transient footprint on the bench surface, and
+    // the exact surface machine contention crushed in the r7/r8 records.
+    // |d| rides along from size(hs) — the hashed array is kept distinct,
+    // so the per-doc posting count needs no second window pass over the
+    // exploded frame (r3 ADVICE), and the prefix bound is computed on
+    // the same (hash-)set the candidate join runs over.
+    val ex = big
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("s"))
     // Global shingle frequency as a WINDOW over the exploded postings —
     // one shuffle on the shingle, reused as-is by the count, instead of a
     // groupBy plus a join back (the join either broadcasts a

@@ -89,6 +89,34 @@ class DataOpsSpec extends SparkSpec {
     assert(ng.intersect(lsh).size >= (lsh.size * 0.8).toInt)
   }
 
+  test("ngram_jaccard hashed-prefix path equals the naive string all-pairs join") {
+    // The r9 footprint cut explodes xxhash64(shingle) longs instead of
+    // shingle strings. Lossless by construction (collisions only add
+    // candidates; verification runs on the original arrays) — this test
+    // pins the end-to-end equality against the naive form the DuckDB
+    // oracle computes: every shared-shingle pair, exact Jaccard, no
+    // prefix filter, no hashing.
+    val sh = DataOps.shingledForTest(spark, sf).cache()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val naive = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(size(array_intersect(sa.sh, sb.sh)) AS double)").as("i"),
+        expr("size(sa.sh) + size(sb.sh)").as("nn"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / (col("nn") - col("i")), 3).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = DataOps.ngramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe naive
+    sh.unpersist()
+  }
+
   test("dedup_embedding: ordered pairs, cos within threshold..1, keeper is smaller id") {
     val out = DataOps.dedupEmbedding(spark, sf).cache()
     out.filter(col("keep_id") >= col("drop_id")).count() shouldBe 0L
