@@ -57,9 +57,17 @@ object Bench {
       spark.catalog.clearCache() // intra-query caches are query-scoped
     }
     var failed = List.empty[String]
+    // Telemetry sidecar: byte/record-level counters per query window.
+    // Wall time under machine contention has been unreadable two rounds
+    // running (r7/r8 driver records); shuffle record counts are
+    // load-invariant, so the artifact itself now separates "same work,
+    // slower box" from a plan regression. See BenchTelemetry's scaladoc
+    // for which counters are exact and which are codec-sensitive.
+    val telem = new BenchTelemetry(spark.sparkContext)
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               runs: Int): Seq[Double] =
+               runs: Int): Seq[(Double, BenchTelemetry.Counters)] =
       (1 to runs).flatMap { _ =>
+        telem.reset()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -69,11 +77,12 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val counters = telem.snapshot()
         // Release intra-query caches so frames cached by one query (e.g.
         // the shingle set in dedup_minhash_lsh) never accumulate across
         // the run or double-cache when corpus_select rebuilds the lineage.
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, counters)) else None
       }
     val results = queries.map { case (name, fn) =>
       var samples = sample(name, fn, TimedRuns)
@@ -81,26 +90,30 @@ object Bench {
       // GC hiccup landed inside the window), take 2 more so the median
       // sits on the stable majority instead of splitting the difference.
       if (samples.size == TimedRuns &&
-          samples.max > 1.3 * samples.min)
+          samples.map(_._1).max > 1.3 * samples.map(_._1).min)
         samples ++= sample(name, fn, 2)
       // A query that failed contributes its failure (exit code + `failed`
       // list), not a fabricated time.
-      val sorted = samples.sorted
-      name -> sorted
+      name -> samples
     }
     // A query with zero successful samples appears ONLY in `failed` — a
     // bare NaN in the JSON would invalidate the whole artifact for strict
     // parsers, destroying every other query's record.
     val timed = results.collect { case (k, s) if s.nonEmpty =>
-      k -> (s(s.size / 2), s.head, s.last) }
+      val t = s.map(_._1).sorted
+      k -> (t(t.size / 2), t.head, t.last)
+    }
     val qs = timed.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = timed
       .map { case (k, (_, mn, mx)) => s"\"$k\":{\"min\":$mn,\"max\":$mx}" }
       .mkString("{", ",", "}")
+    val telemetry = results.collect { case (k, s) if s.nonEmpty =>
+      s"\"$k\":" + BenchTelemetry.median(s.map(_._2)).toJson }
+      .mkString("{", ",", "}")
     val total = timed.values.map(_._1).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"telemetry":$telemetry,"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)
     // The full object has outgrown tail-window captures (BENCH_r04's tail
     // cut the front of the line and lost the total). A second minimal

@@ -54,6 +54,51 @@ class LoadStabilitySpec extends SparkSpec {
     samples.map(_._2).distinct.size shouldBe 1
   }
 
+  test("lsh_recall: shuffle work is load-invariant (telemetry counters agree clean vs loaded)") {
+    // The r9 bench artifact carries per-query byte/record counters
+    // (BenchTelemetry) precisely so a contention-inflated wall time can be
+    // distinguished from a plan regression. This pins the invariant the
+    // artifact relies on: the same query on the same data moves the same
+    // shuffle ROWS whether or not the box is busy. Records are exact
+    // (deterministic plan); bytes are post-compression and codec-sensitive
+    // to fetch-order, so they get a small tolerance instead of equality.
+    val telem = new BenchTelemetry(spark.sparkContext)
+    def measured(): BenchTelemetry.Counters = {
+      telem.reset()
+      DataOps.lshRecall(spark, dir).count()
+      telem.snapshot()
+    }
+    measured() // warm-up
+    val clean = measured()
+    val stop = new AtomicBoolean(false)
+    val burners = (1 to math.max(2, Runtime.getRuntime.availableProcessors() / 2))
+      .map { i =>
+        val t = new Thread(() => {
+          var x = 0L
+          while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+        }, s"telem-burner-$i")
+        t.setDaemon(true)
+        t.setPriority(Thread.MAX_PRIORITY)
+        t.start()
+        t
+      }
+    try {
+      val loaded = measured()
+      info(s"clean:  ${clean.toJson}")
+      info(s"loaded: ${loaded.toJson}")
+      loaded.shuffleReadRecords shouldBe clean.shuffleReadRecords
+      loaded.shuffleWriteRecords shouldBe clean.shuffleWriteRecords
+      val tol = 0.05
+      loaded.shuffleReadBytes.toDouble shouldBe
+        (clean.shuffleReadBytes.toDouble +- clean.shuffleReadBytes * tol)
+      loaded.shuffleWriteBytes.toDouble shouldBe
+        (clean.shuffleWriteBytes.toDouble +- clean.shuffleWriteBytes * tol)
+      // no spill at this SF, clean or loaded — contention is CPU, not memory
+      loaded.spillDiskBytes shouldBe 0L
+      clean.spillDiskBytes shouldBe 0L
+    } finally stop.set(true)
+  }
+
   test("lsh_recall: result is bit-identical under synthetic CPU contention") {
     val (_, clean) = run()
     val stop = new AtomicBoolean(false)
