@@ -45,4 +45,28 @@ class PlanBudgetSpec extends SparkSpec {
       shuffles(name) should be <= budget
     }
   }
+
+  test("shuffle budget: co-bucketed catalog join stays at 0 Exchanges") {
+    // The bucketBy write paid the hash-partitioning once; every repeated
+    // doc_id join on the catalog tables must stay Exchange-free (the
+    // 100 TB recurring-cost lever — see BucketedCorpus scaladoc). Ran
+    // with broadcast off so the tiny test tables plan the SortMergeJoin
+    // shape a full-scale run would.
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.legacy.allowNonEmptyLocationInCTAS", "true")
+    val (docsTable, embTable) =
+      graft.sink.BucketedCorpus.writeCorpus(spark, sf, tmpDir("graft-budget-"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = graft.sink.BucketedCorpus
+        .joinDocsEmbeddings(spark, docsTable, embTable)
+        .queryExecution.executedPlan.toString
+      val n = ("Exchange hashpartitioning".r.findAllIn(p).length
+        + "Exchange rangepartitioning".r.findAllIn(p).length
+        + "Exchange SinglePartition".r.findAllIn(p).length)
+      withClue(p) { n shouldBe 0 }
+    } finally spark.conf.set(key, old)
+  }
 }
