@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_spans" -> (DataOps.dedupSpans _),
     "url_canonical" -> (DataOps.urlCanonical _),
     "domain_stats" -> (DataOps.domainStats _),
+    "host_rank" -> (DataOps.hostRank _),
     "dedup_url" -> (DataOps.dedupUrl _),
     "clean_corpus" -> (DataOps.cleanCorpus _),
     "host_cap" -> (DataOps.hostCap _),

@@ -1455,6 +1455,90 @@ object DataOps {
         countDistinct(col("url_canon")).as("n_pages"),
         round(avg(col("n_chars")), 2).as("avg_chars"))
 
+  private val HostRankIters = 5
+  private val HostRankScale = 1000000000000L
+
+  /** Host-graph centrality — PageRank over the canonical-host link graph,
+    * the standard crawl-curation signal for domain trust (a host linked
+    * by many trusted hosts is itself trustworthy; link farms that only
+    * self-link are not). Composes with [[hostCap]]: the per-host quota
+    * becomes quality × trust — rank the corpus by `score_milli` WITHIN
+    * hosts (hostCap) and size each host's K BY its `rank_scaled` tier,
+    * so a reputable domain keeps more documents than an equal-quality
+    * content farm.
+    *
+    * Determinism (the k-means/[[dedupCluster]] discipline): all mass is
+    * INTEGER — ranks are scaled to [[HostRankScale]], each iteration
+    * moves `(rank * 85) div (outdeg * 100)` along every edge (the 0.85
+    * damping as exact integer arithmetic; truncation, not rounding) and
+    * re-seeds `(scale * 15) div (100 * n)` — BIGINT sums are
+    * addition-order-independent, so Spark task order cannot perturb a
+    * single unit of mass and the DuckDB oracle (the same [[HostRankIters]]
+    * iterations unrolled as chained CTEs) matches bit-for-bit. Dangling
+    * mass (hosts with no out-links) is dropped, the classic simplified
+    * form — deterministic either way.
+    *
+    * The link graph is synthesized deterministically in both engines
+    * (the [[corpusDiff]] pattern): each doc at source index
+    * `s = doc_id % 20` links its own canonical host to the host of
+    * source index `(s*3 + 1 + ((doc_id div 20) % (1 + s%5))) % 20`.
+    * The shape is deliberate: the `div 20` term varies WITHIN a source
+    * (a map of `s` alone gives every host exactly one out-edge — a
+    * permutation graph, on which PageRank stays uniform forever) but
+    * ranges over only `1 + s%5` offsets, so out-degrees vary 1–5 and the
+    * stationary mass actually differentiates (a map covering ALL offsets
+    * yields the complete graph — regular, uniform again). The host
+    * strings come from the
+    * SAME [[synthUrl]] ∘ canonicalize ∘ host pipeline [[domainStats]]
+    * grades, via a 20-row (source index → host) lookup, so the dialect
+    * lives in one place.
+    *
+    * Scale shape: at 100 TB the edge list (host-pair links from crawl
+    * extraction) is the big side — it is joined ONCE per iteration,
+    * keyed on `src`, with the rank table (one row per host — millions,
+    * never corpus-sized) as the other side; the per-iteration reduce is
+    * a partial-aggregable sum keyed on `dst`. Each round is checkpointed
+    * (`localCheckpoint`) so the iterative lineage never re-derives —
+    * exactly the [[dedupClusterStar]] round discipline. The host COUNT
+    * feeding the integer seed is one driver-side scalar (bounded by the
+    * host alphabet, the per-lang-totals justification).
+    */
+  def hostRank(spark: SparkSession, dir: String): DataFrame = {
+    val hx = docs(spark, dir).select(col("doc_id"),
+      UrlOps.host(UrlOps.canonicalize(synthUrl(col("doc_id"), col("source"))))
+        .as("host"))
+    // (source index → host) lookup: source = src(doc_id % 20), and each
+    // source's case-branch is fixed, so the map is functional and tiny.
+    val hmap = hx.select(pmod(col("doc_id"), lit(20)).as("sidx"), col("host"))
+      .distinct()
+    val nodes = hmap.select(col("host")).distinct()
+    val edges = hx
+      .join(broadcast(hmap.withColumnRenamed("host", "dst")),
+        expr("((doc_id % 20) * 3 + 1 + ((doc_id div 20) % (1 + ((doc_id % 20) % 5)))) % 20")
+          === col("sidx"))
+      .filter(col("host") =!= col("dst"))
+      .select(col("host").as("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    cachedScope(edges, deg, nodes) {
+      val n = nodes.count() // driver-side scalar, host-alphabet-bounded
+      val base = (HostRankScale * 15L) / (100L * n)
+      var ranks = nodes.withColumn("rank", lit(HostRankScale / n))
+      for (_ <- 1 to HostRankIters) {
+        val contrib = edges
+          .join(deg, "src")
+          .join(ranks.withColumnRenamed("host", "src"), "src")
+          .select(col("dst").as("host"),
+            expr("(rank * 85) div (outdeg * 100)").as("c"))
+          .groupBy(col("host")).agg(sum(col("c")).as("contrib"))
+        ranks = nodes.join(contrib, Seq("host"), "left")
+          .select(col("host"),
+            (lit(base) + coalesce(col("contrib"), lit(0L))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("host"), col("rank").as("rank_scaled"))
+    }
+  }
+
   /** Crawl-to-crawl corpus diff — "what changed since yesterday", the
     * question every incremental curation run answers first. Two crawls
     * are derived deterministically from the documents table (the
@@ -3184,6 +3268,41 @@ object DataOps {
                count(DISTINCT url_canon)::BIGINT AS n_pages,
                round(avg(n_chars), 2) AS avg_chars
         FROM h GROUP BY 1""",
+      // host-graph PageRank: the same fixed iterations the Spark loop
+      // runs, unrolled as chained CTEs (rK from rK-1); pure BIGINT mass
+      // so both engines agree bit-for-bit.
+      "host_rank" -> {
+        val seed = s"($HostRankScale // (SELECT count(*) FROM nodes))"
+        val reseed =
+          s"(($HostRankScale * 15) // (100 * (SELECT count(*) FROM nodes)))"
+        val iters = (1 to HostRankIters).map { k =>
+          s"""r$k AS (
+             SELECT n.host, ($reseed + coalesce(c.contrib, 0))::BIGINT AS rank
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS host,
+                      sum((r.rank * 85) // (d.outdeg * 100))::BIGINT AS contrib
+               FROM r${k - 1} r JOIN deg d ON d.src = r.host
+               JOIN edges e ON e.src = r.host
+               GROUP BY 1) c ON c.host = n.host)"""
+        }.mkString(",\n")
+        s"""
+        WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
+        c AS (SELECT doc_id, $urlCanonSql AS url_canon FROM u),
+        hx AS (SELECT doc_id,
+                 regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
+               FROM c),
+        hmap AS (SELECT DISTINCT (doc_id % 20) AS sidx, host FROM hx),
+        nodes AS (SELECT DISTINCT host FROM hmap),
+        edges AS (SELECT DISTINCT a.host AS src, t.host AS dst
+                  FROM hx a JOIN hmap t
+                    ON t.sidx = ((a.doc_id % 20) * 3 + 1
+                      + ((a.doc_id // 20) % (1 + ((a.doc_id % 20) % 5)))) % 20
+                  WHERE a.host != t.host),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+        r0 AS (SELECT host, ($seed)::BIGINT AS rank FROM nodes),
+        $iters
+        SELECT host, rank AS rank_scaled FROM r$HostRankIters"""
+      },
       "dedup_embedding" -> s"""
         WITH n AS (SELECT vec_id, embedding,
                      sqrt(${dot("embedding", "embedding")}) AS nrm
