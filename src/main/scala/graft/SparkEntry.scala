@@ -89,6 +89,7 @@ object SparkEntry {
     "host_cap" -> (DataOps.hostCap _),
     "mixture_select" -> (DataOps.mixtureSelect _),
     "dsir_counts" -> (DataOps.dsirCounts _),
+    "sb_ngram_counts" -> (DataOps.sbNgramCounts _),
     "corpus_diff" -> (DataOps.corpusDiff _),
     "corpus_overlap" -> (DataOps.corpusOverlap _),
     "classifier_infer" -> (DataOps.classifierInfer _),
