@@ -1887,9 +1887,12 @@ object DataOps {
 
   /** The operator on an explicit (vec_id, embedding) frame — the
     * pairing-algebra spec drives this with adversarial id shapes (sparse
-    * ids, all ids in one block, singletons).
+    * ids, all ids in one block, singletons), and the SemDeDup
+    * operating-point spec raises `threshold` to the ≥0.9 production
+    * regime over planted near-dups.
     */
-  private[graft] def dedupEmbeddingOn(e0: DataFrame): DataFrame = {
+  private[graft] def dedupEmbeddingOn(e0: DataFrame,
+                                      threshold: Double = 0.4): DataFrame = {
     val b = PairBlocks
     val e = e0.select(col("vec_id"), col("embedding"),
       sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"),
@@ -1909,7 +1912,7 @@ object DataOps {
         greatest(col("a.vec_id"), col("b.vec_id")).as("drop_id"),
         (VectorOps.dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
-      .filter(col("cos_raw") >= 0.4)
+      .filter(col("cos_raw") >= threshold)
       .select(col("keep_id"), col("drop_id"), round(col("cos_raw"), 4).as("cos"))
   }
 
@@ -1942,11 +1945,21 @@ object DataOps {
     * replication bound, strictly smaller cells.
     */
   def dedupSemantic(spark: SparkSession, dir: String, k: Int = 8,
-                    iters: Int = 3): DataFrame = {
-    val assigned = kmeansLloyd(spark, dir, k, iters)
+                    iters: Int = 3): DataFrame =
+    dedupSemanticOn(emb(spark, dir), k, iters, threshold = 0.4)
+
+  /** The operator on an explicit (vec_id, embedding) frame at an explicit
+    * cosine threshold — the operating-point spec drives this at ≥0.9
+    * (where production SemDeDup actually runs; see the scaladoc above)
+    * over a corpus with planted near-dups, since this corpus's natural
+    * pairs top out at cos ≈ 0.51.
+    */
+  private[graft] def dedupSemanticOn(e0: DataFrame, k: Int, iters: Int,
+                                     threshold: Double): DataFrame = {
+    val assigned = kmeansLloydOn(e0, k, iters)._1
       .select(col("vec_id"), col("cluster"))
     val b = PairBlocks
-    val e = emb(spark, dir).join(assigned, Seq("vec_id"))
+    val e = e0.join(assigned, Seq("vec_id"))
       .select(col("cluster"), col("vec_id"), col("embedding"),
         sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"),
         pmod(col("vec_id"), lit(b)).cast("int").as("blk"))
@@ -1964,7 +1977,7 @@ object DataOps {
         greatest(col("a.vec_id"), col("b.vec_id")).as("drop_id"),
         (VectorOps.dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
-      .filter(col("cos_raw") >= 0.4)
+      .filter(col("cos_raw") >= threshold)
       .select(col("cluster"), col("keep_id"), col("drop_id"),
         round(col("cos_raw"), 4).as("cos"))
   }
@@ -2071,9 +2084,14 @@ object DataOps {
     * ones silently costs recall at moving cluster boundaries.
     */
   private[graft] def kmeansLloydWith(spark: SparkSession, dir: String,
-                                     k: Int, iters: Int): (DataFrame, DataFrame) = {
+                                     k: Int, iters: Int): (DataFrame, DataFrame) =
+    kmeansLloydOn(emb(spark, dir), k, iters)
+
+  /** [[kmeansLloydWith]] on an explicit (vec_id, embedding) frame. */
+  private[graft] def kmeansLloydOn(e0: DataFrame,
+                                   k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"kmeansLloyd needs at least one iteration, got $iters")
-    val e = emb(spark, dir).select(col("vec_id"),
+    val e = e0.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("emb"))
     val w = Window.orderBy(col("vec_id"))
     // k rows total — the unpartitioned window ranks a LIMIT k frame, not

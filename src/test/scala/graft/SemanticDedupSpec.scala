@@ -50,6 +50,39 @@ class SemanticDedupSpec extends SparkSpec {
       pairs(DataOps.dedupSemantic(spark, dir))
   }
 
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"production operating point (threshold >= 0.9): recall is tight ($dir)") {
+      // This corpus's natural pairs top out at cos ~0.51, so the >= 0.9
+      // regime — where SemDeDup is actually deployed, and where the
+      // method's premise (near-dups co-cluster) holds hardest — is
+      // exercised with PLANTED near-dups: a scaled clone (colinear, cos
+      // = 1 up to float noise) of every 97th vector. Recall at this
+      // threshold must be essentially perfect, unlike the honest
+      // 0.3-0.46 measured at the 0.4 threshold.
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 97 === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 1.01f AS float))")
+            .as("embedding"))
+      val nPlanted = planted.count()
+      nPlanted should be > 0L
+      val aug = e.unionByName(planted)
+      val exact = pairs(DataOps.dedupEmbeddingOn(aug, threshold = 0.9))
+      val sem = pairs(DataOps.dedupSemanticOn(aug, k = 8, iters = 3,
+        threshold = 0.9))
+      // subset with identical rounded cos, as at every threshold
+      assert(sem.subsetOf(exact),
+        s"extras: ${sem.diff(exact).take(3)}")
+      // every planted clone pair qualifies in the exact reference
+      exact.size.toLong should be >= nPlanted
+      val recall = sem.size.toDouble / exact.size
+      withClue(s"recall@0.9 $recall (${sem.size}/${exact.size}): ") {
+        recall should be >= 0.9
+      }
+    }
+  }
+
   test("coarser clustering recovers recall; the closest pair co-clusters") {
     val dir = "/root/testdata/sf0.01"
     val exact = pairs(DataOps.dedupEmbedding(spark, dir))
