@@ -58,18 +58,23 @@ case class BloomAnyContains(child: Expression, bloom: BloomFilter,
   @transient private lazy val confirmSalt: UTF8String =
     UTF8String.fromString(confirm.map(_._2).getOrElse(""))
 
+  // A null ELEMENT is skipped (treated as a non-member): the input type
+  // admits containsNull arrays, and a filter can never contain null —
+  // probing it would NPE the task. Mirrored in codegen below.
   override protected def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var i = 0
     var found = false
     while (i < n && !found) {
-      val u = arr.getUTF8String(i)
-      found = bloom.mightContainBinary(u.getBytes) && (confirm match {
-        case Some((bf2, _)) =>
-          bf2.mightContainBinary(UTF8String.concat(confirmSalt, u).getBytes)
-        case None => true
-      })
+      if (!arr.isNullAt(i)) {
+        val u = arr.getUTF8String(i)
+        found = bloom.mightContainBinary(u.getBytes) && (confirm match {
+          case Some((bf2, _)) =>
+            bf2.mightContainBinary(UTF8String.concat(confirmSalt, u).getBytes)
+          case None => true
+        })
+      }
       i += 1
     }
     found
@@ -102,9 +107,11 @@ case class BloomAnyContains(child: Expression, bloom: BloomFilter,
          |int $n = $arr.numElements();
          |boolean $found = false;
          |for (int $i = 0; $i < $n && !$found; $i++) {
-         |  $u8 $u = $arr.getUTF8String($i);
-         |  $found = $bf.mightContainBinary($u.getBytes());
-         |  ${confirmCheck(u, found)}
+         |  if (!$arr.isNullAt($i)) {
+         |    $u8 $u = $arr.getUTF8String($i);
+         |    $found = $bf.mightContainBinary($u.getBytes());
+         |    ${confirmCheck(u, found)}
+         |  }
          |}
          |${ev.value} = $found;
        """.stripMargin

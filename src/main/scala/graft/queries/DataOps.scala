@@ -307,12 +307,23 @@ object DataOps {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val batch = d.filter(pmod(col("doc_id"), lit(2)) === 0)
-    // Freshness: the cache key carries the source file's (mtime, length),
-    // so a process that rewrites the data at `dir` gets a fresh fixture —
-    // the invariant the per-call rebuild used to provide, at the cost of
-    // one fs stat instead of a full re-index.
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = s"$dir@${src.lastModified}:${src.length}"
+    // Freshness: the cache key folds the (name, mtime, length) of every
+    // file under the source path, so a process that rewrites the data at
+    // `dir` gets a fresh fixture — the invariant the per-call rebuild
+    // used to provide, at the cost of one fs listing. Stat'd through the
+    // Hadoop FileSystem (r8 ADVICE): java.io.File silently returns 0 for
+    // non-local URIs (hdfs://, file:) and tracks only directory metadata
+    // for a parquet DIRECTORY, so a rewritten corpus could reuse a stale
+    // index; the Hadoop listing sees the part files on any scheme.
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(srcPath)
+    val parts =
+      if (st.isDirectory) fs.listStatus(srcPath).sortBy(_.getPath.getName)
+      else Array(st)
+    val key = s"$dir@" + parts
+      .map(s => s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+      .mkString(",")
     val path = incrFixtures.computeIfAbsent(key, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx-")
       // deleteOnExit cannot remove a non-empty tree — recursive delete
@@ -856,7 +867,10 @@ object DataOps {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab)
     words.select(col("word")).as[String]
-      .mapPartitions { it => val v = bc.value
+      .mapPartitions { it =>
+        // compiled once per task: deriving maxLen per word would rescan
+        // the vocab |types| times (r8 ADVICE)
+        val v = graft.text.Bpe.compile(bc.value)
         it.map(w => (w, graft.text.Bpe.encodeCount(w, v))) }
       .toDF("word", "bpe_n")
   }
@@ -919,7 +933,7 @@ object DataOps {
     val bcRank = spark.sparkContext.broadcast(rankOf)
     val encIds = wordCounts(spark, dir).select(col("word")).as[String]
       .mapPartitions { it =>
-        val v = bcVocab.value; val r = bcRank.value
+        val v = graft.text.Bpe.compile(bcVocab.value); val r = bcRank.value
         it.map { w =>
           val ids = graft.text.Bpe.encode(w, v).map { s =>
             r.getOrElse(s, nM + s.charAt(0).toInt)

@@ -64,6 +64,24 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
   private def conf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = base.getFileSystem(conf)
   private def genPointer = new Path(base, "_GEN")
+  private def compactLock = new Path(base, "_COMPACTING")
+
+  /** (relative path, length) of every data file in generation `g` — the
+    * mid-rewrite tamper check [[compact]] runs before its pointer swap.
+    */
+  private def listingSnapshot(g: Long): Set[(String, Long)] = {
+    def files(p: Path): Iterator[(String, Long)] =
+      if (!fs.exists(p)) Iterator.empty
+      else {
+        val it = fs.listFiles(p, true)
+        Iterator.continually(it).takeWhile(_.hasNext).map { i =>
+          val s = i.next()
+          (s.getPath.toString.stripPrefix(fs.makeQualified(base).toString),
+            s.getLen)
+        }
+      }
+    (files(bandsPathAt(g)) ++ files(shinglesPathAt(g))).toSet
+  }
 
   /** Current generation — one pointer read; 0 (the base-dir layout) when
     * the pointer has never been written.
@@ -155,6 +173,15 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     * must not pay the minhash lineage twice.
     */
   private[graft] def append(batchSh: DataFrame, batchBands: DataFrame): Unit = {
+    // Mechanical writer exclusion (r8 ADVICE — the window used to be
+    // convention-only): an append racing a compaction would land in the
+    // OLD generation and silently vanish at the pointer swap. The lock
+    // check fails the append loudly instead; an append that slips past
+    // (check-then-write is not atomic) is caught by compact()'s pre-swap
+    // listing check, which aborts the COMPACTION and keeps the append.
+    require(!fs.exists(compactLock),
+      s"SignatureIndex at $basePath is compacting — appends are excluded " +
+        s"during the maintenance window (lock: $compactLock)")
     val bb0 = batchBands.select(col("doc_id"), col("b"), col("h"))
     // Replay guard (idempotent re-append) at ROW granularity, per table:
     // an at-least-once caller (streaming foreachBatch) re-delivering a
@@ -232,22 +259,55 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     * swap leaves the live pointer untouched (the partial next-gen dir is
     * deleted and rewritten by the next attempt); a crash after the swap
     * loses only the cleanup, which the next compaction re-runs.
-    * APPENDS remain excluded during compaction (they would land in the
-    * old generation and vanish at the swap) — the maintenance window now
-    * applies to writers only.
+    * APPENDS are excluded during compaction (they would land in the old
+    * generation and vanish at the swap), and the exclusion is MECHANICAL
+    * (r8 ADVICE): an atomic `_COMPACTING` lock fails concurrent appends
+    * loudly, and before the swap the old generation's file listing is
+    * compared against the pre-rewrite snapshot — if an append slipped
+    * through the lock race anyway, the COMPACTION aborts (next-gen dir
+    * deleted, pointer untouched, exception raised) and the appended rows
+    * survive in the live generation. Either way, nothing is ever
+    * silently lost.
     */
   def compact(): Unit = {
     val g = currentGen
     if (!fs.exists(bandsPathAt(g)) && !fs.exists(shinglesPathAt(g))) return
-    val next = g + 1
-    // debris from a compaction that crashed before its pointer swap
-    if (fs.exists(genRoot(next))) fs.delete(genRoot(next), true)
-    if (fs.exists(bandsPathAt(g)))
-      bands.repartition(col("pb"))
-        .write.partitionBy("pb").parquet(bandsPathAt(next).toString)
-    if (fs.exists(shinglesPathAt(g)))
-      shingles.repartition(4).write.parquet(shinglesPathAt(next).toString)
-    publishGen(next)
+    // atomic lock: overwrite=false fails if another compaction holds it
+    val lockOut =
+      try fs.create(compactLock, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another compaction appears to be in progress (lock: $compactLock)", e)
+      }
+    lockOut.close()
+    try {
+      val before = listingSnapshot(g)
+      val next = g + 1
+      // debris from a compaction that crashed before its pointer swap
+      if (fs.exists(genRoot(next))) fs.delete(genRoot(next), true)
+      if (fs.exists(bandsPathAt(g)))
+        bands.repartition(col("pb"))
+          .write.partitionBy("pb").parquet(bandsPathAt(next).toString)
+      if (fs.exists(shinglesPathAt(g)))
+        shingles.repartition(4).write.parquet(shinglesPathAt(next).toString)
+      // pre-swap tamper check: an append that raced past the lock landed
+      // in generation g — abort so it survives there, rather than
+      // publishing a rewrite that silently drops it
+      val after = listingSnapshot(g)
+      if (after != before) {
+        fs.delete(genRoot(next), true)
+        throw new IllegalStateException(
+          s"SignatureIndex at $basePath changed during compaction " +
+            s"(${after.diff(before).size} file(s) appeared) — compaction " +
+            "aborted; the concurrent append's rows are intact in the live " +
+            "generation")
+      }
+      publishGen(next)
+      compactCleanup(g)
+    } finally { fs.delete(compactLock, false); () }
+  }
+
+  private def compactCleanup(g: Long): Unit = {
     // Retain generation g for in-flight readers; drop anything older.
     // Gen 0's tables live in the base dir itself, so dropping gen 0
     // means dropping its two table dirs — NEVER the base dir.

@@ -115,21 +115,40 @@ object Bpe {
     */
   def vocabOf(merges: Seq[Merge]): Set[String] = merges.map(_.merged).toSet
 
+  /** Vocabulary with its longest-token length precomputed — [[encode]]
+    * derives per-position candidate lengths from `maxLen`, and deriving
+    * it per CALL is an O(|vocab|) scan that the per-word-type encode loop
+    * would repeat |types| times (r8 ADVICE: harmless at the 64-merge cap,
+    * quadratic-ish if the cap is ever raised). Compile once per task,
+    * encode many.
+    */
+  final case class CompiledVocab(tokens: Set[String], maxLen: Int)
+
+  def compile(vocab: Set[String]): CompiledVocab =
+    CompiledVocab(vocab,
+      if (vocab.isEmpty) 1 else math.max(1, vocab.iterator.map(_.length).max))
+
   /** Greedy longest-match encode: at each position take the longest
     * prefix present in `vocab`, falling back to the single character —
     * every word encodes, unseen characters included. Concatenating the
     * result always rebuilds the word exactly (BpeSpec pins it).
     */
-  def encode(word: String, vocab: Set[String]): Seq[String] = {
+  def encode(word: String, vocab: Set[String]): Seq[String] =
+    encode(word, compile(vocab))
+
+  /** [[encode]] against a precompiled vocabulary — the form the
+    * distributed per-word-type loops use so the vocab scan happens once
+    * per task, not once per word.
+    */
+  def encode(word: String, vocab: CompiledVocab): Seq[String] = {
     if (word.isEmpty) return Nil
-    val maxLen = if (vocab.isEmpty) 1 else math.max(1, vocab.iterator.map(_.length).max)
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < word.length) {
       var take = 1
-      var len = math.min(maxLen, word.length - i)
+      var len = math.min(vocab.maxLen, word.length - i)
       while (len > 1 && take == 1) {
-        if (vocab.contains(word.substring(i, i + len))) take = len
+        if (vocab.tokens.contains(word.substring(i, i + len))) take = len
         len -= 1
       }
       out += word.substring(i, i + take)
@@ -140,5 +159,9 @@ object Bpe {
 
   /** Token count of [[encode]] without materializing the segments. */
   def encodeCount(word: String, vocab: Set[String]): Int =
+    encode(word, vocab).length
+
+  /** Token count against a precompiled vocabulary. */
+  def encodeCount(word: String, vocab: CompiledVocab): Int =
     encode(word, vocab).length
 }

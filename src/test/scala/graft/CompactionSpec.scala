@@ -103,4 +103,31 @@ class CompactionSpec extends SparkSpec {
     assert(new java.io.File(base, "gen1").exists())
     assert(new java.io.File(base, "gen2").exists())
   }
+
+  test("writer exclusion is mechanical: appends fail while the lock is held; lock always released") {
+    import spark.implicits._
+    val base = tmpDir("compaction-lock")
+    val idx = new SignatureIndex(spark, base)
+    idx.append(DataOps.shingledOn(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")))
+    // simulate an in-flight compaction holding the lock
+    val lock = new java.io.File(base, "_COMPACTING")
+    lock.createNewFile() shouldBe true
+    val ex = intercept[IllegalArgumentException] {
+      idx.append(DataOps.shingledOn(
+        Seq((2L, "epsilon zeta eta theta")).toDF("doc_id", "text")))
+    }
+    ex.getMessage should include("compacting")
+    // a second compaction cannot start either
+    val ex2 = intercept[IllegalStateException] { idx.compact() }
+    ex2.getMessage should include("in progress")
+    lock.delete() shouldBe true
+    // with the lock gone both operations proceed, and compact() releases
+    // its own lock on the way out
+    idx.append(DataOps.shingledOn(
+      Seq((2L, "epsilon zeta eta theta")).toDF("doc_id", "text")))
+    idx.compact()
+    assert(!lock.exists(), "compact() must release its lock")
+    idx.bands.select("doc_id").distinct().count() shouldBe 2L
+  }
 }

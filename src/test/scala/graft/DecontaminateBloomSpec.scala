@@ -75,6 +75,23 @@ class DecontaminateBloomSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("null array ELEMENTS are skipped, eval and codegen alike (r8 ADVICE)") {
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 1e-9)
+    bf.putBinary("alpha".getBytes("UTF-8"))
+    // containsNull arrays are legal input: a null element can never be a
+    // member (the filter holds bytes), so it must be skipped — the
+    // unguarded probe NPE'd the task
+    val df = Seq(
+      Seq[Option[String]](None, Some("alpha")), // null then hit
+      Seq[Option[String]](None),                // only null -> false
+      Seq[Option[String]](Some("zeta"), None)   // miss then null -> false
+    ).toDF("sh")
+    val got = df.select(graft.funcs.BloomAnyContains(col("sh"), bf).as("c"))
+      .collect().map(_.getBoolean(0)).toSeq
+    got shouldBe Seq(true, false, false)
+  }
+
   test("confirm filter: an element counts only when BOTH filters agree") {
     import spark.implicits._
     val bf1 = org.apache.spark.util.sketch.BloomFilter.create(100, 1e-9)
