@@ -38,7 +38,8 @@ class PlanBudgetSpec extends SparkSpec {
     "mixture_select" -> 2,     // histogram + bounded layer window
     "table_profile" -> 2,      // one expand pass + the one-row stack
     "chunk_cdc" -> 1,          // per-doc boundary window + reassembly
-    "cluster_sizes" -> 2)      // clusters → size classes
+    "cluster_sizes" -> 2,      // clusters → size classes
+    "sb_ngram_counts" -> 3)    // one partial-aggregable groupBy per order
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
