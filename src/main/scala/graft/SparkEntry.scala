@@ -84,6 +84,7 @@ object SparkEntry {
     "url_canonical" -> (DataOps.urlCanonical _),
     "domain_stats" -> (DataOps.domainStats _),
     "host_rank" -> (DataOps.hostRank _),
+    "host_cap_ranked" -> (DataOps.hostCapRanked _),
     "dedup_url" -> (DataOps.dedupUrl _),
     "clean_corpus" -> (DataOps.cleanCorpus _),
     "host_cap" -> (DataOps.hostCap _),

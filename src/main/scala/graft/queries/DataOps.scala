@@ -1668,6 +1668,50 @@ object DataOps {
     }
   }
 
+  private val HostCapTrustedK = 5
+  private val HostCapBaseK = 2
+
+  /** [[hostRank]] ∘ [[hostCap]] — the quality × trust quota as a graded
+    * operator: every host keeps its best-quality documents
+    * ([[docQualityOn]] score, doc_id tie-break), but the per-host K is
+    * sized by TRUST — hosts whose PageRank mass exceeds the uniform
+    * share (`scale div n_hosts`, an integer comparison on the BIGINT
+    * ranks, so the tier can never float-flip) keep [[HostCapTrustedK]]
+    * documents, the rest [[HostCapBaseK]]. This is the composition the
+    * two signals exist for: a reputable domain contributes more of the
+    * corpus than an equal-quality content farm.
+    *
+    * Scale shape: [[hostRank]]'s iterations run over the HOST table
+    * (never corpus-sized); the per-doc side is one quality join plus a
+    * broadcast of the (host, rank) table, and the per-host top-K runs
+    * salted two-phase exactly as [[hostCap]] (the local cut uses the
+    * LARGER quota so it stays lossless for both tiers).
+    */
+  def hostCapRanked(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = hostRank(spark, dir) // (host, rank_scaled) — checkpointed
+    val thr = ranks.agg(expr(s"$HostRankScale div count(1)").as("thr"))
+    val hx = docs(spark, dir).select(col("doc_id"),
+      UrlOps.host(UrlOps.canonicalize(synthUrl(col("doc_id"), col("source"))))
+        .as("host"))
+    val q = docQualityOn(toks(spark, dir)).select(col("doc_id"), col("score_milli"))
+    val scored = hx.join(q, "doc_id")
+      .join(broadcast(ranks), "host")
+      .crossJoin(broadcast(thr)) // one-row broadcast
+      .withColumn("kq",
+        when(col("rank_scaled") >= col("thr"), lit(HostCapTrustedK))
+          .otherwise(lit(HostCapBaseK)))
+    val local = Window.partitionBy(col("host"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    val survivors = scored.withColumn("crn", row_number().over(local))
+      .filter(col("crn") <= HostCapTrustedK).drop("crn")
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("kq"))
+      .select(col("host"), col("doc_id"), col("score_milli"),
+        col("rank_scaled"), col("rn"))
+  }
+
   /** Crawl-to-crawl corpus diff — "what changed since yesterday", the
     * question every incremental curation run answers first. Two crawls
     * are derived deterministically from the documents table (the
@@ -3142,6 +3186,41 @@ object DataOps {
       s"CASE WHEN regexp_matches(url_raw, '^[a-zA-Z]+://') THEN $chain ELSE url_raw END"
     }
 
+    // [[hostRank]]'s full CTE chain (graph synthesis + unrolled integer
+    // PageRank iterations), ending at r<iters> — shared verbatim by the
+    // host_rank oracle and the host_cap_ranked composition.
+    val hostRankCtes = {
+      val seed = s"($HostRankScale // (SELECT count(*) FROM nodes))"
+      val reseed =
+        s"(($HostRankScale * 15) // (100 * (SELECT count(*) FROM nodes)))"
+      val iters = (1 to HostRankIters).map { k =>
+        s"""r$k AS (
+           SELECT n.host, ($reseed + coalesce(c.contrib, 0))::BIGINT AS rank
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS host,
+                    sum((r.rank * 85) // (d.outdeg * 100))::BIGINT AS contrib
+             FROM r${k - 1} r JOIN deg d ON d.src = r.host
+             JOIN edges e ON e.src = r.host
+             GROUP BY 1) c ON c.host = n.host)"""
+      }.mkString(",\n")
+      s"""
+        WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
+        c AS (SELECT doc_id, $urlCanonSql AS url_canon FROM u),
+        hx AS (SELECT doc_id,
+                 regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
+               FROM c),
+        hmap AS (SELECT DISTINCT (doc_id % 20) AS sidx, host FROM hx),
+        nodes AS (SELECT DISTINCT host FROM hmap),
+        edges AS (SELECT DISTINCT a.host AS src, t.host AS dst
+                  FROM hx a JOIN hmap t
+                    ON t.sidx = ((a.doc_id % 20) * 3 + 1
+                      + ((a.doc_id // 20) % (1 + ((a.doc_id % 20) % 5)))) % 20
+                  WHERE a.host != t.host),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+        r0 AS (SELECT host, ($seed)::BIGINT AS rank FROM nodes),
+        $iters"""
+    }
+
     val base = Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
@@ -3426,39 +3505,11 @@ object DataOps {
         GROUP BY 2""").mkString(" UNION ALL "),
       // host-graph PageRank: the same fixed iterations the Spark loop
       // runs, unrolled as chained CTEs (rK from rK-1); pure BIGINT mass
-      // so both engines agree bit-for-bit.
-      "host_rank" -> {
-        val seed = s"($HostRankScale // (SELECT count(*) FROM nodes))"
-        val reseed =
-          s"(($HostRankScale * 15) // (100 * (SELECT count(*) FROM nodes)))"
-        val iters = (1 to HostRankIters).map { k =>
-          s"""r$k AS (
-             SELECT n.host, ($reseed + coalesce(c.contrib, 0))::BIGINT AS rank
-             FROM nodes n LEFT JOIN (
-               SELECT e.dst AS host,
-                      sum((r.rank * 85) // (d.outdeg * 100))::BIGINT AS contrib
-               FROM r${k - 1} r JOIN deg d ON d.src = r.host
-               JOIN edges e ON e.src = r.host
-               GROUP BY 1) c ON c.host = n.host)"""
-        }.mkString(",\n")
-        s"""
-        WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
-        c AS (SELECT doc_id, $urlCanonSql AS url_canon FROM u),
-        hx AS (SELECT doc_id,
-                 regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
-               FROM c),
-        hmap AS (SELECT DISTINCT (doc_id % 20) AS sidx, host FROM hx),
-        nodes AS (SELECT DISTINCT host FROM hmap),
-        edges AS (SELECT DISTINCT a.host AS src, t.host AS dst
-                  FROM hx a JOIN hmap t
-                    ON t.sidx = ((a.doc_id % 20) * 3 + 1
-                      + ((a.doc_id // 20) % (1 + ((a.doc_id % 20) % 5)))) % 20
-                  WHERE a.host != t.host),
-        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
-        r0 AS (SELECT host, ($seed)::BIGINT AS rank FROM nodes),
-        $iters
-        SELECT host, rank AS rank_scaled FROM r$HostRankIters"""
-      },
+      // so both engines agree bit-for-bit. The CTE chain is shared with
+      // host_cap_ranked (defined after `base`).
+      "host_rank" ->
+        s"""$hostRankCtes
+        SELECT host, rank AS rank_scaled FROM r$HostRankIters""",
       "dedup_embedding" -> s"""
         WITH n AS (SELECT vec_id, embedding,
                      sqrt(${dot("embedding", "embedding")}) AS nrm
@@ -3586,6 +3637,21 @@ object DataOps {
         FROM (${ngramSql("0.8")}) exq
         LEFT JOIN (${base("dedup_simhash")}) simq
           ON simq.doc_a = exq.doc_a AND simq.doc_b = exq.doc_b""",
+      // quality × trust quota: the hostRank CTE chain + doc_quality
+      // nested verbatim; the trust tier is an integer comparison on the
+      // BIGINT ranks (>= uniform share), so it can never float-flip.
+      "host_cap_ranked" -> s"""$hostRankCtes,
+        rk AS (SELECT host, rank AS rank_scaled FROM r$HostRankIters),
+        thr AS (SELECT ($HostRankScale // count(*))::BIGINT AS thr FROM rk),
+        q AS (${base("doc_quality")}),
+        j AS (SELECT hx.host, hx.doc_id, q.score_milli, rk.rank_scaled,
+                CASE WHEN rk.rank_scaled >= thr.thr
+                     THEN $HostCapTrustedK ELSE $HostCapBaseK END AS kq
+              FROM hx JOIN q USING (doc_id) JOIN rk USING (host), thr),
+        w AS (SELECT *, row_number() OVER (PARTITION BY host
+                ORDER BY score_milli DESC, doc_id) AS rn FROM j)
+        SELECT host, doc_id, score_milli, rank_scaled, rn
+        FROM w WHERE rn <= kq""",
       // quality-aware representative: both components' SQL nested verbatim
       "cluster_keep_best" -> s"""
         WITH cl AS ($clusterSql), q AS (${base("doc_quality")})

@@ -45,6 +45,27 @@ class HostRankSpec extends SparkSpec {
     got.values.toSet.size should be > 1
   }
 
+  test("host_cap_ranked: quota follows the trust tier exactly") {
+    val ranks = DataOps.hostRank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = 1000000000000L / ranks.size
+    val out = DataOps.hostCapRanked(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    val byHost = out.groupBy(_._1)
+    byHost.keySet shouldBe ranks.keySet // every host keeps something
+    byHost.foreach { case (h, rows) =>
+      val quota = if (ranks(h) >= thr) 5 else 2
+      withClue(s"host $h (rank ${ranks(h)}, thr $thr): ") {
+        // every host has >= 25 docs at this SF, so the quota binds exactly
+        rows.length shouldBe quota
+        rows.map(_._4).sorted shouldBe (1 to quota)
+        rows.foreach(_._3 shouldBe ranks(h))
+      }
+    }
+    // both tiers are exercised — the composition actually differentiates
+    byHost.values.map(_.length).toSet shouldBe Set(2, 5)
+  }
+
   test("host_rank is deterministic across runs") {
     val a = DataOps.hostRank(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
