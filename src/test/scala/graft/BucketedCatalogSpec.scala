@@ -88,6 +88,28 @@ class BucketedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("bucket pruning: a point lookup scans one bucket of eight") {
+    // The read-side dividend of the layout: an equality predicate on the
+    // bucket key prunes the scan to the single bucket that can hold the
+    // key — at 100 TB a point lookup touches 1/n of the files before any
+    // row-group logic runs.
+    val (docsTable, _) = tables
+    // the planner's autoBucketedScan turns the bucketed read OFF for
+    // filter-only queries (no operator needs the distribution) and with
+    // it the pruning — the knob a deployment flips for point-lookup
+    // workloads on bucketed tables
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = spark.table(docsTable).filter(col("doc_id") === 42L)
+        .queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should include("SelectedBucketsCount: 1 out of 8")
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("baseline: the same join on plain parquet shuffles both sides") {
     noBroadcast {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
