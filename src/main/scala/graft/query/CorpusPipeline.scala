@@ -123,4 +123,17 @@ object CorpusPipeline {
       .toDF("n_in", "n_gated_out", "n_dup_dropped", "n_kept")
     DailyRun(kept, pairs, report)
   }
+
+  /** Publish a run's kept corpus as a doc_id-bucketed CATALOG table
+    * ([[graft.sink.BucketedCorpus]]) — the serving step that makes every
+    * downstream join-back (enrichment, scoring, decontamination flags)
+    * one-sided: the published corpus never shuffles again; only each
+    * consumer's derived frame moves. The publish pays one hash
+    * partitioning — the same work a single unbucketed join would have
+    * paid, amortized over every read (the BucketedCorpus maintenance
+    * argument, applied at the point the pipeline actually produces a
+    * reread-many table).
+    */
+  def publish(run: DailyRun, table: String, path: String): Unit =
+    graft.sink.BucketedCorpus.writeTable(run.kept, table, path, "doc_id")
 }

@@ -63,6 +63,39 @@ class CorpusPipelineSpec extends SparkSpec {
     r1.kept.filter(col("doc_id") === 11L).select("text").as[String].head() shouldBe clean2
   }
 
+  test("publish: the kept corpus lands bucketed; a join-back shuffles only the derived side") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.allowNonEmptyLocationInCTAS", "true")
+    val idx = new SignatureIndex(spark, tmpDir("cp-pub-idx"))
+    val day = Seq((10L, clean1), (11L, clean2), (12L, clean3))
+      .toDF("doc_id", "text")
+    val run = CorpusPipeline.runDaily(idx, day)
+    val path = tmpDir("cp-pub-tbl")
+    CorpusPipeline.publish(run, "graft_cp_published", s"$path/corpus")
+    // round trip: the catalog table holds exactly the kept rows
+    val table = spark.table("graft_cp_published")
+    table.exceptAll(run.kept).count() shouldBe 0L
+    run.kept.exceptAll(table).count() shouldBe 0L
+    // a downstream consumer's derived join-back (per-doc scores, forced
+    // through an aggregation) moves only the derived frame: one Exchange
+    // for its groupBy + one to meet the table's bucketing — the corpus
+    // scan itself feeds the join Exchange-free
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val derived = run.kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+      val joined = graft.sink.BucketedCorpus.joinBack(spark, "graft_cp_published", derived)
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      withClue(plan) {
+        exchanges shouldBe 2
+        plan should include("Bucketed: true")
+      }
+      joined.count() shouldBe run.kept.count()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("a near-dup chain is ONE component with one keeper (the dedup_cluster policy)") {
     import spark.implicits._
     // 40-token base; B differs from A in token 5, C differs from B in
