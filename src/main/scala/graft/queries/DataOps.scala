@@ -1389,7 +1389,19 @@ object DataOps {
   def sbScore(spark: SparkSession, dir: String): DataFrame = {
     val counts = sbNgramCounts(spark, dir)
     counts.cache()
-    try {
+    try sbScoreOn(spark, dir, counts).localCheckpoint(true)
+    finally { counts.unpersist(blocking = false); () }
+  }
+
+  /** Pre-checkpoint body of [[sbScore]] — exposed so PlanShapeSpec can
+    * pin the five BROADCAST lookups (the public operator's eager
+    * checkpoint collapses its visible plan): at 100 TB a planner that
+    * silently flipped a lookup to a sort-merge join would shuffle the
+    * per-position explode five times over.
+    */
+  private[graft] def sbScoreOn(spark: SparkSession, dir: String,
+                               counts: DataFrame): DataFrame = {
+    {
       val uni = counts.filter(col("n") === 1)
         .select(col("gram"), col("cnt"))
       val bi = counts.filter(col("n") === 2)
@@ -1441,8 +1453,7 @@ object DataOps {
         // SFs): the gate drops the most-surprising few percent — the
         // perplexity-filter semantics — rather than rubber-stamping all.
         .withColumn("selected", col("score_milli") >= -3000)
-        .localCheckpoint(true)
-    } finally { counts.unpersist(blocking = false); () }
+    }
   }
 
   /** The corpus DASHBOARD — the one-row report a data curator reads every

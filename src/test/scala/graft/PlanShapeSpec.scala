@@ -112,4 +112,21 @@ class PlanShapeSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
     plan should include("partial_count")
   }
+
+  test("sb_score: all five n-gram lookups broadcast — no sort-merge join anywhere") {
+    // The scale argument of the scorer (DataOps.sbScoreOn scaladoc): the
+    // n-gram tables are language-bounded, so every lookup against the
+    // per-position explode must be a broadcast hash join. A silent flip
+    // to SortMergeJoin would shuffle the exploded corpus five times.
+    val counts = DataOps.sbNgramCounts(spark, sf).cache()
+    try {
+      val df = DataOps.sbScoreOn(spark, sf, counts)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan.linesIterator.take(40).mkString("\n")) {
+        "BroadcastHashJoin".r.findAllIn(plan).length should be >= 5
+        plan should not include "SortMergeJoin"
+      }
+    } finally { counts.unpersist(blocking = false); () }
+  }
 }
