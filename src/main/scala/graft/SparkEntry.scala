@@ -91,6 +91,7 @@ object SparkEntry {
     "mixture_select" -> (DataOps.mixtureSelect _),
     "dsir_counts" -> (DataOps.dsirCounts _),
     "sb_ngram_counts" -> (DataOps.sbNgramCounts _),
+    "stats_merge" -> (DataOps.statsMerge _),
     "corpus_diff" -> (DataOps.corpusDiff _),
     "corpus_overlap" -> (DataOps.corpusOverlap _),
     "classifier_infer" -> (DataOps.classifierInfer _),

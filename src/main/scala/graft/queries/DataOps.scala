@@ -1456,6 +1456,63 @@ object DataOps {
     }
   }
 
+  private val StatsKmvK = 32
+
+  /** Per-partition mergeable corpus statistics — the metadata-store
+    * rollup a daily pipeline keeps so that month-level questions ("how
+    * many documents, characters, tokens; how many DISTINCT contents")
+    * are answered from a few stats rows per day instead of rescanning
+    * the data files. Every field is mergeable with NO approximation
+    * drift: counts and sums add, min/max fold, and the distinct-content
+    * sketch is KMV ([[graft.queries.RefOps.approxDistinctKmv]]'s
+    * family) kept as the [[StatsKmvK]] smallest md5 digests — the union
+    * of two partitions' k-smallest sets contains the union's k smallest,
+    * so merged(kmv) EQUALS direct(kmv) exactly, not approximately (the
+    * estimate derived from it is therefore also merge-invariant).
+    *
+    * The graded query computes the stats per doc_id-parity HALF, merges
+    * them, and must hash-match an oracle that aggregates the FULL corpus
+    * directly — the merge-equals-direct contract proven cross-engine.
+    * StatsStoreSpec adds associativity/commutativity (any merge order,
+    * any partition count). Scale shape: one partial-aggregable groupBy
+    * per partition (the stats), then merges touch only stats rows —
+    * bytes per (day, lang) at any corpus size.
+    */
+  def statsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val parts = statsPart(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      .unionByName(statsPart(d.filter(pmod(col("doc_id"), lit(2)) =!= 0)))
+    mergeStats(parts)
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("min_doc_id"), col("max_doc_id"),
+        array_join(col("kmv"), ",").as("kmv_sig"))
+  }
+
+  /** One partition's stats row set — (lang) grain here; a deployment
+    * adds day/source to the key.
+    */
+  private[graft] def statsPart(d: DataFrame): DataFrame =
+    d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(TextOps.tokens(col("text")))).cast("long").as("total_tokens"),
+      min(col("doc_id")).as("min_doc_id"),
+      max(col("doc_id")).as("max_doc_id"),
+      expr(s"slice(array_sort(collect_set(md5(text))), 1, $StatsKmvK)").as("kmv"))
+
+  /** Merge any number of [[statsPart]] frames (unioned) back to one stats
+    * row per key — the fold the stats store runs instead of rescanning.
+    */
+  private[graft] def mergeStats(parts: DataFrame): DataFrame =
+    parts.groupBy(col("lang")).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("total_chars")).as("total_chars"),
+      sum(col("total_tokens")).as("total_tokens"),
+      min(col("min_doc_id")).as("min_doc_id"),
+      max(col("max_doc_id")).as("max_doc_id"),
+      expr(s"slice(array_sort(array_distinct(flatten(collect_list(kmv)))), 1, $StatsKmvK)")
+        .as("kmv"))
+
   /** The corpus DASHBOARD — the one-row report a data curator reads every
     * morning: corpus size, language/source mix, quality and repetition
     * pass rates, exact-duplicate volume and near-dup pair count, each
@@ -3600,6 +3657,19 @@ object DataOps {
                count(DISTINCT url_canon)::BIGINT AS n_pages,
                round(avg(n_chars), 2) AS avg_chars
         FROM h GROUP BY 1""",
+      // Mergeable stats: the oracle aggregates the FULL corpus directly;
+      // the Spark side computes per-half stats and MERGES — hash equality
+      // proves merge == direct cross-engine (exact KMV union property).
+      "stats_merge" -> s"""
+        WITH s AS (SELECT lang, doc_id, n_chars,
+                     len(string_split(text, ' ')) AS n_tok, md5(text) AS h
+                   FROM documents)
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+               sum(n_tok)::BIGINT AS total_tokens,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+               array_to_string(list_slice(list_sort(list(DISTINCT h)), 1, $StatsKmvK), ',')
+                 AS kmv_sig
+        FROM s GROUP BY lang""",
       // Stupid-Backoff trained state: occurrence counts per n-gram order.
       // range(1, len-n+2) is empty when the doc is shorter than the
       // order — the same guard as the Spark CASE.
