@@ -76,5 +76,12 @@ object GraftExtensions {
       (FunctionIdentifier("first_groups"), info(classOf[FirstGroups], "first_groups"),
         { case args if args.size >= 2 =>
             FirstGroups(args.head, args.tail.map(strLit(_, "first_groups", "regex")))
-          case _ => arity("first_groups", "2+") }))
+          case _ => arity("first_groups", "2+") }),
+      // aggregate: injectFunction hands the ANALYZED child to the builder,
+      // and returning the AggregateFunction directly is how Spark's own
+      // FunctionRegistry registers declarative/imperative aggregates — the
+      // analyzer wraps it in AggregateExpression.
+      (FunctionIdentifier("misra_gries"), info(classOf[MisraGriesAgg], "misra_gries"),
+        { case Seq(c, m) => MisraGriesAgg(c, intLit(m, "misra_gries", "capacity"))
+          case _ => arity("misra_gries", "2") }))
 }

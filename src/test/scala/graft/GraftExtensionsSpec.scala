@@ -71,6 +71,17 @@ class GraftExtensionsSpec extends SparkSpec {
     dots.getSeq[String](4) shouldBe Seq("u")
   }
 
+  test("misra_gries resolves in SQL as an aggregate and matches exact counts") {
+    val rows = ext.sql(
+      """SELECT misra_gries(t, 8) AS mg
+         FROM (SELECT CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS t
+               FROM range(9))""")
+      .selectExpr("inline(mg)").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // vocab 2 < capacity 8: the summary is exact, bounds collapse
+    rows shouldBe Map("a" -> ((3L, 3L)), "b" -> ((6L, 6L)))
+  }
+
   test("wrong-typed input fails at ANALYSIS, not as a codegen ClassCastException") {
     val e = intercept[Exception] {
       ext.sql("SELECT int8_dot(array(1, 2), array(3, 4))").collect()

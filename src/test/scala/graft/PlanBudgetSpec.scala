@@ -39,7 +39,12 @@ class PlanBudgetSpec extends SparkSpec {
     "table_profile" -> 2,      // one expand pass + the one-row stack
     "chunk_cdc" -> 1,          // per-doc boundary window + reassembly
     "cluster_sizes" -> 2,      // clusters → size classes
-    "sb_ngram_counts" -> 3)    // one partial-aggregable groupBy per order
+    "sb_ngram_counts" -> 3,    // one partial-aggregable groupBy per order
+    // sketch pass: partial MG buffers → one global row (SinglePartition);
+    // rescore: broadcast semi-join + shortlist-bounded agg + final rank
+    "topk_frequent" -> 3,
+    // salt-cell window + global top-(K+1) + the one-row τ broadcast
+    "priority_sample" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
