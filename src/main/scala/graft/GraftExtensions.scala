@@ -83,5 +83,8 @@ object GraftExtensions {
       // analyzer wraps it in AggregateExpression.
       (FunctionIdentifier("misra_gries"), info(classOf[MisraGriesAgg], "misra_gries"),
         { case Seq(c, m) => MisraGriesAgg(c, intLit(m, "misra_gries", "capacity"))
-          case _ => arity("misra_gries", "2") }))
+          case _ => arity("misra_gries", "2") }),
+      (FunctionIdentifier("top_k"), info(classOf[TopKAgg], "top_k"),
+        { case Seq(s, i, k) => TopKAgg(s, i, intLit(k, "top_k", "k"))
+          case _ => arity("top_k", "3") }))
 }

@@ -116,6 +116,7 @@ object SparkEntry {
     "keyword_search" -> (DataOps.keywordSearch _),
     "inverted_index" -> (DataOps.invertedIndex _),
     "topk_frequent" -> (DataOps.topkFrequent _),
+    "topk_per_key" -> (DataOps.topkPerKey _),
     "split_assign" -> (DataOps.splitAssign _),
     "pack_sequences" -> (DataOps.packSequences _),
     "decontaminate" -> (DataOps.decontaminate _),

@@ -3300,6 +3300,29 @@ object DataOps {
       .filter(col("rank") <= TopkFreqK)
   }
 
+  private val TopKPerKeyK = 3
+
+  /** Grouped top-k via the native heap aggregate
+    * ([[graft.funcs.TopKAgg]]): the top documents by quality score per
+    * language as ONE partial-aggregable aggregate — the skew-safe form
+    * of the `row_number().over(Window.partitionBy(...))` + filter
+    * pattern this library otherwise hand-builds as two-phase salted
+    * windows. No window, no per-key sort of all rows, no salt: every
+    * map task holds ≤ k entries per language and the one hash shuffle
+    * carries ≤ langs × partitions × k pairs (PlanBudgetSpec pins the
+    * single Exchange). Top-k is an exact commutative fold — unlike the
+    * MG sketch there is no approximation — and the buffer's
+    * (score desc, id asc) order matches the oracle's window order, so
+    * the result grades directly against the plain window form.
+    */
+  def topkPerKey(spark: SparkSession, dir: String): DataFrame =
+    qualityScoredOn(toks(spark, dir), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(graft.funcs.TopKAgg(col("score_milli"), col("doc_id"), TopKPerKeyK).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score_milli"))
+
   /** PII redaction: emails and phone numbers masked with typed
     * placeholders — per-row regexp work (RE2-safe patterns shared with
     * the oracle), zero shuffles. The corpus carries no PII, so inputs
@@ -3978,6 +4001,24 @@ object DataOps {
         SELECT term, count(*) AS df,
                array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
         FROM ex GROUP BY term HAVING count(*) >= 100""",
+      // The heap aggregate's (score desc, id asc) order IS the window
+      // order, so the oracle is the plain window top-k per language with
+      // the doc_quality arithmetic nested verbatim.
+      "topk_per_key" -> s"""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, lang, len(w) AS n, len(list_distinct(w)) AS nd,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS mx
+              FROM toks),
+        s AS (SELECT doc_id, lang,
+                ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                 + 200 - (200 * mx) // n)::BIGINT AS score_milli
+              FROM m)
+        SELECT lang, rank, doc_id, score_milli FROM (
+          SELECT lang, doc_id, score_milli,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY score_milli DESC, doc_id) AS rank
+          FROM s) WHERE rank <= $TopKPerKeyK""",
       // The sketch-shortlist provably covers the true top-K (see
       // topkFrequent scaladoc), so the oracle is the plain exact top-K.
       "topk_frequent" -> s"""

@@ -82,6 +82,17 @@ class GraftExtensionsSpec extends SparkSpec {
     rows shouldBe Map("a" -> ((3L, 3L)), "b" -> ((6L, 6L)))
   }
 
+  test("top_k resolves in SQL as an aggregate with the documented order") {
+    val got = ext.sql(
+      """SELECT g, inline(top_k(s, id, 2))
+         FROM VALUES (0L, 10L, 1L), (0L, 30L, 2L), (0L, 20L, 3L), (0L, 30L, 0L)
+           AS t(g, s, id)
+         GROUP BY g""")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // score desc, ties by id asc: (30, 0) before (30, 2)
+    got.toSeq shouldBe Seq((30L, 0L), (30L, 2L))
+  }
+
   test("wrong-typed input fails at ANALYSIS, not as a codegen ClassCastException") {
     val e = intercept[Exception] {
       ext.sql("SELECT int8_dot(array(1, 2), array(3, 4))").collect()

@@ -73,6 +73,28 @@ class MisraGriesSpec extends SparkSpec {
     got.view.mapValues(_._1).toMap shouldBe Map("a" -> 2L)
   }
 
+  test("misra_gries aggregates over a stream: buffers survive the state store") {
+    // the serialize/deserialize path is what streaming exercises — each
+    // trigger restores the partial buffer from the state store and folds
+    // the next micro-batch into it
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDF().select(col("value").as("token"))
+      .agg(MisraGriesAgg(col("token"), 8).as("mg"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ckpt-mg"))
+      .start()
+    mem.addData("a", "b", "a")
+    q.processAllAvailable()
+    mem.addData("a", "c")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT inline(mg) FROM mg_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
+  }
+
   test("topk_frequent: equals the exact vocabulary top-K, precondition has margin") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val tok = spark.read.parquet(s"$sf/documents.parquet")

@@ -44,7 +44,10 @@ class PlanBudgetSpec extends SparkSpec {
     // rescore: broadcast semi-join + shortlist-bounded agg + final rank
     "topk_frequent" -> 3,
     // salt-cell window + global top-(K+1) + the one-row τ broadcast
-    "priority_sample" -> 3)
+    "priority_sample" -> 3,
+    // the heap aggregate's point: ONE partial-aggregable hash shuffle
+    // of ≤ langs x partitions x k pairs — no window, no salt
+    "topk_per_key" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
