@@ -29,8 +29,12 @@ import graft.funcs._
   * with a message naming the function, not at runtime inside codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // the native whole-operator rung: the as-of join's planner strategy
+    // (API callers get it idempotently via experimental.extraStrategies)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
