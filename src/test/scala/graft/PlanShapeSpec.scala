@@ -15,11 +15,15 @@ class PlanShapeSpec extends SparkSpec {
     val df = RefOps.incrementalFilter(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // raw-nanos rewrite: the cutoff reaches the scan as a plain long
-    // comparison (row-group pruning); the converted-timestamp form pushed
-    // only IsNotNull and read every row group
+    // native-type rewrite: the cutoff reaches the scan as a comparison on
+    // the stored column — a plain long for the nanos flavor, an NTZ bound
+    // for the r9+ flavor (row-group pruning either way); filtering the
+    // CONVERTED timestamp instead would push only IsNotNull and read every
+    // row group. The ReadSchema pin proves column pruning survives both
+    // flavors (ts is bigint or timestamp_ntz depending on the writer).
     plan should include("GreaterThanOrEqual(ts")
-    plan should include("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>")
+    plan should include regex
+      "ReadSchema: struct<event_id:bigint,ts:(bigint|timestamp_ntz),user_id:bigint>"
   }
 
   test("q3_shipping: dimension sides broadcast, no shuffle of the big fact side twice") {
