@@ -61,8 +61,12 @@ object SparkEntry {
     "event_transitions" -> (Relational.eventTransitions _),
     "salted_join" -> (Relational.saltedJoinHot _),
     "table_profile" -> (Relational.tableProfile _),
+    "gap_fill" -> (Relational.gapFill _),
+    "islands_coverage" -> (Relational.islandsCoverage _),
+    "cube_events" -> (Relational.cubeEvents _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
+    "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
     "dedup_incremental" -> (DataOps.dedupIncremental _),
     "ngram_jaccard" -> (DataOps.ngramJaccard _),
@@ -415,6 +419,56 @@ object SparkEntry {
                    // 604800000000)::INT AS wk
                FROM events e JOIN f ON f.user_id = e.user_id)
          SELECT cohort, wk, count(*) AS n_users FROM a GROUP BY 1, 2""",
+    "gap_fill" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+                    FROM events GROUP BY 1),
+         sp AS (SELECT unnest(generate_series(min(d), max(d),
+                  INTERVAL 1 DAY)) AS d FROM d),
+         j AS (SELECT sp.d, coalesce(n_events, 0)::BIGINT AS n_events
+               FROM sp LEFT JOIN d USING (d))
+         SELECT strftime(d, '%Y-%m-%d') AS day, n_events,
+                last_value(CASE WHEN n_events > 0 THEN n_events END
+                           IGNORE NULLS)
+                  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS n_locf
+         FROM j""",
+    "islands_coverage" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+         f AS (SELECT user_id, event_id, tu,
+                 CASE WHEN lag(tu) OVER w IS NULL
+                        OR tu - lag(tu) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS fresh
+               FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+         i AS (SELECT user_id, tu,
+                 sum(fresh) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+               FROM f),
+         g AS (SELECT user_id, island, min(tu) AS t0, max(tu) AS t1,
+                 count(*) AS n
+               FROM i GROUP BY 1, 2)
+         SELECT user_id, count(*)::BIGINT AS n_islands,
+                sum(t1 - t0)::BIGINT AS covered_us,
+                sum(n)::BIGINT AS n_events
+         FROM g GROUP BY 1""",
+    "cube_events" ->
+      """SELECT event_type, day,
+                grouping(event_type)::BIGINT AS g_type,
+                grouping(day)::BIGINT AS g_day,
+                count(*) AS n, round(sum(value), 2) AS total
+         FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+               FROM events)
+         GROUP BY CUBE (event_type, day)""",
+    "edit_distance_block" ->
+      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 80) AS p,
+                      len(substr(text, 1, 80))::BIGINT AS l
+                    FROM documents),
+         a AS (SELECT lang, doc_id AS a_id, p AS a_p, l AS a_l,
+                 l // 4 AS bk FROM d),
+         b AS (SELECT lang, doc_id AS b_id, p AS b_p, l AS b_l,
+                 unnest([l // 4 - 1, l // 4, l // 4 + 1]) AS bk FROM d)
+         SELECT a_id, b_id, levenshtein(a_p, b_p)::BIGINT AS dist
+         FROM a JOIN b USING (lang, bk)
+         WHERE a_id < b_id AND abs(a_l - b_l) <= 2
+           AND levenshtein(a_p, b_p) <= 2""",
     "value_outliers" ->
       """SELECT event_id, event_type, value, rn FROM (
            SELECT event_id, event_type, value,

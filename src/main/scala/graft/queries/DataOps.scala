@@ -69,6 +69,52 @@ object DataOps {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** Edit-distance near-dup pairs: documents of the same language whose
+    * text PREFIXES (first [[EditPrefix]] chars — the discriminating zone
+    * for boilerplate-near-dup detection, and a hard cap on the O(n·m) DP
+    * cost per comparison) are within Levenshtein distance
+    * [[EditMaxDist]]. The quadratic self-join is tamed the range_join
+    * way: distance ≤ 2 forces |len(a) − len(b)| ≤ 2, so blocking on
+    * (lang, len div [[EditBlock]]) with the right side replicated into
+    * its 3 adjacent length buckets is a LOSSLESS equi-join prefilter —
+    * every surviving candidate still passes the exact length and
+    * distance checks. One shuffle on the block key, 3× replication of
+    * one side, no NestedLoop/Cartesian anywhere.
+    *
+    * Levenshtein runs in its THRESHOLDED form (`levenshtein(a, b, k)`,
+    * banded O(k·n) DP that bails to −1 past k) — at 100 TB the unbounded
+    * DP over every candidate pair is the dominant compute; the band cuts
+    * it by ~n/(2k+1)×. Skew note: a pathological block (thousands of
+    * same-length boilerplate docs) is still quadratic within the block —
+    * the production escape hatch is the same salting pattern as
+    * [[Skew.saltedJoin]] on the block key, or tightening EditBlock.
+    */
+  def editDistanceBlock(spark: SparkSession, dir: String): DataFrame = {
+    val p = docs(spark, dir)
+      .select(col("lang"), col("doc_id"), substring(col("text"), 1, EditPrefix).as("p"))
+      .withColumn("l", length(col("p")))
+    val a = p.select(col("lang"), col("doc_id").as("a_id"), col("p").as("a_p"),
+      col("l").as("a_l"), expr(s"l div $EditBlock").as("bk"))
+    val b = p.select(col("lang"), col("doc_id").as("b_id"), col("p").as("b_p"),
+      col("l").as("b_l"),
+      explode(array(Seq(-1L, 0L, 1L).map(d =>
+        expr(s"l div $EditBlock") + lit(d)): _*)).as("bk"))
+    a.join(b, Seq("lang", "bk"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_l") - col("b_l")) <= EditMaxDist)
+      .withColumn("dist",
+        levenshtein(col("a_p"), col("b_p"), EditMaxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= EditMaxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  private val EditPrefix = 80
+  private val EditMaxDist = 2
+  /** Block width must exceed EditMaxDist so ±1-bucket replication covers
+    * every |len diff| ≤ EditMaxDist pair.
+    */
+  private val EditBlock = 4L
+
   private val MinhashK = 12 // k = bands * rows
   private val LshBands = 4
   private val LshRows = 3

@@ -435,4 +435,92 @@ object Relational {
       .filter(col("rn") <= expr("(n + 99) div 100"))
       .select(col("event_id"), col("event_type"), col("value"), col("rn"))
   }
+
+  /** Time-series gap fill: the complete calendar of days from the
+    * corpus's first to last event, each with its event count (0 on
+    * silent days) and the last non-silent day's count carried forward
+    * (LOCF — the standard dashboard treatment for sparse series).
+    *
+    * Scale shape: the heavy work is ONE partial-aggregable count per
+    * day; the calendar spine is `sequence()` over a 2-row bound
+    * aggregate — its length grows with elapsed TIME, never with event
+    * volume, so the spine build, the left join against it (broadcast:
+    * the day table is tiny by construction), and the single LOCF window
+    * over days all stay constant-cost as the corpus scales. The LOCF
+    * window is unpartitioned but runs over the DAY spine, not events —
+    * the same bounded-table argument as daily_active's cumulative sum.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    // The LOCF window orders by the formatted day string — identical
+    // order to the timestamp (fixed yyyy-MM-dd) and already in scope
+    // after the rename.
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(broadcast(daily), Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .withColumn("n_locf",
+        last(when(col("n_events") > 0, col("n_events")), ignoreNulls = true)
+          .over(w))
+  }
+
+  /** Gaps-and-islands: each user's event stream merged into activity
+    * islands (events ≤ 30 min apart coalesce), reported per user as
+    * island count, total covered span, and events inside islands. The
+    * island id is the classic cumulative sum of new-island flags over a
+    * per-user window; all arithmetic in integer µs.
+    *
+    * Scale shape: both windows partition by `user_id` — millions of
+    * small partitions, the well-behaved window case — and the two
+    * aggregations shuffle on `user_id` (+island), so the whole query is
+    * one key family end to end; AQE coalesces the tiny per-user
+    * partitions. No global sort, no driver collection.
+    */
+  def islandsCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val flagged = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+      .withColumn("fresh",
+        (col("tu") - lag(col("tu"), 1).over(w) > gapUs).cast("long"))
+      .withColumn("island",
+        sum(coalesce(col("fresh"), lit(1L))).over(w))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(min(col("tu")).as("t0"), max(col("tu")).as("t1"),
+           count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("t1") - col("t0")).as("covered_us"),
+           sum(col("n")).as("n_events"))
+  }
+
+  /** CUBE over (event_type, day): all four grouping-set combinations in
+    * one pass, with explicit per-column `grouping()` flags — the flags,
+    * not null-masquerading, distinguish "the ALL row" from a genuinely
+    * null key, and single-argument `grouping()` has identical semantics
+    * in Spark and DuckDB (the multi-column grouping_id bit orders do
+    * not, so the query never emits one).
+    *
+    * Scale shape: Spark plans CUBE as a map-side Expand (4 rows out per
+    * input row) feeding ONE partial-aggregable count/sum — a single
+    * shuffle of pre-aggregated cells, total cells ≤ 4 × |types| × |days|
+    * regardless of event volume.
+    */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(grouping(col("event_type")).cast("long").as("g_type"),
+           grouping(col("day")).cast("long").as("g_day"),
+           count(lit(1)).as("n"),
+           round(sum(col("value")), 2).as("total"))
+      .select(col("event_type"), col("day"), col("g_type"), col("g_day"),
+        col("n"), col("total"))
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.{DataOps, Relational, Tables}
+
+/** Semantic pins for the r10 event-analytics additions (the DuckDB
+  * hash-compare covers exact values at sf0.01; these pin the shapes the
+  * oracle can't see — the zero-fill path on a corpus with no silent
+  * days, blocking losslessness, cube cell algebra).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsFixture(rows: Seq[(Long, String, Long)]): String = {
+    val dir = tmpDir("evfix")
+    val data = rows.map { case (id, ts, uid) =>
+      Row(id, java.sql.Timestamp.valueOf(ts), uid, "view", 1.0, "{}")
+    }
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(data).asJava), eventsSchema)
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("gap_fill: silent days appear as zero with the last active count carried") {
+    val dir = eventsFixture(Seq(
+      (1L, "2024-03-01 10:00:00", 1L),
+      (2L, "2024-03-01 11:00:00", 1L),
+      (3L, "2024-03-02 09:00:00", 2L),
+      // 03-03 and 03-04 silent
+      (4L, "2024-03-05 23:59:59", 3L)))
+    val out = Relational.gapFill(spark, dir)
+      .orderBy("day").collect()
+    out.map(_.getString(0)) shouldBe Array(
+      "2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04", "2024-03-05")
+    out.map(_.getLong(1)) shouldBe Array(2L, 1L, 0L, 0L, 1L)
+    out.map(_.getLong(2)) shouldBe Array(2L, 1L, 1L, 1L, 1L)
+  }
+
+  test("gap_fill: spine spans exactly min..max day and totals are preserved") {
+    val out = Relational.gapFill(spark, sf).cache()
+    val e = Tables(spark, sf, "events")
+    out.agg(sum(col("n_events"))).head.getLong(0) shouldBe e.count()
+    val days = e.agg(
+      datediff(max(date_trunc("day", col("ts"))),
+               min(date_trunc("day", col("ts"))))).head.getInt(0)
+    out.count() shouldBe days + 1L
+    // LOCF is never null (day 1 always has events) and never zero
+    out.filter(col("n_locf").isNull || col("n_locf") === 0).count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("islands_coverage: merging is exact on a hand-built stream") {
+    val dir = eventsFixture(Seq(
+      // user 1: two islands — 3 events within 30 min, then a 2 h gap
+      (1L, "2024-03-01 10:00:00", 1L),
+      (2L, "2024-03-01 10:20:00", 1L),
+      (3L, "2024-03-01 10:40:00", 1L),
+      (4L, "2024-03-01 13:00:00", 1L),
+      // user 2: one single-event island (zero covered span)
+      (5L, "2024-03-01 10:00:00", 2L)))
+    val out = Relational.islandsCoverage(spark, dir)
+      .orderBy("user_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe
+      Array((1L, 2L, 2400L * 1000000, 4L), (2L, 1L, 0L, 1L))
+  }
+
+  test("islands_coverage: invariants against the corpus") {
+    val out = Relational.islandsCoverage(spark, sf).cache()
+    val e = Tables(spark, sf, "events")
+    out.agg(sum(col("n_events"))).head.getLong(0) shouldBe e.count()
+    out.count() shouldBe e.select("user_id").distinct().count()
+    // covered span never exceeds the user's full first-to-last span
+    val span = e.groupBy("user_id")
+      .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        .as("full_span"))
+    out.join(span, "user_id")
+      .filter(col("covered_us") > col("full_span")).count() shouldBe 0L
+    out.filter(col("n_islands") < 1).count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("cube_events: the four grouping sets agree with each other") {
+    val out = Relational.cubeEvents(spark, sf).cache()
+    val grand = out.filter(col("g_type") === 1 && col("g_day") === 1)
+    grand.count() shouldBe 1L
+    val n = grand.head.getLong(4)
+    n shouldBe Tables(spark, sf, "events").count()
+    // each partial rollup re-sums to the grand total
+    for ((gt, gd) <- Seq((0, 1), (1, 0), (0, 0)))
+      withClue(s"slice g_type=$gt g_day=$gd: ") {
+        out.filter(col("g_type") === gt && col("g_day") === gd)
+          .agg(sum(col("n"))).head.getLong(0) shouldBe n
+      }
+    // the flags, not the nulls, carry the semantics — but on this corpus
+    // (no null keys) they must coincide
+    out.filter(col("g_type") === 1 && col("event_type").isNotNull)
+      .count() shouldBe 0L
+    out.filter(col("g_type") === 0 && col("event_type").isNull)
+      .count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("edit_distance_block: length-bucket blocking is lossless vs brute force") {
+    val d = Tables(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"), substring(col("text"), 1, 80).as("p"))
+    val a = d.select(col("lang"), col("doc_id").as("a_id"), col("p").as("a_p"))
+    val b = d.select(col("lang"), col("doc_id").as("b_id"), col("p").as("b_p"))
+    val brute = a.join(b, "lang")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_p"), col("b_p"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .select("a_id", "b_id", "dist")
+    val blocked = DataOps.editDistanceBlock(spark, sf)
+    blocked.except(brute).count() shouldBe 0L
+    brute.except(blocked).count() shouldBe 0L
+  }
+}
