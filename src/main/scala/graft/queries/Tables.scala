@@ -85,9 +85,10 @@ object Tables {
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // Filter on the NTZ column with an NTZ literal (the cutoff instant's
-        // UTC wall clock) BEFORE casting: a predicate over cast(ts) cannot
-        // reach parquet, while the native-type comparison prunes row groups
-        // exactly like the raw-nanos branch.
+        // UTC wall clock) BEFORE casting. Spark 4.1's optimizer happens to
+        // unwrap a post-cast comparison too (pinned in
+        // GraftExtensionsSpec), but the native-type comparison prunes row
+        // groups by construction, not by optimizer version.
         val wallClock = java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(cutoff.getTime, 1000L),
           cutoff.getNanos, java.time.ZoneOffset.UTC)

@@ -111,4 +111,26 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     e.getMessage should include("word_shingles")
   }
+
+  test("a filter through the NTZ-normalizing cast still pushes to parquet") {
+    // The Tables normalization (cast NTZ → TIMESTAMP) + a user filter on
+    // the normalized column — the shape a library caller produces after
+    // the r9 data flip. Catalyst's stock optimizer unwraps the cast and
+    // pushes the bound (verified here on the PLAIN session — no graft
+    // extension is needed or shipped for this; a bespoke unwrap rule was
+    // built and deleted in r10 when this pin proved it redundant).
+    val dir = tmpDir("ntzpush")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$dir/events.parquet")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val q = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("ts") >= lit(cutoff))
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts")
+    val n = q.count()
+    n should be > 0L
+    n should be < spark.read.parquet(s"$dir/events.parquet").count()
+  }
 }
