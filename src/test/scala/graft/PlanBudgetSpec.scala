@@ -47,7 +47,19 @@ class PlanBudgetSpec extends SparkSpec {
     "priority_sample" -> 3,
     // the heap aggregate's point: ONE partial-aggregable hash shuffle
     // of ≤ langs x partitions x k pairs — no window, no salt
-    "topk_per_key" -> 1)
+    "topk_per_key" -> 1,
+    // daily agg + the day-spine window (SinglePartition over days only)
+    "gap_fill" -> 2,
+    // the whole query is one user_id key family: windows and both
+    // aggregations reuse a single hash partitioning
+    "islands_coverage" -> 1,
+    // Expand feeds ONE partial-aggregable shuffle of grouping-set cells
+    "cube_events" -> 1,
+    // (lang, len-bucket) equi-join: AQE broadcasts at test scale (0);
+    // at corpus scale both sides shuffle on the block key (2)
+    "edit_distance_block" -> 2,
+    // one partial-aggregable shuffle on the QI tuple
+    "k_anonymity" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
