@@ -74,4 +74,62 @@ class SkewSpec extends SparkSpec {
     out.exceptAll(plain).count() shouldBe 0L
     plain.exceptAll(out).count() shouldBe 0L
   }
+
+  test("AQE splits the skewed partition without salting (skew=true in the SMJ)") {
+    // The runtime complement of Skew.saltedJoin: when AQE's skew-join
+    // optimization is live, the hot partition is split from shuffle
+    // statistics at execution time — no code change, no salt column.
+    // The thresholds are lowered so the test corpus's hot key (half of
+    // all events mapped to k=0 by demoFrames) qualifies the same way a
+    // multi-GB partition would in production; the salted form remains
+    // the LIBRARY answer precisely for engines/paths where this
+    // optimization is off (streaming joins, non-AQE deployments) or
+    // where the skew is in an aggregation AQE cannot split.
+    // 100k rows on ONE key + a uniform 10k tail: the hot shuffle
+    // partition is ~100× the median, unambiguous at any byte threshold
+    import spark.implicits._
+    val e = spark.range(100000).select(lit(0L).as("k"), col("id").as("event_id"))
+      .union(spark.range(10000).select((col("id") % 97 + 1).as("k"),
+        (col("id") + 100000).as("event_id")))
+    // built WITHOUT an aggregate: OptimizeSkewedJoin only matches a join
+    // whose children are plain Sort(shuffle-stage) runs — an aggregate
+    // between Sort and shuffle (e.g. from .distinct()) disqualifies the
+    // pattern, which is itself worth knowing when a "why didn't AQE
+    // split this" question comes up
+    val dim = spark.range(98).select(col("id").as("k"),
+      pmod(col("id"), lit(7)).as("cohort"))
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // bypass AQE's "would add a shuffle" cost veto — the point here is
+      // the split mechanism, not the cost model's opinion of a toy plan
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val joined = e.join(dim, "k")
+      // collect() (not count(), which builds a SEPARATE QueryExecution
+      // over an added aggregate) so THIS frame's adaptive plan finalizes
+      val n = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan.linesIterator.take(30).mkString("\n")) {
+        plan should include("skew=true")
+      }
+      // the split changes scheduling, never results
+      n shouldBe e.join(dim, "k").count()
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
