@@ -64,6 +64,8 @@ object SparkEntry {
     "gap_fill" -> (Relational.gapFill _),
     "islands_coverage" -> (Relational.islandsCoverage _),
     "cube_events" -> (Relational.cubeEvents _),
+    "props_stats" -> (Relational.propsStats _),
+    "percentiles_by_type" -> (Relational.percentilesByType _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
@@ -458,6 +460,26 @@ object SparkEntry {
          FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
                FROM events)
          GROUP BY CUBE (event_type, day)""",
+    "props_stats" ->
+      """SELECT event_type,
+                count(k) AS n,
+                count(DISTINCT k) AS n_distinct_k,
+                sum(k)::BIGINT AS sum_k,
+                min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY 1""",
+    "percentiles_by_type" ->
+      """WITH r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM events)
+         SELECT event_type, max(n)::BIGINT AS n,
+                max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+                max(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+         FROM r GROUP BY 1""",
     "k_anonymity" ->
       """SELECT lang, source, n_chars // 256 AS len_bucket,
                 count(*)::BIGINT AS n, count(*) < 5 AS at_risk

@@ -436,6 +436,50 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("value"), col("rn"))
   }
 
+  /** Semi-structured metadata extraction: the `props` JSON column parsed
+    * per row (`get_json_object` — codegen'd, no UDF, no shuffle for the
+    * parse) and aggregated per event type. The standard "filter/group on
+    * a JSON attribute" pipeline op; at 100 TB the parse cost is the
+    * scan-side map work and the aggregate is one partial-aggregable
+    * shuffle on the small type alphabet. A field missing from a
+    * document's JSON nulls out (get_json_object contract) and drops from
+    * the aggregates rather than failing the row.
+    */
+  def propsStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Exact per-type discrete percentiles (p50/p95) of `value` by RANK
+    * over (value, event_id) — the valueOutliers argument: an
+    * interpolated percentile is a float whose last ulp can differ
+    * between engines, while a rank-selected ACTUAL value is exact in
+    * both. Index arithmetic is pure integer: idx_q = ceil(q·n) =
+    * (q_num·n + q_den − 1) div q_den.
+    *
+    * Scale note: the per-type window funnels each type through one task
+    * — acceptable because event types are alphabet-bounded; at 100 TB
+    * this swaps for `approx_percentile` (t-digest binding, N10) exactly
+    * as valueOutliers documents.
+    */
+  def percentilesByType(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("value"))).as("p95"))
+  }
+
   /** Time-series gap fill: the complete calendar of days from the
     * corpus's first to last event, each with its event count (0 on
     * silent days) and the last non-silent day's count carried forward

@@ -131,6 +131,31 @@ class EventAnalyticsSpec extends SparkSpec {
     groups.unpersist(); sup.unpersist()
   }
 
+  test("props_stats: every event parses and the k range is sane") {
+    val out = Relational.propsStats(spark, sf).cache()
+    // the fixture generator always writes {"k": int} — n must cover all
+    // events (a parse regression shows up as dropped nulls here)
+    out.agg(sum(col("n"))).head.getLong(0) shouldBe
+      Tables(spark, sf, "events").count()
+    out.filter(col("min_k") > col("max_k")).count() shouldBe 0L
+    out.filter(col("n_distinct_k") > col("n")).count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("percentiles_by_type: rank-selected values are actual members in order") {
+    val out = Relational.percentilesByType(spark, sf).cache()
+    out.filter(col("p50") > col("p95")).count() shouldBe 0L
+    // each percentile is a value that genuinely occurs for that type
+    val e = Tables(spark, sf, "events").select("event_type", "value")
+    for (c <- Seq("p50", "p95"))
+      withClue(s"$c: ") {
+        out.select(col("event_type"), col(c).as("value"))
+          .join(e, Seq("event_type", "value"), "left_anti")
+          .count() shouldBe 0L
+      }
+    out.unpersist()
+  }
+
   test("edit_distance_block: length-bucket blocking is lossless vs brute force") {
     val d = Tables(spark, sf, "documents")
       .select(col("lang"), col("doc_id"), substring(col("text"), 1, 80).as("p"))

@@ -59,7 +59,11 @@ class PlanBudgetSpec extends SparkSpec {
     // at corpus scale both sides shuffle on the block key (2)
     "edit_distance_block" -> 2,
     // one partial-aggregable shuffle on the QI tuple
-    "k_anonymity" -> 1)
+    "k_anonymity" -> 1,
+    // type-keyed agg + the countDistinct expand pass
+    "props_stats" -> 2,
+    // window and final agg share the event_type partitioning
+    "percentiles_by_type" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
