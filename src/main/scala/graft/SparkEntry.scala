@@ -66,6 +66,8 @@ object SparkEntry {
     "cube_events" -> (Relational.cubeEvents _),
     "props_stats" -> (Relational.propsStats _),
     "percentiles_by_type" -> (Relational.percentilesByType _),
+    "set_ops_parts" -> (Relational.setOpsParts _),
+    "rolling_revenue_range" -> (Relational.rollingRevenueRange _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
@@ -460,6 +462,26 @@ object SparkEntry {
          FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
                FROM events)
          GROUP BY CUBE (event_type, day)""",
+    "set_ops_parts" ->
+      """WITH bulk AS (SELECT DISTINCT l_partkey FROM lineitem
+                       WHERE l_quantity > 45),
+         disc AS (SELECT DISTINCT l_partkey FROM lineitem
+                  WHERE l_discount > 0.08)
+         SELECT l_partkey, 'bulk_and_discounted' AS tag
+         FROM (SELECT l_partkey FROM bulk INTERSECT SELECT l_partkey FROM disc)
+         UNION ALL
+         SELECT l_partkey, 'bulk_only' AS tag
+         FROM (SELECT l_partkey FROM bulk EXCEPT SELECT l_partkey FROM disc)""",
+    "rolling_revenue_range" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                 epoch_us(o_orderdate) // 86400000000 AS day,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+         SELECT o_custkey, o_orderkey, day, cents,
+                sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                  ::BIGINT AS rev30_cents
+         FROM o""",
     "props_stats" ->
       """SELECT event_type,
                 count(k) AS n,

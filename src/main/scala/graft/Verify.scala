@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var errors = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors ::= name -> String.valueOf(e.getMessage)
       }
       spark.catalog.clearCache() // intra-query caches are query-scoped
     }
@@ -44,6 +46,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest: a query that throws produces NO result directory
+    // and simply vanishes from the driver's correctness JSON (r9 lost 4
+    // queries that way, silently). The artifact itself now names what
+    // broke and why, so a shrunken record is diagnosable from the round's
+    // own outputs. Written even when empty — its absence then means
+    // "old Verify", not "no failures".
+    val errJson = errors.reverse
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.reverse.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -63,7 +63,12 @@ class PlanBudgetSpec extends SparkSpec {
     // type-keyed agg + the countDistinct expand pass
     "props_stats" -> 2,
     // window and final agg share the event_type partitioning
-    "percentiles_by_type" -> 1)
+    "percentiles_by_type" -> 1,
+    // two distinct scans + the semi/anti joins (AQE broadcasts at toy
+    // scale; both set ops shuffle their key columns at corpus scale)
+    "set_ops_parts" -> 4,
+    // the RANGE frame rides ONE customer-keyed window partitioning
+    "rolling_revenue_range" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
