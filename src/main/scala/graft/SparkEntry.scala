@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_exact" -> (DataOps.dedupExact _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
+    "corpus_manifest" -> (DataOps.corpusManifest _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
     "dedup_incremental" -> (DataOps.dedupIncremental _),
     "ngram_jaccard" -> (DataOps.ngramJaccard _),
@@ -502,6 +503,17 @@ object SparkEntry {
                 max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
                 max(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
          FROM r GROUP BY 1""",
+    "corpus_manifest" ->
+      """WITH h AS (SELECT lang, md5(text) AS h,
+                      substr(md5(text), 1, 2) AS bucket
+                    FROM documents),
+         l1 AS (SELECT lang, bucket, count(*)::BIGINT AS n,
+                  md5(string_agg(h, '' ORDER BY h)) AS bh
+                FROM h GROUP BY 1, 2)
+         SELECT lang, sum(n)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_buckets,
+                md5(string_agg(bh, '' ORDER BY bucket)) AS content_hash
+         FROM l1 GROUP BY 1""",
     "k_anonymity" ->
       """SELECT lang, source, n_chars // 256 AS len_bucket,
                 count(*)::BIGINT AS n, count(*) < 5 AS at_risk

@@ -3424,6 +3424,36 @@ object DataOps {
   private val KAnonK = 5
   private val KAnonLenBucket = 256L
 
+  /** Release-integrity manifest: per language, the document count and an
+    * order-independent content hash — the artifact a data release ships
+    * so a consumer can verify "same corpus, bit for bit" without
+    * re-downloading (the chunk_reuse/corpus_diff story at publication
+    * time).
+    *
+    * The hash is TWO-LEVEL on purpose: level 1 hashes each (lang,
+    * bucket) group's sorted doc-hashes (bucket = first two hex chars of
+    * the doc hash — engine-identical, uniform), level 2 hashes the
+    * bucket digests in bucket order. A single-level
+    * `md5(concat(sorted all))` needs every doc hash of a language
+    * materialized in ONE aggregation buffer — at 100 TB that is a
+    * driver-killer; the tree caps every buffer at ~n/256 per language
+    * while remaining a pure deterministic function of the content set
+    * (insertion-order-free: both levels sort before hashing).
+    */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val h = docs(spark, dir).select(col("lang"), md5(col("text")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val l1 = h.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws("", sort_array(collect_list(col("h"))))).as("bh"))
+    l1.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        md5(concat_ws("", transform(
+          sort_array(collect_list(struct(col("bucket"), col("bh")))),
+          s => s.getField("bh")))).as("content_hash"))
+  }
+
   /** The capstone corpus-selection query — what the pipeline exists to
     * produce: documents passing the quality gate MINUS near-duplicate
     * drop targets (the lexicographically-later member of every verified

@@ -156,6 +156,35 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("corpus_manifest: the content hash is a function of the SET, not the order") {
+    val base = DataOps.corpusManifest(spark, sf)
+    // identical input content under a hostile physical layout (different
+    // partitioning, reversed intra-partition order) must hash identically
+    val dir = tmpDir("manifest")
+    Tables(spark, sf, "documents")
+      .repartition(7, col("source"))
+      .sortWithinPartitions(col("doc_id").desc)
+      .write.parquet(s"$dir/documents.parquet")
+    val shuffled = DataOps.corpusManifest(spark, dir)
+    shuffled.except(base).count() shouldBe 0L
+    base.except(shuffled).count() shouldBe 0L
+    // and a single changed document changes its language's hash
+    Tables(spark, sf, "documents").limit(1).select("lang")
+      .collect().headOption.foreach { r =>
+      val lang = r.getString(0)
+      val dir2 = tmpDir("manifest2")
+      Tables(spark, sf, "documents")
+        .withColumn("text",
+          when(col("doc_id") === Tables(spark, sf, "documents")
+            .agg(min(col("doc_id"))).head.getLong(0),
+            concat(col("text"), lit("!"))).otherwise(col("text")))
+        .write.parquet(s"$dir2/documents.parquet")
+      val tampered = DataOps.corpusManifest(spark, dir2)
+      tampered.except(base).count() should be > 0L
+      val _ = lang
+    }
+  }
+
   test("edit_distance_block: length-bucket blocking is lossless vs brute force") {
     val d = Tables(spark, sf, "documents")
       .select(col("lang"), col("doc_id"), substring(col("text"), 1, 80).as("p"))

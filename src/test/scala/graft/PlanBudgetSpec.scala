@@ -68,7 +68,9 @@ class PlanBudgetSpec extends SparkSpec {
     // scale; both set ops shuffle their key columns at corpus scale)
     "set_ops_parts" -> 4,
     // the RANGE frame rides ONE customer-keyed window partitioning
-    "rolling_revenue_range" -> 1)
+    "rolling_revenue_range" -> 1,
+    // the two tree-hash levels: (lang, bucket) then lang
+    "corpus_manifest" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
