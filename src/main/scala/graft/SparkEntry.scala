@@ -35,6 +35,7 @@ object SparkEntry {
     "null_filters" -> (RefOps.nullFilters _),
     "ingest_run" -> (RefOps.ingestRun _),
     "asof_join" -> (RefOps.asofJoin _),
+    "asof_join_forward" -> (RefOps.asofJoinForward _),
     "range_join" -> (RefOps.rangeJoin _),
     "jsonl_parse" -> (RefOps.jsonlParse _),
     "data_expectations" -> (RefOps.dataExpectations _),
@@ -250,6 +251,14 @@ object SparkEntry {
                 strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                 p.p_id AS prior_purchase
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "asof_join_forward" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                p.p_id AS next_purchase
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""",
     "data_expectations" ->
       """SELECT 'events_event_id_unique' AS check,
                 (SELECT count(*) FROM (SELECT event_id FROM events

@@ -199,6 +199,36 @@ object RefOps {
         col("prior_purchase"))
   }
 
+  /** FORWARD as-of: each click matched to the user's NEXT purchase at or
+    * after it — [[asofJoin]]'s mirror (lead-time / time-to-conversion
+    * analytics where backward as-of is attribution). Same union+window
+    * shape, frame reversed to (current row → unbounded following) with
+    * `first(ignoreNulls)`; the tie order flips to `kind DESC` so a
+    * same-microsecond purchase sorts AFTER the click inside the frame
+    * and the match stays INCLUSIVE at equality, mirroring the backward
+    * form's same-ts semantics. One user-keyed shuffle, per-user window
+    * partitions — the identical scale shape as the backward entry.
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = p.select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("p_id"), lit(null).cast("bigint").as("event_id"))
+      .unionByName(c.select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("bigint").as("p_id"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_purchase", first(col("p_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts_s"),
+        col("next_purchase"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch, k=32: the estimate is
     * (k−1) / h_(k) where h_(k) is the k-th smallest md5-derived hash
     * fraction of the distinct values. Demonstrates sketch mechanics with

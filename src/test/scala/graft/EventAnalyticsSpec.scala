@@ -156,6 +156,27 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("asof mirror: backward and forward picks bracket each click in time") {
+    import graft.queries.RefOps
+    val e = Tables(spark, sf, "events")
+    val pTimes = e.filter(col("event_type") === "purchase")
+      .groupBy(col("event_id").as("p_ref")).agg(max(col("ts")).as("p_ts"))
+    def times(df: org.apache.spark.sql.DataFrame, matchCol: String) =
+      df.join(pTimes, col(matchCol) === col("p_ref"))
+        .select(col("event_id"), col("ts_s"), col("p_ts"))
+    // every backward match happened at or before the click, every
+    // forward match at or after — the inclusive-at-equality mirror
+    times(RefOps.asofJoin(spark, sf), "prior_purchase")
+      .filter(date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss") > col("ts_s"))
+      .count() shouldBe 0L
+    times(RefOps.asofJoinForward(spark, sf), "next_purchase")
+      .filter(date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss") < col("ts_s"))
+      .count() shouldBe 0L
+    // both sides cover the same click set
+    RefOps.asofJoinForward(spark, sf).count() shouldBe
+      RefOps.asofJoin(spark, sf).count()
+  }
+
   test("corpus_manifest: the content hash is a function of the SET, not the order") {
     val base = DataOps.corpusManifest(spark, sf)
     // identical input content under a hostile physical layout (different

@@ -70,7 +70,9 @@ class PlanBudgetSpec extends SparkSpec {
     // the RANGE frame rides ONE customer-keyed window partitioning
     "rolling_revenue_range" -> 1,
     // the two tree-hash levels: (lang, bucket) then lang
-    "corpus_manifest" -> 2)
+    "corpus_manifest" -> 2,
+    // purchase pre-agg + the user-keyed union window
+    "asof_join_forward" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
