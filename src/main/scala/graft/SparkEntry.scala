@@ -74,6 +74,7 @@ object SparkEntry {
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
+    "corpus_drift" -> (DataOps.corpusDrift _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
     "dedup_incremental" -> (DataOps.dedupIncremental _),
     "ngram_jaccard" -> (DataOps.ngramJaccard _),
@@ -512,6 +513,32 @@ object SparkEntry {
                 max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
                 max(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
          FROM r GROUP BY 1""",
+    "corpus_drift" ->
+      """WITH t AS (SELECT lang, least(n_chars // 256, 15) AS len_bucket,
+                      (CAST(substr(source, 4) AS INT) < 10)::BIGINT AS in_a
+                    FROM documents),
+         cells AS (SELECT lang, len_bucket, sum(in_a)::BIGINT AS n_a,
+                     sum(1 - in_a)::BIGINT AS n_b
+                   FROM t GROUP BY 1, 2),
+         tot AS (SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b
+                 FROM cells)
+         SELECT lang, len_bucket, n_a, n_b,
+                abs((1000 * n_a) // tot_a - (1000 * n_b) // tot_b)::BIGINT
+                  AS drift_milli
+         FROM cells, tot""",
+    "corpus_drift" ->
+      """WITH t AS (SELECT lang, least(n_chars // 256, 15) AS len_bucket,
+                      (CAST(substr(source, 4) AS INT) < 10)::BIGINT AS in_a
+                    FROM documents),
+         cells AS (SELECT lang, len_bucket, sum(in_a)::BIGINT AS n_a,
+                     sum(1 - in_a)::BIGINT AS n_b
+                   FROM t GROUP BY 1, 2),
+         tot AS (SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b
+                 FROM cells)
+         SELECT lang, len_bucket, n_a, n_b,
+                abs((1000 * n_a) // tot_a - (1000 * n_b) // tot_b)::BIGINT
+                  AS drift_milli
+         FROM cells, tot""",
     "corpus_manifest" ->
       """WITH h AS (SELECT lang, md5(text) AS h,
                       substr(md5(text), 1, 2) AS bucket

@@ -3454,6 +3454,41 @@ object DataOps {
           s => s.getField("bh")))).as("content_hash"))
   }
 
+  /** Distribution drift between two corpus versions — the monitor a
+    * continuous-ingestion pipeline runs before admitting a new crawl
+    * (N76's corpus_diff answers "which documents changed"; this answers
+    * "did the SHAPE of the data change"). Cohorts A/B here are the
+    * source-id halves (the corpus ships no crawl column); per
+    * (lang, capped length-bucket) cell it reports both counts and an
+    * integer PSI-style L1 drift: |per-mille share in A − per-mille
+    * share in B|. Pure integer arithmetic end to end — per-mille
+    * proportions FIRST, then the difference — so no cross-product of
+    * totals (which would overflow BIGINT at 100 TB corpus sizes) and
+    * no float whose last ulp the engines could disagree on.
+    *
+    * ONE corpus pass: both cohort counts come from a single conditional
+    * aggregation (no self-join, no second scan); the totals are a 1-row
+    * aggregate broadcast back over the bounded cell table.
+    */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = docs(spark, dir).select(col("lang"),
+      least(expr("n_chars div 256"), lit(15L)).as("len_bucket"),
+      (expr("CAST(substr(source, 4) AS INT)") < 10).cast("long").as("in_a"))
+    // cache the BOUNDED cell table so the totals branch reuses it —
+    // without this both branches re-aggregate from the corpus scan,
+    // doubling the pass the scaladoc promises happens once
+    val cells = tagged.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("in_a")).as("n_a"),
+           sum(lit(1L) - col("in_a")).as("n_b"))
+    cachedScope(cells) {
+      val tot = cells.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("lang"), col("len_bucket"), col("n_a"), col("n_b"),
+          abs(expr("(1000 * n_a) div tot_a") - expr("(1000 * n_b) div tot_b"))
+            .as("drift_milli"))
+    }
+  }
+
   /** The capstone corpus-selection query — what the pipeline exists to
     * produce: documents passing the quality gate MINUS near-duplicate
     * drop targets (the lexicographically-later member of every verified

@@ -177,6 +177,24 @@ class EventAnalyticsSpec extends SparkSpec {
       RefOps.asofJoin(spark, sf).count()
   }
 
+  test("corpus_drift: cell mass covers the corpus; identical cohorts read zero") {
+    val out = DataOps.corpusDrift(spark, sf).cache()
+    out.agg(sum(col("n_a") + col("n_b"))).head.getLong(0) shouldBe
+      Tables(spark, sf, "documents").count()
+    out.filter(col("drift_milli") < 0 || col("drift_milli") > 1000)
+      .count() shouldBe 0L
+    out.unpersist()
+    // self-vs-self drift is identically zero: duplicate the corpus into
+    // both cohorts via a source rename that lands every doc in A and B
+    val dir = tmpDir("drift")
+    val d = Tables(spark, sf, "documents")
+    d.withColumn("source", lit("src1"))
+      .unionByName(d.withColumn("source", lit("src11")))
+      .write.parquet(s"$dir/documents.parquet")
+    DataOps.corpusDrift(spark, dir)
+      .filter(col("drift_milli") =!= 0).count() shouldBe 0L
+  }
+
   test("corpus_manifest: the content hash is a function of the SET, not the order") {
     val base = DataOps.corpusManifest(spark, sf)
     // identical input content under a hostile physical layout (different

@@ -73,6 +73,9 @@ class PlanBudgetSpec extends SparkSpec {
     "corpus_manifest" -> 2,
     // purchase pre-agg + the user-keyed union window
     "asof_join_forward" -> 2)
+  // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
+  // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
+  // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
 
   budgets.foreach { case (name, budget) =>
     test(s"shuffle budget: $name stays within $budget Exchanges") {
