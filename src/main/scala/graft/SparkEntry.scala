@@ -75,6 +75,7 @@ object SparkEntry {
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
     "corpus_drift" -> (DataOps.corpusDrift _),
+    "training_set" -> (DataOps.trainingSet _),
     "dedup_minhash_lsh" -> (DataOps.dedupMinhashLsh _),
     "dedup_incremental" -> (DataOps.dedupIncremental _),
     "ngram_jaccard" -> (DataOps.ngramJaccard _),
@@ -673,6 +674,7 @@ object SparkEntry {
          SELECT 'props', count(*), count(*) - count(props),
                 count(DISTINCT props), NULL::BIGINT, NULL::BIGINT
          FROM events""",
-  ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++ ExtractOps.oracles ++
+  ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++
+    DataOps.trainingSetOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles
 }

@@ -4355,4 +4355,48 @@ object DataOps {
     */
   val clusterStarOracle: Map[String, String] =
     Map("dedup_cluster_star" -> oracles("dedup_cluster"))
+
+  /** The full-pipeline capstone — what shipping a training set actually
+    * produces: hygiene-kept documents ([[cleanCorpus]]) that survive
+    * benchmark decontamination ([[decontaminate]] — its eval cohort
+    * drops by the inner join, exactly the held-out semantics), assigned
+    * to train/val/test ([[splitAssign]]) and rolled up to the release
+    * manifest: docs + whitespace tokens per (split, lang). Three
+    * component queries compose by doc_id joins — the kept/contaminated
+    * flag frames are tiny relative to the corpus and the final rollup
+    * is one partial-aggregable shuffle on a bounded (split, lang) key.
+    * The oracle nests all three component SQLs verbatim
+    * ([[trainingSetOracle]]), so semantic drift in ANY stage fails this
+    * entry too — the corpus_select/clean_corpus pattern at full depth.
+    */
+  def trainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val kept = cleanCorpus(spark, dir).filter(col("kept")).select("doc_id")
+    val clean = decontaminate(spark, dir)
+      .filter(!col("contaminated")).select("doc_id")
+    val sp = splitAssign(spark, dir).select(col("doc_id"), col("split"))
+    docs(spark, dir)
+      .join(kept, "doc_id").join(clean, "doc_id").join(sp, "doc_id")
+      .select(col("split"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** Built AFTER [[oracles]] so the three component texts nest verbatim
+    * (the clusterStarOracle pattern).
+    */
+  val trainingSetOracle: Map[String, String] = Map(
+    "training_set" -> s"""
+      WITH cc AS (${oracles("clean_corpus")}),
+      dc AS (${oracles("decontaminate")}),
+      sp AS (${oracles("split_assign")}),
+      keep AS (SELECT cc.doc_id FROM cc JOIN dc ON dc.doc_id = cc.doc_id
+               WHERE cc.kept AND NOT dc.contaminated),
+      toks AS (SELECT d.doc_id, d.lang,
+                 len(string_split(d.text, ' '))::BIGINT AS n_tokens
+               FROM documents d JOIN keep ON keep.doc_id = d.doc_id)
+      SELECT sp.split, t.lang, count(*)::BIGINT AS n_docs,
+             sum(t.n_tokens)::BIGINT AS n_tokens
+      FROM toks t JOIN sp ON sp.doc_id = t.doc_id
+      GROUP BY 1, 2""")
 }

@@ -177,6 +177,22 @@ class EventAnalyticsSpec extends SparkSpec {
       RefOps.asofJoin(spark, sf).count()
   }
 
+  test("training_set: the manifest is consistent with its component stages") {
+    val out = DataOps.trainingSet(spark, sf).cache()
+    val total = out.agg(sum(col("n_docs"))).head.getLong(0)
+    // never more docs than the hygiene gate keeps, and the decontaminate
+    // stage's held-out eval cohort (doc_id % 97 == 0) is entirely absent
+    val kept = DataOps.cleanCorpus(spark, sf).filter(col("kept")).count()
+    total should be <= kept
+    total should be > 0L
+    // all three splits appear and train dominates (90/5/5 hash split)
+    val bySplit = out.groupBy("split").agg(sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    bySplit("train") should be > bySplit("val") + bySplit("test")
+    out.unpersist()
+  }
+
   test("corpus_drift: cell mass covers the corpus; identical cohorts read zero") {
     val out = DataOps.corpusDrift(spark, sf).cache()
     out.agg(sum(col("n_a") + col("n_b"))).head.getLong(0) shouldBe
