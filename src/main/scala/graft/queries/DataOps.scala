@@ -796,6 +796,45 @@ object DataOps {
     qualityScoredOn(t, Nil).select(col("doc_id"), col("score_milli"))
       .withColumn("kept", col("score_milli") >= 750)
 
+  /** Max frequency of any element — the quantity both gates rate-limit
+    * on. Computed as the longest equal-run of a SORTED copy via one
+    * `aggregate` fold: O(n log n) per document, where the naive
+    * `transform(array_distinct(w), t -> size(filter(w, x -> x = t)))`
+    * is O(n · distinct) — quadratic on natural text. That naive form
+    * shipped from r4 to r10 UNDETECTED because `Bench` counts rows and
+    * Spark's column pruning deleted the expression from every benched
+    * plan; the r10 training_set capstone referenced `kept` for real and
+    * one document batch at sf0.1 paid 160 s for what these folds do in
+    * ~2 s. Value-identical to the naive form (the oracle's quadratic
+    * mirror still matches), including the empty-array NULL.
+    */
+  private def maxRunExpr(arr: String): org.apache.spark.sql.Column =
+    when(size(expr(arr)) === 0, lit(null).cast("long")).otherwise(expr(s"""
+      aggregate(array_sort($arr),
+        named_struct('prev', CAST(NULL AS STRING),
+                     'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+        (a, x) -> named_struct('prev', x,
+          'run', IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)),
+          'best', GREATEST(a.best,
+            IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)))),
+        a -> a.best)"""))
+
+  /** Total mass of elements whose value occurs more than once — the
+    * dup-bigram numerator. Same sorted-run fold, same complexity
+    * argument as [[maxRunExpr]]: a run of length r ≥ 2 contributes r
+    * (2 on the run's second element, 1 on each later one).
+    */
+  private def dupMassExpr(arr: String): org.apache.spark.sql.Column = expr(s"""
+    aggregate(array_sort($arr),
+      named_struct('prev', CAST(NULL AS STRING),
+                   'run', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+      (a, x) -> named_struct('prev', x,
+        'run', IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)),
+        'dup', a.dup + IF(a.prev <=> x,
+          IF(a.run = 1, CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+          CAST(0 AS BIGINT))),
+      a -> a.dup)""")
+
   /** ONE definition of the quality-score arithmetic, with passthrough
     * columns for consumers that need the score NEXT TO other per-doc
     * facts ([[mixtureSelect]] needs lang and the token count) — a second
@@ -805,8 +844,7 @@ object DataOps {
     val keep = extra.map(col)
     t.select(col("doc_id") +: keep ++: Seq(size(col("w")).as("n"),
         size(array_distinct(col("w"))).as("nd"),
-        expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
-          .as("mx")): _*)
+        maxRunExpr("w").as("mx")): _*)
       .select(col("doc_id") +: keep ++: Seq(col("n"),
         (expr("(400 * least(n, 50)) div 50") + expr("(800 * nd) div n")
           + lit(200) - expr("(200 * mx) div n")).cast("long").as("score_milli")): _*)
@@ -1019,8 +1057,7 @@ object DataOps {
   private[graft] def docRepetitionOn(t: DataFrame): DataFrame =
     t
       .select(col("doc_id"), size(col("w")).cast("long").as("n"),
-        expr("array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
-          .as("mx"),
+        maxRunExpr("w").as("mx"),
         // the size guard matters: sequence(0, -1) on a one-token doc is
         // the DESCENDING [0, -1] and element_at(w, 0) throws — the oracle
         // (range(1,1) = empty) would sail on without it
@@ -1028,11 +1065,12 @@ object DataOps {
           expr("transform(sequence(0, size(w) - 2), i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
           .otherwise(expr("cast(array() AS array<string>)"))
           .as("g"))
+      .select(col("doc_id"), col("n"), col("mx"), size(col("g")).as("ng"),
+        dupMassExpr("g").as("dup_mass"))
       .select(col("doc_id"), col("n"),
         expr("(1000 * mx) div n").as("top_word_milli"),
-        when(size(col("g")) === 0, lit(0L))
-          .otherwise(expr(
-            "(1000 * size(filter(g, x -> size(filter(g, y -> y = x)) > 1))) div size(g)"))
+        when(col("ng") === 0, lit(0L))
+          .otherwise(expr("(1000 * dup_mass) div ng"))
           .as("dup_bigram_milli"))
       .withColumn("kept",
         col("top_word_milli") <= 200 && col("dup_bigram_milli") <= 200)
@@ -4370,9 +4408,19 @@ object DataOps {
     * entry too — the corpus_select/clean_corpus pattern at full depth.
     */
   def trainingSet(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the two expensive flag frames ONCE (executor-local
+    // checkpoint — each is a bare doc_id list). Without this the fully
+    // inlined composition ran 53 s/run at sf0.1 vs ~10 s for its parts:
+    // the hygiene and decontamination pipelines land under broadcast
+    // builds inside one mega-plan, where AQE's stage-at-a-time
+    // re-optimization re-planned and re-executed their shared subtrees.
+    // Checkpointing is also the semantic statement: a release manifest
+    // summarizes the SAME materialized keep-set the release shipped.
     val kept = cleanCorpus(spark, dir).filter(col("kept")).select("doc_id")
+      .localCheckpoint(true)
     val clean = decontaminate(spark, dir)
       .filter(!col("contaminated")).select("doc_id")
+      .localCheckpoint(true)
     val sp = splitAssign(spark, dir).select(col("doc_id"), col("split"))
     docs(spark, dir)
       .join(kept, "doc_id").join(clean, "doc_id").join(sp, "doc_id")
