@@ -64,13 +64,27 @@ object Bench {
     // slower box" from a plan regression. See BenchTelemetry's scaladoc
     // for which counters are exact and which are codec-sensitive.
     val telem = new BenchTelemetry(spark.sparkContext)
+    // Evaluation mode. Default `count` measures the operator pipeline but
+    // lets column pruning delete unreferenced output expressions — which
+    // hid an O(n²) per-doc metric in doc_quality/doc_repetition for six
+    // rounds (only a composition that referenced the column paid it).
+    // `SPARK_GRAFT_EVAL=materialize` writes every query to the noop sink
+    // instead: all output columns evaluate, nothing prunable. Run it
+    // periodically as the hidden-cost audit; `count` stays the graded
+    // default so round-over-round numbers remain comparable.
+    val materialize = sys.env.get("SPARK_GRAFT_EVAL").contains("materialize")
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                runs: Int): Seq[(Double, BenchTelemetry.Counters)] =
       (1 to runs).flatMap { _ =>
         telem.reset()
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try {
+            val df = fn(spark, sfDir)
+            if (materialize) df.write.mode("overwrite").format("noop").save()
+            else df.count()
+            true
+          }
           catch { case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -126,8 +140,13 @@ object Bench {
     // run overwrote the committed full-surface artifact once (r6), and a
     // 4-query record masquerading as the graded benchmark destroys the
     // round's performance history.
+    // A materialize-mode run writes its own artifact — it measures a
+    // deliberately different (strictly heavier) contract and must never
+    // masquerade as the graded count-based record.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "bench_dev.json" else "bench_full.json")
+      if (only.isDefined) "bench_dev.json"
+      else if (materialize) "bench_materialized.json"
+      else "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
