@@ -25,7 +25,12 @@ class PartitionDeterminismSpec extends SparkSpec {
   private val heavy = Seq("html_extract", "dedup_cluster_star",
     "cluster_keep_best", "lsh_recall", "corpus_select",
     "dedup_paragraphs", "dup_windows", "doc_rarity",
-    "dedup_spans", "hash_embed", "value_outliers")
+    "dedup_spans", "hash_embed", "value_outliers",
+    // r10 additions in this spec's risk class: an in-row sorted tree
+    // hash (manifest), a LOCF window over a generated spine (gap_fill),
+    // a cumulative-flag window (islands), and the deepest composition
+    // (training_set joins three materialized flag frames)
+    "corpus_manifest", "gap_fill", "islands_coverage", "training_set")
 
   private def hash(df: DataFrame): String = {
     val cols = df.columns.sorted
