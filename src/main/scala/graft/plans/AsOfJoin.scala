@@ -207,4 +207,30 @@ object AsOfJoin {
       timed(pick(lPlan.output, leftTime, "left"), "left"),
       timed(pick(rOut, rightTime, "right"), "right")))
   }
+
+  /** FORWARD as-of through the SAME physical operator: for each left
+    * row, the right row with the SMALLEST time ≥ left time. Negation is
+    * an order-reversing bijection on event time, so
+    * forward-asof(t) ≡ backward-asof(−t) — largest −rt ≤ −t ⟺ smallest
+    * rt ≥ t, with equality (inclusivity) preserved — and the operator's
+    * whole contract (one buffered row, ClusteredDistribution, sorted
+    * merge, null-extension) carries over untouched. Timestamps negate
+    * through `unix_micros` (bigint); the helper columns are dropped from
+    * the output, so callers see exactly the input columns back.
+    */
+  def asofForward(left: DataFrame, leftKey: String, leftTime: String,
+                  right: DataFrame, rightKey: String, rightTime: String): DataFrame = {
+    val neg = "__asof_neg_t"
+    def negate(df: DataFrame, t: String): DataFrame = {
+      val c = df.schema(t).dataType match {
+        case TimestampType =>
+          org.apache.spark.sql.functions.unix_micros(df(t))
+        case _ => df(t)
+      }
+      df.withColumn(neg, org.apache.spark.sql.functions.negate(c))
+    }
+    asof(negate(left, leftTime), leftKey, neg,
+         negate(right, rightTime), rightKey, neg)
+      .drop(neg)
+  }
 }

@@ -40,6 +40,25 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("forward direction equals the composed forward form (time negation)") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val composed = RefOps.asofJoinForward(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val e = Tables(spark, sf, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val native = AsOfJoin.asofForward(c, "user_id", "ts", p, "p_user", "p_ts")
+        .collect()
+        .map(r => (r.getLong(2), r.getLong(0),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+      withClue(s"$sf: ") { native shouldBe composed }
+    }
+  }
+
   test("plans as AsOfJoinExec over two sorted, co-partitioned children") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
     val p = e.filter(col("event_type") === "purchase")
