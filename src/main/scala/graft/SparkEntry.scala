@@ -524,20 +524,8 @@ object SparkEntry {
          tot AS (SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b
                  FROM cells)
          SELECT lang, len_bucket, n_a, n_b,
-                abs((1000 * n_a) // tot_a - (1000 * n_b) // tot_b)::BIGINT
-                  AS drift_milli
-         FROM cells, tot""",
-    "corpus_drift" ->
-      """WITH t AS (SELECT lang, least(n_chars // 256, 15) AS len_bucket,
-                      (CAST(substr(source, 4) AS INT) < 10)::BIGINT AS in_a
-                    FROM documents),
-         cells AS (SELECT lang, len_bucket, sum(in_a)::BIGINT AS n_a,
-                     sum(1 - in_a)::BIGINT AS n_b
-                   FROM t GROUP BY 1, 2),
-         tot AS (SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b
-                 FROM cells)
-         SELECT lang, len_bucket, n_a, n_b,
-                abs((1000 * n_a) // tot_a - (1000 * n_b) // tot_b)::BIGINT
+                abs((1000 * n_a) // nullif(tot_a, 0)
+                    - (1000 * n_b) // nullif(tot_b, 0))::BIGINT
                   AS drift_milli
          FROM cells, tot""",
     "corpus_manifest" ->

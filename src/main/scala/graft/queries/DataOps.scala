@@ -3520,9 +3520,15 @@ object DataOps {
            sum(lit(1L) - col("in_a")).as("n_b"))
     cachedScope(cells) {
       val tot = cells.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+      // nullif guards the empty-cohort degenerate case: Spark's div yields
+      // NULL on zero but DuckDB's // raises, so without the guard the query
+      // and its oracle DIVERGE (one nulls, one errors) when every document
+      // lands on one side of the split. nullif pins both engines to the
+      // same defined answer: NULL drift for a cohortless comparison.
       cells.crossJoin(broadcast(tot))
         .select(col("lang"), col("len_bucket"), col("n_a"), col("n_b"),
-          abs(expr("(1000 * n_a) div tot_a") - expr("(1000 * n_b) div tot_b"))
+          abs(expr("(1000 * n_a) div nullif(tot_a, 0)")
+              - expr("(1000 * n_b) div nullif(tot_b, 0)"))
             .as("drift_milli"))
     }
   }

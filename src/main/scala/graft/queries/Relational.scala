@@ -464,13 +464,23 @@ object Relational {
     * frame, not a per-row rescan).
     */
   def rollingRevenueRange(spark: SparkSession, dir: String): DataFrame = {
-    // o_orderdate arrives NTZ or LTZ depending on the writer (see
-    // Tables.eventTimeColumns — orders is deliberately unnormalized);
-    // the cast accepts both and the UTC session makes epoch-days exact
-    val o = t(spark, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"),
+    // o_orderdate arrives NTZ, LTZ, or raw nanos-as-long depending on the
+    // writer generation (see Tables.eventTimeColumns — orders is
+    // deliberately unnormalized). The LongType branch matters: a
+    // bigint→timestamp CAST would interpret the value as SECONDS and
+    // yield garbage days silently, so nanos divide straight to epoch-days
+    // in integer space; for the timestamp flavors the cast accepts both
+    // and the UTC session makes epoch-days exact.
+    val raw = t(spark, dir, "orders")
+    val dayCol = raw.schema("o_orderdate").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("o_orderdate div 86400000000000")
+      case _ =>
         expr("unix_micros(CAST(o_orderdate AS timestamp)) div 86400000000")
-          .as("day"),
+    }
+    val o = raw
+      .select(col("o_custkey"), col("o_orderkey"),
+        dayCol.as("day"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
       .rangeBetween(-30, 0)

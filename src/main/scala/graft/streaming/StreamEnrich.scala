@@ -27,22 +27,40 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   */
 object StreamEnrich {
 
+  /** One micro-batch's enrichment, written idempotently: the output is
+    * partitioned by `_batch_id` and each batch dynamically OVERWRITES
+    * only its own partition. `foreachBatch` + plain parquet `append` is
+    * at-least-once — a failure between the batch's write and the
+    * checkpoint commit replays the batch on restart and duplicates its
+    * rows; keying the physical layout on the (checkpoint-stable) batch
+    * id makes the replay rewrite the same partition instead, restoring
+    * exactly-once output without a transactional sink.
+    */
+  def enrichBatch(batch: DataFrame, batchId: Long, dimPath: String,
+                  outPath: String): Unit = {
+    val dim = broadcast(batch.sparkSession.read.parquet(dimPath))
+    batch.join(dim, Seq("key"), "left")
+      .withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(s"$outPath/data")
+  }
+
   /** Enrich `stream` (must carry `key`) with the dimension parquet at
     * `dimPath` (columns `key`, ...), re-read at every micro-batch; each
-    * enriched batch is appended to `outPath` as parquet. Left join: a
-    * key missing from the dimension must not DROP the event (the
-    * dimension lags the stream by publication cadence) — it flows
-    * through with null enrichment for a later backfill.
+    * enriched batch lands under `outPath/data/_batch_id=N` via
+    * [[enrichBatch]] (idempotent on replay). Left join: a key missing
+    * from the dimension must not DROP the event (the dimension lags the
+    * stream by publication cadence) — it flows through with null
+    * enrichment for a later backfill.
     */
   def enrichToParquet(spark: SparkSession, stream: DataFrame, dimPath: String,
                       outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outPath/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dim = broadcast(batch.sparkSession.read.parquet(dimPath))
-        batch.join(dim, Seq("key"), "left")
-          .write.mode("append").parquet(s"$outPath/data")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        enrichBatch(batch, batchId, dimPath, outPath)
       }
 }

@@ -211,6 +211,22 @@ class EventAnalyticsSpec extends SparkSpec {
       .filter(col("drift_milli") =!= 0).count() shouldBe 0L
   }
 
+  test("corpus_drift: an empty cohort yields NULL drift, not an error") {
+    // Degenerate source distribution: every document on the A side of the
+    // substr(source,4)<10 split. Unguarded, Spark's div nulls while
+    // DuckDB's // raises — the nullif guard pins both engines to the same
+    // defined answer (NULL drift for a cohortless comparison).
+    val dir = tmpDir("drift-degenerate")
+    Tables(spark, sf, "documents")
+      .withColumn("source", lit("src1"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = DataOps.corpusDrift(spark, dir).cache()
+    out.count() should be > 0L
+    out.filter(col("drift_milli").isNotNull).count() shouldBe 0L
+    out.agg(sum(col("n_b"))).head.getLong(0) shouldBe 0L
+    out.unpersist()
+  }
+
   test("corpus_manifest: the content hash is a function of the SET, not the order") {
     val base = DataOps.corpusManifest(spark, sf)
     // identical input content under a hostile physical layout (different

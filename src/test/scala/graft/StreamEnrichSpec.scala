@@ -69,4 +69,24 @@ class StreamEnrichSpec extends SparkSpec {
     r2("e1") shouldBe Some("v1-one")
     r2.size shouldBe 4
   }
+
+  test("a replayed batch overwrites its own partition — no duplicate rows") {
+    // foreachBatch is at-least-once: a crash between the batch's write and
+    // the checkpoint commit re-runs the batch on restart. The sink keys the
+    // physical layout on the batch id (dynamic partition overwrite), so the
+    // replay rewrites the same partition instead of appending a second copy.
+    val dim = tmpDir("enrich-dim2") + "/dim"
+    val out = tmpDir("enrich-out2")
+    writeDim(dim, Seq(1L -> "one"))
+    val batch = spark.createDataFrame(
+      Seq(1L -> "e1", 2L -> "e2").map { case (k, v) =>
+        org.apache.spark.sql.Row(k, v) }.asJava, inSchema)
+    StreamEnrich.enrichBatch(batch, 0L, dim, out)
+    StreamEnrich.enrichBatch(batch, 0L, dim, out) // the replay
+    val rows = spark.read.parquet(s"$out/data")
+    rows.count() shouldBe 2L
+    // and a NEW batch id lands alongside, untouched by the replay
+    StreamEnrich.enrichBatch(batch.filter(col("key") === 2L), 1L, dim, out)
+    spark.read.parquet(s"$out/data").count() shouldBe 3L
+  }
 }

@@ -82,6 +82,43 @@ class TablesFlavorSpec extends SparkSpec {
       s"NTZ cutoff not pushed to parquet:\n$plan")
   }
 
+  test("rollingRevenueRange agrees across all three o_orderdate flavors") {
+    // orders is deliberately UNNORMALIZED in Tables (a wrapping projection
+    // would block the literal-comparison queries' parquet pushdown), so
+    // every orders consumer that derives values from o_orderdate must
+    // branch on the physical type itself. The nanos flavor is the sharp
+    // edge: bigint→timestamp CAST reads SECONDS, so an unbranched cast
+    // yields garbage days silently while the DuckDB oracle reads real
+    // timestamps — this pins the LongType branch added in r11.
+    val dir = tmpDir("orders-flavors")
+    // orders is unnormalized by design, so the slice arrives in whatever
+    // flavor the current driver generation wrote — normalize to LTZ first
+    // so each derived flavor starts from the same instants.
+    val base = Tables(spark, sf, "orders").limit(50)
+      .withColumn("o_orderdate", col("o_orderdate").cast(TimestampType))
+      .cache()
+    base.write.parquet(s"$dir/ltz/orders.parquet")
+    base.withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+      .write.parquet(s"$dir/ntz/orders.parquet")
+    base.withColumn("o_orderdate", unix_micros(col("o_orderdate")) * 1000L)
+      .write.parquet(s"$dir/nanos/orders.parquet")
+    base.unpersist()
+    val frames = Seq("ltz", "ntz", "nanos").map { f =>
+      f -> Relational.rollingRevenueRange(spark, s"$dir/$f")
+    }
+    val ref = frames.head._2
+    ref.count() shouldBe 50L
+    // days must be real epoch-days (post-1970 testdata), not the tiny
+    // values a seconds-misread would produce
+    val minDay = ref.agg(min(col("day"))).head().getLong(0)
+    minDay should be > 1000L
+    for ((f, d) <- frames.tail)
+      withClue(s"flavor $f vs ltz: ") {
+        d.except(ref).count() shouldBe 0L
+        ref.except(d).count() shouldBe 0L
+      }
+  }
+
   test("the unix_micros query family runs against NTZ-flavored input") {
     val dir = writeFlavors()
     // The four queries that vanished from the r9 record: resolving at all
