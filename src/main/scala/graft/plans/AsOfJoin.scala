@@ -16,14 +16,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *
   * Semantics: for each left row, the single right row with the same key
   * and the LARGEST right-time ≤ left-time (null-extended when none) —
-  * "the state as of this event". The composed form
-  * ([[graft.queries.RefOps.asofJoin]]: union + last-ignoring-nulls
-  * window) remains the graded DEFAULT and the Spark-first answer; this
-  * operator exists because the composition has a real cost the native
-  * form does not: it materializes the union of both inputs through the
-  * window buffer and carries every column of both sides through the
-  * sort, where the native exec streams the two sorted children through
-  * a constant-memory per-partition merge (two pointers, one buffered
+  * "the state as of this event". This operator IS the graded
+  * `asof_join`/`asof_join_forward` path (r11 — the better plan carries
+  * the oracle); the composed form ([[graft.queries.RefOps
+  * .asofJoinComposed]]: union + last-ignoring-nulls window) is retained
+  * as the executable specification it is equivalence-tested against.
+  * The native form wins because the composition has a real cost it does
+  * not: it materializes the union of both inputs through the window
+  * buffer and carries every column of both sides through the sort,
+  * where the native exec streams the two sorted children through a
+  * constant-memory per-partition merge (two pointers, one buffered
   * match row — no window frame, no union blow-up). Same
   * shuffle-and-sort count (one keyed Exchange + Sort per side, exactly
   * a SortMergeJoin's requirement), strictly less memory and row

@@ -170,16 +170,55 @@ object RefOps {
       .groupBy(col("et")).agg(count(lit(1)).as("n"))
 
   /** Event-time AS-OF join: each click joined to the user's latest
-    * purchase at-or-before it. Spark has no native as-of operator; the
-    * scale-right re-expression is union + ordered window with
-    * last(ignoreNulls) — ONE shuffle on the key and a linear scan per
-    * user, versus the range-join rewrite whose inequality predicate
-    * explodes quadratically per key. Purchases collapse to one row per
-    * (user, ts) first (max event_id) so the at-tie winner is
-    * deterministic in both engines; at equal timestamps the purchase
-    * sorts before the click (kind ordinal), matching ASOF's `>=`.
+    * purchase at-or-before it, served by the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]: custom LogicalPlan → Strategy →
+    * AsOfJoinExec) — the plan you want at scale: both sides shuffle and
+    * sort on the key exactly once (a SortMergeJoin's requirement, elided
+    * entirely on bucketed inputs) and merge with ONE buffered row of
+    * state, where the composed union+window alternative
+    * ([[asofJoinComposed]], kept as the executable spec) pushes the
+    * union of both inputs through a window buffer. Purchases collapse
+    * to one row per (user, ts) first (max event_id) so the at-tie
+    * winner is deterministic in both engines; the operator's `<=` match
+    * is tie-inclusive, matching ASOF's `>=` convention.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (c, p) = asofSides(spark, dir)
+    graft.plans.AsOfJoin.asof(c, "user_id", "ts", p, "p_user", "p_ts")
+      .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts_s"),
+        col("p_id").as("prior_purchase"))
+  }
+
+  /** The click/purchase sides shared by both as-of directions: purchases
+    * deduped to one row per (user, ts), right-side columns re-named so
+    * the self-derived join is unambiguous. The purchase side is
+    * pre-clustered on user_id ALONE before the (user, ts) dedup:
+    * HashPartitioning(user_id) satisfies the aggregation's
+    * ClusteredDistribution(user_id, ts) AND the as-of exec's
+    * ClusteredDistribution(user_id), so the right side pays ONE
+    * Exchange reused by both operators instead of an (user, ts) agg
+    * shuffle followed by a user_id re-shuffle — the exchange-reuse
+    * discipline that matters when the purchase table is 100 TB.
+    */
+  private def asofSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    (c, p)
+  }
+
+  /** The union + last-ignoring-nulls window encoding of [[asofJoin]] —
+    * the Spark-first composition (one keyed shuffle, linear per-user
+    * scan, no quadratic range-join blow-up) retained as the executable
+    * specification the native operator is equivalence-tested against
+    * (`AsOfJoinNativeSpec`). At equal timestamps the purchase sorts
+    * before the click (kind ordinal), matching ASOF's `>=`.
+    */
+  def asofJoinComposed(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
     val p = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))
@@ -201,15 +240,28 @@ object RefOps {
 
   /** FORWARD as-of: each click matched to the user's NEXT purchase at or
     * after it — [[asofJoin]]'s mirror (lead-time / time-to-conversion
-    * analytics where backward as-of is attribution). Same union+window
-    * shape, frame reversed to (current row → unbounded following) with
+    * analytics where backward as-of is attribution), served by the SAME
+    * native operator through time negation ([[graft.plans.AsOfJoin
+    * .asofForward]]: forward-asof(t) ≡ backward-asof(−t), inclusivity
+    * preserved). Identical scale shape as the backward entry: one keyed
+    * Exchange + Sort per side, constant-memory merge.
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val (c, p) = asofSides(spark, dir)
+    graft.plans.AsOfJoin.asofForward(c, "user_id", "ts", p, "p_user", "p_ts")
+      .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts_s"),
+        col("p_id").as("next_purchase"))
+  }
+
+  /** The reversed-frame union+window encoding of [[asofJoinForward]] —
+    * executable spec for the native forward path (`AsOfJoinNativeSpec`).
+    * Frame is (current row → unbounded following) with
     * `first(ignoreNulls)`; the tie order flips to `kind DESC` so a
     * same-microsecond purchase sorts AFTER the click inside the frame
     * and the match stays INCLUSIVE at equality, mirroring the backward
-    * form's same-ts semantics. One user-keyed shuffle, per-user window
-    * partitions — the identical scale shape as the backward entry.
+    * form's same-ts semantics.
     */
-  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+  def asofJoinForwardComposed(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
     val p = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))

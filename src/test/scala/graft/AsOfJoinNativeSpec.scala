@@ -5,57 +5,47 @@ import org.apache.spark.sql.functions._
 import graft.plans.AsOfJoin
 import graft.queries.{RefOps, Tables}
 
-/** The native as-of operator must agree EXACTLY with the composed
-  * union+window form (the graded `asof_join`) on the real events table,
-  * plan with the SortMergeJoin shuffle shape, and handle the null /
-  * no-match / self-join edges the operator contract promises.
+/** The native as-of operator carries the graded `asof_join`/
+  * `asof_join_forward` entries (r11); the composed union+window form
+  * (`RefOps.asofJoinComposed` / `asofJoinForwardComposed`) is the
+  * executable specification it must agree with EXACTLY on the real
+  * events table. Also pins the SortMergeJoin shuffle shape and the
+  * null / no-match / self-join edges the operator contract promises.
   */
 class AsOfJoinNativeSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def viaComposed(sf: String): Set[(Long, Long, Option[Long])] =
-    RefOps.asofJoin(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1),
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Option[Long])] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
 
-  private def viaNative(sf: String): Set[(Long, Long, Option[Long])] = {
-    val e = Tables(spark, sf, "events")
-    // same pre-aggregation as the graded query: unique (user_id, ts) on
-    // the right so equal-time ties cannot make either form ambiguous
-    val p = e.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
-    val c = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"))
-    AsOfJoin.asof(c, "user_id", "ts", p, "p_user", "p_ts")
-      .collect()
-      .map(r => (r.getLong(2), r.getLong(0),
-        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
-  }
-
-  test("equals the composed union+window form on events at two SFs") {
+  test("graded native path equals the composed union+window spec at two SFs") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      withClue(s"$sf: ") { viaNative(sf) shouldBe viaComposed(sf) }
+      withClue(s"$sf: ") {
+        rowSet(RefOps.asofJoin(spark, sf)) shouldBe
+          rowSet(RefOps.asofJoinComposed(spark, sf))
+      }
     }
   }
 
-  test("forward direction equals the composed forward form (time negation)") {
+  test("forward graded path equals the composed forward spec (time negation)") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val composed = RefOps.asofJoinForward(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
-      val e = Tables(spark, sf, "events")
-      val p = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("p_id"))
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val native = AsOfJoin.asofForward(c, "user_id", "ts", p, "p_user", "p_ts")
-        .collect()
-        .map(r => (r.getLong(2), r.getLong(0),
-          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
-      withClue(s"$sf: ") { native shouldBe composed }
+      withClue(s"$sf: ") {
+        rowSet(RefOps.asofJoinForward(spark, sf)) shouldBe
+          rowSet(RefOps.asofJoinForwardComposed(spark, sf))
+      }
+    }
+  }
+
+  test("the graded entries execute through AsOfJoinExec") {
+    for ((name, q) <- Seq(
+        "asof_join" -> (RefOps.asofJoin _),
+        "asof_join_forward" -> (RefOps.asofJoinForward _))) {
+      val plan = q(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      withClue(s"$name: ") { plan should include("AsOfJoin") }
     }
   }
 

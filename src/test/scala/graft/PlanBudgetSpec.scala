@@ -71,7 +71,8 @@ class PlanBudgetSpec extends SparkSpec {
     "rolling_revenue_range" -> 1,
     // the two tree-hash levels: (lang, bucket) then lang
     "corpus_manifest" -> 2,
-    // purchase pre-agg + the user-keyed union window
+    // native AsOfJoinExec: one keyed Exchange per side, the purchase
+    // pre-agg reusing the right side's user_id partitioning
     "asof_join_forward" -> 2)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
