@@ -115,6 +115,11 @@ object SparkEntry {
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
+    // Integer faces of the quantizer family (r11: codes are exact ints,
+    // only float reconstructions stay spec-bounded).
+    "int8_codes" -> (DataOps.quantizeCodes _),
+    "kmeans_assign" -> (DataOps.kmeansAssignments _),
+    "pq_codes" -> (DataOps.pqCodes _),
     "dedup_embedding" -> (DataOps.dedupEmbedding _),
     "redact_pii" -> (DataOps.redactPii _),
     "corpus_select" -> (DataOps.corpusSelect _),

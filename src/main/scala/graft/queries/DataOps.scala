@@ -2557,6 +2557,55 @@ object DataOps {
                      x -> CAST(round(x * 127.0 / maxabs) AS TINYINT)) END""")
           .as("q8"))
 
+  /** The INTEGER face of [[quantizeEmbeddings]], graded against the
+    * DuckDB oracle (r10 verdict #4: the codes are exact integers — only
+    * the float reconstruction needs spec bounds). Exploded to one row
+    * per (vec_id, pos) so the compare is scalar-typed; the arithmetic
+    * `round(x·127/maxabs)` is bit-deterministic cross-engine (float→
+    * double promotion is exact, both engines round half away from
+    * zero). Same zero-shuffle per-row shape as the parent.
+    */
+  def quantizeCodes(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("q8")).as(Seq("pos", "code")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        col("code").cast("int").as("code"))
+
+  /** The INTEGER face of [[kmeansLloyd]] (k=8, iters=3), graded against
+    * a DuckDB oracle that unrolls the same three Lloyd assignment
+    * passes. Bit-determinism rests on the order-pinned folds both
+    * engines share: centroid means are ascending-sorted-value sums
+    * (`sort_array` fold here, `list_sort`+`list_aggregate` there) and
+    * distance folds run in dimension order, so the argmin sees
+    * identical doubles on both sides. Output is the pure integer
+    * assignment; dist2 stays spec-bounded in KMeansSpec.
+    */
+  def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
+    kmeansLloyd(spark, dir)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+
+  /** The INTEGER face of [[annPq]]'s encoder: each vector's M=8
+    * sub-quantizer codes, graded against a DuckDB oracle that runs all
+    * eight per-subspace k-means trainings as ONE unrolled SQL chain
+    * keyed on the subspace id. Codes are the training assignment
+    * itself (quantizer-consistent by construction); ADC scores and
+    * reconstructions remain spec-bounded in AnnPqSpec.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("emb"))
+    e.cache()
+    try {
+      (0 until PqM).map { m =>
+        val sub = e.select(col("vec_id"),
+          expr(s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding"))
+        kmeansLloydOn(sub, PqK, PqIters)._1
+          .select(col("vec_id"), lit(m).as("m"),
+            col("cluster").cast("int").as("code"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+    } finally { e.unpersist(blocking = false); () }
+  }
+
   /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 5)
     * is broadcast; every partition scores its vectors locally. Ranking is
     * on the ROUNDED score with vec_id tie-break so both engines rank
@@ -3681,10 +3730,81 @@ object DataOps {
         $iters"""
     }
 
+    // Unrolled Lloyd k-means over `embeddings`, the [[hostRankCtes]]
+    // discipline: every CTE carries a subspace id `m` so ONE chain
+    // trains all subspaces at once (m = 0 trivially for the full-vector
+    // case). Bit-determinism vs the Spark side rests on the shared
+    // order-pinned folds: distance adds in dimension order
+    // (`list_sort` on pos = `zip_with`+`aggregate`'s index order) and
+    // centroid means sum ascending-sorted values (= `sort_array` fold),
+    // so both engines see identical doubles at every argmin.
+    def kmeansCtes(k: Int, iters: Int, subDim: Option[Int]): String = {
+      val eSql = subDim match {
+        case Some(d) =>
+          s"""e AS (SELECT vec_id, ((u.pos - 1) // $d)::INT AS m,
+                      ((u.pos - 1) % $d) + 1 AS pos, u.v AS v FROM ev)"""
+        case None =>
+          "e AS (SELECT vec_id, 0 AS m, u.pos AS pos, u.v AS v FROM ev)"
+      }
+      val steps = (0 until iters).map { t =>
+        val assign = s"""
+          d$t AS (SELECT e.m, e.vec_id, c.cid,
+                   list_aggregate(list_transform(
+                     list_sort(list({'p': e.pos,
+                                     's': (e.v - c.c) * (e.v - c.c)})),
+                     x -> x.s), 'sum') AS d2
+                 FROM e JOIN c$t c ON c.m = e.m AND c.pos = e.pos
+                 GROUP BY e.m, e.vec_id, c.cid),
+          a$t AS (SELECT m, vec_id, cid AS cluster
+                  FROM (SELECT m, vec_id, cid,
+                          row_number() OVER (PARTITION BY m, vec_id
+                                             ORDER BY d2, cid) AS rn
+                        FROM d$t) WHERE rn = 1)"""
+        val update = if (t == iters - 1) "" else s""",
+          c${t + 1} AS (SELECT a.m, a.cluster AS cid, e.pos,
+                   list_aggregate(list_sort(list(e.v)), 'sum')
+                     / count(*) AS c
+                 FROM e JOIN a$t a ON a.m = e.m AND a.vec_id = e.vec_id
+                 GROUP BY a.m, a.cluster, e.pos)"""
+        assign + update
+      }.mkString(",\n")
+      s"""
+        WITH ev AS (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> {'pos': i, 'v': embedding[i]::DOUBLE})) AS u
+             FROM embeddings),
+        $eSql,
+        init AS (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT $k),
+        c0 AS (SELECT e.m,
+                 (dense_rank() OVER (PARTITION BY e.m ORDER BY e.vec_id)
+                   - 1)::INT AS cid,
+                 e.pos, e.v AS c
+               FROM e JOIN init USING (vec_id)),
+        $steps"""
+    }
+
     val base = Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
            count(*) AS n_docs FROM documents GROUP BY 1""",
+      "int8_codes" -> """
+        WITH ex AS (SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                 AS maxabs,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> {'pos': i - 1, 'v': embedding[i]})) AS u
+             FROM embeddings)
+        SELECT vec_id, u.pos::INT AS pos,
+               CASE WHEN maxabs = 0.0 THEN 0
+                    ELSE round(u.v::DOUBLE * 127.0 / maxabs)::INT
+               END AS code
+        FROM ex""",
+      "kmeans_assign" -> s"""
+        ${kmeansCtes(k = 8, iters = 3, subDim = None)}
+        SELECT vec_id, cluster::INT AS cluster FROM a2""",
+      "pq_codes" -> s"""
+        ${kmeansCtes(k = PqK, iters = PqIters, subDim = Some(PqSubDim))}
+        SELECT vec_id, m::INT AS m, cluster::INT AS code FROM a1""",
       "dedup_minhash_lsh" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

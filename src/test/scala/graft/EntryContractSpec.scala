@@ -32,8 +32,8 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
   test("the surface only grows: the graded-query count floor ratchets") {
     // a refactor that drops map entries (e.g. a bad merge of the two
     // big literal maps) shrinks the graded surface silently — pin the
-    // floor at the r10 count
-    SparkEntry.queries.size should be >= 110
-    SparkEntry.oracleSql.size should be >= 110
+    // floor at the r11 count (114 + int8_codes/kmeans_assign/pq_codes)
+    SparkEntry.queries.size should be >= 117
+    SparkEntry.oracleSql.size should be >= 117
   }
 }
