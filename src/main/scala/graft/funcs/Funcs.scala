@@ -55,8 +55,22 @@ object Funcs {
 
   /** F6 — sink-side processing-time stamp, truncated to seconds to match
     * the reference's second-granular CURRENT_TIMESTAMP.
+    *
+    * Replay/backfill seam: a run that sets `spark.graft.processedAt`
+    * (session conf, `yyyy-MM-dd HH:mm:ss`) stamps that LOGICAL run time
+    * instead of the wall clock. The reference's Processed_at churns on
+    * every re-run (its one non-idempotent column); a logical stamp makes
+    * a reprocessing run byte-stable — the property that lets
+    * GoldenReplaySpec reconstruct the reference sink's full 97-row state
+    * cohort-for-cohort, and that a production backfill needs anyway
+    * (rows should carry the data's run time, not the repair's).
     */
-  def processedNow(): Column = date_trunc("SECOND", current_timestamp())
+  def processedNow(): Column = {
+    val fixed = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.processedAt", "")
+    if (fixed.isEmpty) date_trunc("SECOND", current_timestamp())
+    else to_timestamp(lit(fixed))
+  }
 
   /** P5 — author cleanup: strip the "By " prefix PhocusWire renders
     * (reference: PhocusWire/PhocusWireSource.py:160-163).

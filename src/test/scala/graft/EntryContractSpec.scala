@@ -36,4 +36,38 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
     SparkEntry.queries.size should be >= 117
     SparkEntry.oracleSql.size should be >= 117
   }
+
+  test("the committed materialized-mode audit covers every graded query") {
+    // r10's lesson institutionalized: count()-based benching lets column
+    // pruning delete output expressions, which hid an O(n²) per-doc
+    // metric for six rounds. The noop-sink audit (SPARK_GRAFT_EVAL=
+    // materialize → bench_materialized.json) evaluates every output
+    // column; this ratchet makes it part of the GATE — a query added
+    // without re-running the audit, or an audit run that failed a
+    // query, fails here by name. Regenerate with:
+    //   SPARK_GRAFT_EVAL=materialize sbt "runMain graft.Bench"
+    val path = Seq("bench_materialized.json", "/root/repo/bench_materialized.json")
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+    withClue("bench_materialized.json missing — run the materialized audit: ") {
+      path.isDefined shouldBe true
+    }
+    val json = java.nio.file.Files.readString(path.get)
+    // the artifact is one JSON object; the queries map's keys are exactly
+    // the successfully-timed queries (failures are excluded from it)
+    val timedKeys = """"queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1))
+      .getOrElse(fail("no queries object in bench_materialized.json"))
+    val covered = "\"([a-z0-9_]+)\":".r.findAllMatchIn(timedKeys)
+      .map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet.diff(covered)
+    withClue(s"graded queries absent from the materialized audit " +
+      s"(stale artifact? failed run?): ${missing.toSeq.sorted.mkString(", ")} ") {
+      missing shouldBe empty
+    }
+    val failed = """"failed":\[([^\]]*)\]""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    withClue(s"materialized audit recorded failures: $failed ") {
+      failed.trim shouldBe empty
+    }
+  }
 }

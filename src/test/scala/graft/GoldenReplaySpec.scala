@@ -77,4 +77,68 @@ class GoldenReplaySpec extends SparkSpec {
     }
     got.toSeq shouldBe expected
   }
+
+  test("the COMPLETE 97-row reference sink state reconstructs byte-for-byte") {
+    // The reference's data/articles.db holds two ingestion runs' merged
+    // output: 82 articles stamped 2025-08-03 09:12:45 and 15 stamped
+    // 09:13:02 (80 Skift / 17 Phocuswire, 5 NULL authors, every
+    // Phocuswire id carrying the double-slash link quirk). Replaying the
+    // two cohorts as two incremental runs through the production merge
+    // path — with the logical-run-time seam supplying each run's
+    // Processed_at — must reproduce ALL SEVEN columns of every row.
+    val lines = {
+      val in = getClass.getResourceAsStream("/reference_articles_97.tsv")
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.getLines().toVector finally src.close()
+    }
+    val rows = lines.map { l =>
+      val f = l.split("\t", -1)
+      (f(0), f(1), f(2), if (f(3) == "\\N") null else f(3), f(4), f(5), f(6))
+    }
+    rows.size shouldBe 97
+    rows.count(_._4 == null) shouldBe 5
+    rows.count(_._6 == "Skift") shouldBe 80
+    rows.count(_._6 == "Phocuswire") shouldBe 17
+    // every Phocuswire link carries the double-slash quirk the byte-exact
+    // md5 ids depend on
+    rows.filter(_._6 == "Phocuswire")
+      .count(_._2.contains(".com//")) shouldBe 17
+
+    val cohorts = Seq("2025-08-03 09:12:45", "2025-08-03 09:13:02")
+    val byCohort = rows.groupBy(_._7)
+    byCohort.keySet shouldBe cohorts.toSet
+    byCohort(cohorts.head).size shouldBe 82
+    byCohort(cohorts.last).size shouldBe 15
+
+    def toArticles(rs: Seq[(String, String, String, String, String, String, String)]) =
+      rs.map { case (_, link, title, author, pub, source, processed) =>
+        Article(
+          articleId = java.security.MessageDigest.getInstance("MD5")
+            .digest(link.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+          newsLink = link, newsTitle = title, authorName = Option(author),
+          newsPublishedTime = Timestamp.valueOf(pub.replace('T', ' ')),
+          sourceName = source,
+          processedAt = Timestamp.valueOf(processed))
+      }
+
+    val store = new ArticleStore(spark, tmpDir("golden97"))
+    try {
+      for (cohort <- cohorts) {
+        // the logical run time: merge stamps every surviving row with it
+        spark.conf.set("spark.graft.processedAt", cohort)
+        Pipeline.runIncremental(spark, store,
+          Seq(toDf(toArticles(byCohort(cohort)))))
+      }
+    } finally spark.conf.unset("spark.graft.processedAt")
+
+    val got = ArticleStore.renderServing(store.read()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+      .toSet
+    val expected = rows.map { case (id, link, title, author, pub, source, processed) =>
+      (id, link, title, author, pub, source, processed)
+    }.toSet
+    got.size shouldBe 97
+    got shouldBe expected
+  }
 }
