@@ -138,6 +138,23 @@ object SparkEntry {
     "split_assign" -> (DataOps.splitAssign _),
     "pack_sequences" -> (DataOps.packSequences _),
     "decontaminate" -> (DataOps.decontaminate _),
+    // r11: curation additions — rule gate, contamination fraction,
+    // deterministic epoch shuffle, token-budget cut, TF-IDF top terms.
+    "gopher_gates" -> (DataOps.gopherGates _),
+    "contamination_score" -> (DataOps.contaminationScore _),
+    "epoch_shuffle" -> (DataOps.epochShuffle _),
+    "token_budget_select" -> (DataOps.tokenBudgetSelect _),
+    "tfidf_topterms" -> (DataOps.tfidfTopTerms _),
+    // r11: the recall monitor's 100 TB binding graded at the pinned
+    // default sample (cost ÷ denom² on the quadratic truth side).
+    "lsh_recall_sampled" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      DataOps.lshRecallSampled(s, d)),
+    "curriculum_order" -> (DataOps.curriculumOrder _),
+    "ngram_novelty" -> (DataOps.ngramNovelty _),
+    "tokenizer_fertility" -> (DataOps.tokenizerFertility _),
+    "quality_calibration" -> (DataOps.qualityCalibration _),
+    "minhash_containment" -> (DataOps.minhashContainment _),
+    "window_cooccurrence" -> (DataOps.windowCooccurrence _),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.

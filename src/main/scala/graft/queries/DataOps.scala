@@ -577,9 +577,10 @@ object DataOps {
     * (SampledRecallSpec pins subset + flag agreement + the recall
     * estimate at two SFs) — the estimate converges as the sample grows,
     * and the exact side's cost falls by denom² (pairs need BOTH endpoints
-    * sampled). Spec-bounded binding, not a graded query: output depends
-    * on the sampling parameter, and the full operator already carries the
-    * oracle.
+    * sampled). Graded at the pinned default denom (r11): the oracle is
+    * the full monitor's SQL restricted to pairs with both endpoints in
+    * the same md5-mod draw — the subset property SampledRecallSpec pins
+    * is exactly what makes that restriction the correct oracle.
     */
   def lshRecallSampled(spark: SparkSession, dir: String,
                        denom: Int = 4): DataFrame = {
@@ -3599,6 +3600,336 @@ object DataOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  // --------------------------------------------- r11: curation additions
+
+  private val GopherMinWords = 20L
+  private val GopherMaxWords = 90L
+  private val GopherMinLenMilli = 3000L
+  private val GopherMaxLenMilli = 8000L
+  private val GopherStopwords = Seq("the", "a")
+  private val GopherMinStops = 2L
+  private val GopherMaxTopMilli = 200L
+
+  /** Gopher-style per-rule quality gate (Rae et al. 2021, §A.1.1 —
+    * public rule set): word-count bounds, mean-word-length bounds, a
+    * minimum stopword count, and the top-word repetition cap, each
+    * surfaced as its OWN boolean next to the quantity it tested — the
+    * form a curation run audits ("how many docs failed WHICH rule"),
+    * where [[docQuality]]'s single blended score answers a different
+    * question (rankable quality). All integer arithmetic (per-mille
+    * mean length / top-word share), so every boolean is engine-exact.
+    * Scale: pure per-row map work over one scan — no shuffle at all;
+    * the rule columns are codegen'd array folds.
+    */
+  def gopherGates(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(transform(w, t -> length(t)), cast(0 as bigint), (a, x) -> a + x)")
+          .as("sl"),
+        size(filter(col("w"),
+          t => GopherStopwords.map(s => t === s).reduce(_ || _)))
+          .cast("long").as("stop_count"),
+        maxRunExpr("w").as("mx"))
+      .select(col("doc_id"), col("n_words"),
+        expr("(1000 * sl) div n_words").as("mean_len_milli"),
+        col("stop_count"),
+        expr("(1000 * mx) div n_words").as("top_word_milli"))
+      .withColumn("r_words",
+        col("n_words").between(GopherMinWords, GopherMaxWords))
+      .withColumn("r_word_len",
+        col("mean_len_milli").between(GopherMinLenMilli, GopherMaxLenMilli))
+      .withColumn("r_stop", col("stop_count") >= GopherMinStops)
+      .withColumn("r_rep", col("top_word_milli") <= GopherMaxTopMilli)
+      .withColumn("kept",
+        col("r_words") && col("r_word_len") && col("r_stop") && col("r_rep"))
+
+  /** Benchmark-contamination SCORE — [[decontaminate]]'s graded sibling
+    * answers "is the doc contaminated at all" (any shared shingle); this
+    * answers "how much": per-mille fraction of the doc's distinct
+    * shingles that appear in the eval suite, the number a release report
+    * actually plots (and the knob for a threshold softer than
+    * any-overlap). Same eval cohort (doc_id % 97), same shingle dialect,
+    * so `contamination_milli > 0 ⟺ decontaminate.contaminated` — a
+    * cross-operator consistency spec pins that equivalence.
+    * Scale: the eval side is bounded by the suite (thousands of docs,
+    * not a corpus fraction) ⇒ its distinct shingle set broadcasts; the
+    * corpus side then never shuffles by shingle — one partial-aggregable
+    * groupBy(doc_id) is the only wide edge.
+    */
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    cachedScope(ex) {
+      val evalSh = ex.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+      ex.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          expr("(1000 * n_hit) div n_shingles").as("contamination_milli"))
+    }
+  }
+
+  private val ShuffleSeed = "ep1:"
+
+  /** Deterministic global training-order shuffle with a DENSE rank —
+    * the "shuffle the corpus before sharding epochs" step, derandomized:
+    * order = md5(seed || doc_id), so the permutation is a pure function
+    * of (seed, id set), reproducible across runs/engines and re-keyable
+    * per epoch by changing the seed. The scale point is HOW the dense
+    * global rank is computed without a single-partition window: bucket
+    * by the key's first byte (256 uniform buckets — a key-prefix range
+    * partitioning), rank within buckets in parallel, then add per-bucket
+    * base offsets from a 256-row cumulative count (broadcast). Bucket-
+    * major + in-bucket key order = global key order, so the result is
+    * byte-equal to the oracle's naive `row_number() OVER (ORDER BY key)`
+    * — which Spark would otherwise execute as a 1-partition sort at any
+    * scale.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), col("doc_id"))).as("k"))
+      .withColumn("bucket", conv(substring(col("k"), 1, 2), 16, 10).cast("int"))
+    val sizes = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    // 256-row frame: the unpartitioned window is bounded by construction
+    val bases = sizes.select(col("bucket"),
+      (sum(col("bn")).over(Window.orderBy(col("bucket"))) - col("bn")).as("base"))
+    keyed.join(broadcast(bases), "bucket")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), (col("base") + col("rk")).as("shuffle_rank"))
+  }
+
+  private val BudgetMilli = 600L
+
+  /** Token-budget selection with a DOC-GRANULAR boundary: keep documents
+    * best-quality-first until the cumulative token count reaches 60% of
+    * the corpus — the "fill the training budget with the best data"
+    * step. [[mixtureSelect]] decides at LAYER granularity (a whole
+    * score stratum in or out, per language); this cuts INSIDE the
+    * boundary layer at exact document granularity, which is what a hard
+    * token target needs. Same two-phase shape that makes that exact cut
+    * scale: per-score token sums (≤ 1401 rows — the score space is
+    * bounded by construction) → tiny cumulative window → broadcast the
+    * per-layer base offsets back; the only per-doc window partitions by
+    * score_milli WITHIN the boundary layer's stratum, never globally.
+    * The greedy prefix is inclusive (a doc is kept iff the running total
+    * THROUGH it fits), tie-broken by doc_id — byte-equal to the oracle's
+    * single global cumulative window.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScoredOn(toks(spark, dir), Nil)
+      .select(col("doc_id"), col("score_milli"), col("n").cast("long").as("n_tokens"))
+    cachedScope(scored) {
+      val layers = scored.groupBy(col("score_milli")).agg(sum(col("n_tokens")).as("ln"))
+      val bases = layers.select(col("score_milli"),
+        (sum(col("ln")).over(Window.orderBy(col("score_milli").desc)) - col("ln"))
+          .as("cum_before"))
+      val budget = scored.agg(
+        expr(s"(sum(n_tokens) * $BudgetMilli) div 1000").as("b"))
+      scored.join(broadcast(bases), "score_milli")
+        .crossJoin(broadcast(budget))
+        .withColumn("in_layer_cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("score_milli")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), col("score_milli"), col("n_tokens"),
+          (col("cum_before") + col("in_layer_cum") <= col("b")).as("kept"))
+    }
+  }
+
+  private val ContainmentThreshold = 0.9
+
+  /** CONTAINMENT reranking of the production LSH candidate pool —
+    * |A ∩ B| / min(|A|, |B|), the asymmetric-duplicate metric Jaccard
+    * suppresses (a short doc fully embedded in a long one scores
+    * containment ≈ 1 but Jaccard ≈ |A|/|B|): the boilerplate-inclusion
+    * detector run NEXT TO [[dedupMinhashLsh]] on the same candidates.
+    * Scope is explicit: candidates come from the MinHash bands, which
+    * approximate JACCARD — a containment-high/Jaccard-low pair outside
+    * the candidate pool is not surfaced (a true containment index would
+    * stratify prefixes by size; at 100 TB that is a different first
+    * stage, same reranker). Cost envelope identical to the dedup path:
+    * same banded candidate shuffle, same per-pair array intersect.
+    */
+  def minhashContainment(spark: SparkSession, dir: String): DataFrame = {
+    val big = shingled(spark, dir)
+    cachedScope(big) {
+      lshCandidates(big, BandBucketCap)
+        .join(big.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(big.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double").as("i"),
+          least(size(col("sa.sh")), size(col("sb.sh"))).cast("double").as("mn"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i") / col("mn"), 3).as("containment"))
+        .filter(col("containment") >= ContainmentThreshold)
+    }
+  }
+
+  private val CoocWindow = 4
+  private val CoocMinCount = 5L
+
+  /** Windowed term co-occurrence with integer PMI — the collocation
+    * statistic (phrase mining, stopword detection, embedding-free word
+    * association) over unordered token pairs within [[CoocWindow]]
+    * positions. pmi_milli = 1000·c_ab·N ÷ (c_a·c_b) is the per-mille
+    * pointwise-mutual-information RATIO (the log is monotone — ranking
+    * and thresholds agree with true PMI, and the integer form grades
+    * exactly; at corpora where c_ab·N nears 2⁶³ the log-domain float is
+    * the binding, as with N10's t-digest escape hatch). Shape: the pair
+    * explode is CoocWindow·N rows of per-row map work; pair counts are
+    * one partial-aggregable shuffle; unigram counts are
+    * vocabulary-bounded and BROADCAST back — no second corpus shuffle.
+    */
+  def windowCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val pairCols = (1 to CoocWindow).map { d =>
+      when(size(col("w")) > d, expr(
+        s"""transform(sequence(1, size(w) - $d), i ->
+            concat(least(element_at(w, i), element_at(w, i + $d)), ' ',
+                   greatest(element_at(w, i), element_at(w, i + $d))))"""))
+        .otherwise(expr("cast(array() as array<string>)"))
+    }
+    val pairs = t.select(explode(concat(pairCols: _*)).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CoocMinCount)
+    val uni = t.select(explode(col("w")).as("t"))
+    cachedScope(uni) {
+      val uc = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(count(lit(1)).as("total"))
+      pairs
+        .select(split(col("p"), " ").getItem(0).as("t1"),
+          split(col("p"), " ").getItem(1).as("t2"), col("c_ab"))
+        .join(broadcast(uc.withColumnRenamed("t", "t1")
+          .withColumnRenamed("c", "c_a")), "t1")
+        .join(broadcast(uc.withColumnRenamed("t", "t2")
+          .withColumnRenamed("c", "c_b")), "t2")
+        .crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("c_ab"),
+          expr("(1000 * c_ab * total) div (c_a * c_b)").as("pmi_milli"))
+    }
+  }
+
+  private val CurriculumSeed = "cur1:"
+
+  /** Curriculum ordering: the epoch shuffle composed with the quality
+    * signal — docs ordered best-quality-stratum-first, shuffled WITHIN
+    * each stratum (curriculum learning's standard corpus order: easy/
+    * clean first, random inside a difficulty band). Same dense-rank-
+    * without-global-sort construction as [[epochShuffle]], with a
+    * two-level bucket (score_milli ÷ 100 stratum × key first byte):
+    * per-cell counts (≤ 15·256 rows) → tiny cumulative window in
+    * (stratum DESC, byte ASC) order → broadcast base offsets + parallel
+    * per-cell ranks. Byte-equal to the oracle's naive single window over
+    * (stratum DESC, md5 key, doc_id).
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = qualityScoredOn(toks(spark, dir), Nil)
+      .select(col("doc_id"), col("score_milli"),
+        expr("score_milli div 100").as("qb"),
+        md5(concat(lit(CurriculumSeed), col("doc_id"))).as("k"))
+      .withColumn("byte", conv(substring(col("k"), 1, 2), 16, 10).cast("int"))
+    val sizes = keyed.groupBy(col("qb"), col("byte")).agg(count(lit(1)).as("bn"))
+    val bases = sizes.select(col("qb"), col("byte"),
+      (sum(col("bn")).over(
+        Window.orderBy(col("qb").desc, col("byte"))) - col("bn")).as("base"))
+    keyed.join(broadcast(bases), Seq("qb", "byte"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qb"), col("byte"))
+          .orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("score_milli"),
+        (col("base") + col("rk")).as("curriculum_rank"))
+  }
+
+  /** Per-document n-gram NOVELTY in arrival order — the fraction of a
+    * doc's distinct shingles that no earlier doc (smaller doc_id)
+    * already contributed: the marginal-information metric a crawl
+    * prioritizer ranks frontier hosts by, and the batch mirror of what
+    * [[graft.sink.SignatureIndex]] computes incrementally. Shape: the
+    * "who introduced each shingle" frame is ONE partial-aggregable
+    * min(doc_id) shuffle on the shingle key; the join back is
+    * co-partitioned on that same key (no second distribution), then one
+    * groupBy(doc_id). No all-pairs anything — this is the linear-cost
+    * face of cross-doc overlap, where the recall monitors' exact truth
+    * join is the quadratic one.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    cachedScope(ex) {
+      val first = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+      ex.join(first, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(1000 * n_novel) div n_shingles").as("novelty_milli"))
+    }
+  }
+
+  /** Tokenizer fertility per language — subword units per whitespace
+    * word (the metric that decides whether a tokenizer under-serves a
+    * language and its docs get token-budget-inflated): corpus-level
+    * sums of [[tokenCounts]]'s columns per lang, fertility in exact
+    * per-mille. One partial-aggregable shuffle onto the bounded lang
+    * key; everything upstream is per-row map work.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws"),
+        expr("""aggregate(transform(split(text, ' '), t -> (length(t) + 3) div 4),
+                cast(0 AS bigint), (a, x) -> a + x)""").as("sw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("sw")).as("subwords"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("subwords"),
+        expr("(1000 * subwords) div ws_tokens").as("fertility_milli"))
+
+  /** Quality-gate calibration: the [[docQuality]] score gate × the
+    * [[classifierInfer]] learned gate as a 2×2 agreement table with
+    * per-cell score/logit mass — the "do my two quality signals agree,
+    * and where do they disagree" audit run before swapping gates in a
+    * curation pipeline. Both inputs are graded queries; the oracle
+    * nests both SQLs verbatim (the corpus_select discipline), so drift
+    * in either gate fails this entry too. Output is 4 rows; the rollup
+    * is one bounded-key shuffle over two already-aggregated frames.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    docQuality(spark, dir).select(col("doc_id"), col("score_milli"), col("kept"))
+      .join(classifierInfer(spark, dir), "doc_id")
+      .groupBy(col("kept"), col("flagged"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_milli")).as("score_sum"),
+        sum(col("logit")).as("logit_sum"))
+
+  private val TfidfTopK = 3
+
+  /** Per-document top-K salient terms by TF·IDF with an INTEGER idf
+    * surrogate (idf_milli = 1000·N ÷ df — order-isomorphic to 1/df, and
+    * exact where a float log's last ulp is engine-divergent): the
+    * keyword/topic fingerprint step of a curation report, and the
+    * per-doc companion of the corpus-level [[keywordSearch]] BM25
+    * ranking. Scale: tf is one partial-aggregable shuffle on (doc,
+    * term); df aggregates THAT frame (vocabulary-bounded output) and
+    * broadcasts back; the top-K window partitions per document — no
+    * global sort anywhere.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = toks(spark, dir).select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    cachedScope(tf) {
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * expr("(1000 * n_docs) div df"))
+        .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("term"))).cast("long"))
+        .filter(col("rk") <= TfidfTopK)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rk"))
+    }
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -4176,6 +4507,13 @@ object DataOps {
         SELECT doc_id, min(rep)::BIGINT AS cluster_rep,
                (doc_id = min(rep)) AS keeper
         FROM r GROUP BY doc_id"""
+    // shared by classifier_infer and the r11 quality_calibration nest
+    val classifierSql = s"""
+        WITH x AS (${base("hash_embed")})
+        SELECT doc_id,
+               sum(weight * ((dim * 2654435761) % 1001 - 500))::BIGINT AS logit,
+               sum(weight * ((dim * 2654435761) % 1001 - 500)) > 0 AS flagged
+        FROM x GROUP BY 1"""
     base ++ Map(
       // the chunk generators are pure per-row arithmetic in both engines
       "chunk_documents" -> s"""
@@ -4403,12 +4741,7 @@ object DataOps {
                (SELECT count(*) FROM (${base("dedup_minhash_lsh")}) p)::BIGINT AS near_dup_pairs""",
       // linear inference over the hashed embedding: hash_embed nested
       // verbatim, weights replayed by the same integer formula
-      "classifier_infer" -> s"""
-        WITH x AS (${base("hash_embed")})
-        SELECT doc_id,
-               sum(weight * ((dim * 2654435761) % 1001 - 500))::BIGINT AS logit,
-               sum(weight * ((dim * 2654435761) % 1001 - 500)) > 0 AS flagged
-        FROM x GROUP BY 1""",
+      "classifier_infer" -> classifierSql,
       // crawl-to-crawl diff: both derived crawls and the hash compare
       // replayed verbatim
       "corpus_diff" -> """
@@ -4511,6 +4844,203 @@ object DataOps {
         FROM (${base("dedup_paragraphs")}) p
         JOIN (${base("doc_repetition")}) r ON r.doc_id = p.doc_id
         JOIN (${base("doc_quality")}) q ON q.doc_id = p.doc_id""",
+      // r11: per-rule Gopher gate — the quadratic max-run mirror, the
+      // same integer per-mille arithmetic as the Spark plan
+      "gopher_gates" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                list_aggregate(list_transform(w, t -> length(t)), 'sum')::BIGINT AS sl,
+                len(list_filter(w, x -> x IN (${GopherStopwords.map(s => s"'$s'").mkString(", ")})))::BIGINT AS stop_count,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t))))::BIGINT AS mx
+              FROM toks),
+        r AS (SELECT doc_id, n_words,
+                ((1000 * sl) // n_words)::BIGINT AS mean_len_milli, stop_count,
+                ((1000 * mx) // n_words)::BIGINT AS top_word_milli
+              FROM m)
+        SELECT doc_id, n_words, mean_len_milli, stop_count, top_word_milli,
+               (n_words BETWEEN $GopherMinWords AND $GopherMaxWords) AS r_words,
+               (mean_len_milli BETWEEN $GopherMinLenMilli AND $GopherMaxLenMilli) AS r_word_len,
+               (stop_count >= $GopherMinStops) AS r_stop,
+               (top_word_milli <= $GopherMaxTopMilli) AS r_rep,
+               ((n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+                AND (mean_len_milli BETWEEN $GopherMinLenMilli AND $GopherMaxLenMilli)
+                AND stop_count >= $GopherMinStops
+                AND top_word_milli <= $GopherMaxTopMilli) AS kept
+        FROM r""",
+      // r11: contamination per-mille — decontaminate's shingle dialect,
+      // counts instead of a boolean
+      "contamination_score" -> """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM toks WHERE len(w) >= 3),
+        ev AS (SELECT DISTINCT s FROM shx WHERE doc_id % 97 = 0)
+        SELECT shx.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               ((1000 * sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT)
+                 // count(*))::BIGINT AS contamination_milli
+        FROM shx LEFT JOIN ev ON ev.s = shx.s
+        WHERE shx.doc_id % 97 != 0
+        GROUP BY shx.doc_id""",
+      // r11: the full recall monitor restricted to the md5-mod sample —
+      // valid because the sampled monitor's rows are a subset of the
+      // full monitor's with identical flags (SampledRecallSpec)
+      "lsh_recall_sampled" -> {
+        def samp(e: String) =
+          s"""((${hd(s"md5($e::VARCHAR)", 1)}::BIGINT * 268435456
+               + ${hd(s"md5($e::VARCHAR)", 2)}::BIGINT * 16777216
+               + ${hd(s"md5($e::VARCHAR)", 3)}::BIGINT * 1048576
+               + ${hd(s"md5($e::VARCHAR)", 4)}::BIGINT * 65536
+               + ${hd(s"md5($e::VARCHAR)", 5)}::BIGINT * 4096
+               + ${hd(s"md5($e::VARCHAR)", 6)}::BIGINT * 256
+               + ${hd(s"md5($e::VARCHAR)", 7)}::BIGINT * 16
+               + ${hd(s"md5($e::VARCHAR)", 8)}::BIGINT) % 4 = 0)"""
+        s"""
+        SELECT r.doc_a, r.doc_b, r.jaccard, r.found_by_lsh
+        FROM (SELECT exq.doc_a, exq.doc_b, exq.jaccard,
+                     (lshq.doc_a IS NOT NULL) AS found_by_lsh
+              FROM (${ngramSql("0.8")}) exq
+              LEFT JOIN (${base("dedup_minhash_lsh")}) lshq
+                ON lshq.doc_a = exq.doc_a AND lshq.doc_b = exq.doc_b) r
+        WHERE ${samp("r.doc_a")} AND ${samp("r.doc_b")}"""
+      },
+      // r11: the naive single-window form the bucketed plan must equal
+      "epoch_shuffle" -> s"""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY md5('$ShuffleSeed' || doc_id), doc_id)
+                 ::BIGINT AS shuffle_rank
+        FROM documents""",
+      // r11: one global cumulative window — the executable spec of the
+      // two-phase bucketed cut
+      "token_budget_select" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS mx
+              FROM toks),
+        s AS (SELECT doc_id, n::BIGINT AS n_tokens,
+                ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                 + 200 - (200 * mx) // n)::BIGINT AS score_milli
+              FROM m),
+        b AS (SELECT ((sum(n_tokens) * $BudgetMilli) // 1000)::BIGINT AS b FROM s)
+        SELECT doc_id, score_milli, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY score_milli DESC, doc_id)
+                 <= (SELECT b FROM b)) AS kept
+        FROM s""",
+      // r11: containment over the SAME banded candidate pool as
+      // dedup_minhash_lsh — its CTE chain with the verification metric
+      // swapped for i / min(|A|, |B|)
+      "minhash_containment" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        sig AS (SELECT doc_id, $mh FROM shx),
+        bnd AS (SELECT doc_id, $bands FROM sig),
+        bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
+        gen AS (SELECT doc_id, u.b AS b, u.h AS h,
+                       row_number() OVER (PARTITION BY u.b, u.h ORDER BY doc_id) AS rk
+                FROM bl),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM gen a JOIN bl b ON a.b = b.u.b AND a.h = b.u.h
+                  AND a.doc_id < b.doc_id
+                 WHERE a.rk <= $BandBucketCap),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT i2.doc_a, i2.doc_b,
+               round(i2.i::DOUBLE / least(sa.n, sb.n), 3) AS containment
+        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
+        JOIN sz sb ON sb.doc_id = i2.doc_b
+        WHERE round(i2.i::DOUBLE / least(sa.n, sb.n), 3) >= $ContainmentThreshold""",
+      // r11: windowed co-occurrence with per-mille PMI ratio
+      "window_cooccurrence" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        px AS (SELECT unnest(flatten(list_transform([1, 2, 3, 4], d ->
+                 list_transform(range(1, len(w) - d + 1), i ->
+                   least(w[i], w[i+d]) || ' ' || greatest(w[i], w[i+d]))))) AS p
+               FROM toks),
+        pc AS (SELECT p, count(*)::BIGINT AS c_ab FROM px GROUP BY 1
+               HAVING count(*) >= $CoocMinCount),
+        ux AS (SELECT unnest(w) AS t FROM toks),
+        uc AS (SELECT t, count(*)::BIGINT AS c FROM ux GROUP BY 1),
+        n AS (SELECT count(*)::BIGINT AS total FROM ux)
+        SELECT split_part(pc.p, ' ', 1) AS t1, split_part(pc.p, ' ', 2) AS t2,
+               pc.c_ab,
+               ((1000 * pc.c_ab * n.total) // (ca.c * cb.c))::BIGINT AS pmi_milli
+        FROM pc
+        CROSS JOIN n
+        JOIN uc ca ON ca.t = split_part(pc.p, ' ', 1)
+        JOIN uc cb ON cb.t = split_part(pc.p, ' ', 2)""",
+      // r11: quality-stratified shuffle — one naive window, stratum
+      // first, md5 key inside
+      "curriculum_order" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS mx
+              FROM toks),
+        s AS (SELECT doc_id,
+                ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                 + 200 - (200 * mx) // n)::BIGINT AS score_milli
+              FROM m)
+        SELECT doc_id, score_milli,
+               row_number() OVER (ORDER BY score_milli // 100 DESC,
+                 md5('$CurriculumSeed' || doc_id), doc_id)::BIGINT
+                 AS curriculum_rank
+        FROM s""",
+      // r11: who introduced each shingle — linear-cost cross-doc overlap
+      "ngram_novelty" -> """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM toks WHERE len(w) >= 3),
+        f AS (SELECT s, min(doc_id) AS first_doc FROM shx GROUP BY 1)
+        SELECT shx.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN f.first_doc = shx.doc_id THEN 1 ELSE 0 END)::BIGINT
+                 AS n_novel,
+               ((1000 * sum(CASE WHEN f.first_doc = shx.doc_id THEN 1 ELSE 0 END)::BIGINT)
+                 // count(*))::BIGINT AS novelty_milli
+        FROM shx JOIN f USING (s)
+        GROUP BY shx.doc_id""",
+      // r11: per-lang subword fertility
+      "tokenizer_fertility" -> """
+        WITH t AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS ws,
+                     list_aggregate(list_transform(string_split(text, ' '),
+                       x -> (length(x) + 3) // 4), 'sum')::BIGINT AS sw
+                   FROM documents)
+        SELECT lang, count(*)::BIGINT AS n_docs, sum(ws)::BIGINT AS ws_tokens,
+               sum(sw)::BIGINT AS subwords,
+               ((1000 * sum(sw)::BIGINT) // sum(ws)::BIGINT)::BIGINT
+                 AS fertility_milli
+        FROM t GROUP BY lang""",
+      // r11: 2x2 gate agreement — both component SQLs nested verbatim
+      "quality_calibration" -> s"""
+        SELECT q.kept, c.flagged, count(*)::BIGINT AS n_docs,
+               sum(q.score_milli)::BIGINT AS score_sum,
+               sum(c.logit)::BIGINT AS logit_sum
+        FROM (${base("doc_quality")}) q
+        JOIN ($classifierSql) c ON c.doc_id = q.doc_id
+        GROUP BY 1, 2""",
+      // r11: integer-idf TF-IDF top terms
+      "tfidf_topterms" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tx AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tx GROUP BY 1, 2),
+        dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1),
+        nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        sc AS (SELECT t.doc_id, t.term, t.tf,
+                 (t.tf * ((1000 * nd.n_docs) // d.df))::BIGINT AS score
+               FROM tfc t JOIN dfc d USING (term) CROSS JOIN nd),
+        rk AS (SELECT doc_id, term, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term)::BIGINT AS rk
+               FROM sc)
+        SELECT doc_id, term, tf, score, rk FROM rk WHERE rk <= $TfidfTopK""",
     )
   }
 

@@ -174,11 +174,14 @@ object GenTestData {
       concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
       length(col("text")).as("n_chars")), "documents")
 
-    // embeddings: 64-dim float32, near-uniform in [-1, 1)
+    // embeddings: 64-dim float32, near-uniform in [-1, 1); label 0..9
+    // near-uniform (the inspected sf0.1 shape — its omission failed
+    // embedding_centroids in the first sf1 bench run)
     write(spark.range(nEmb).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)),
         d => (pmod(xxhash64(col("id") * 64 + d, lit(38)), lit(2000001))
-          .cast("double") / 1000000.0 - 1.0).cast("float")).as("embedding")),
+          .cast("double") / 1000000.0 - 1.0).cast("float")).as("embedding"),
+      pmod(xxhash64(col("id"), lit(39)), lit(10)).cast("int").as("label")),
       "embeddings")
 
     spark.stop()
