@@ -155,6 +155,8 @@ object SparkEntry {
     "quality_calibration" -> (DataOps.qualityCalibration _),
     "minhash_containment" -> (DataOps.minhashContainment _),
     "window_cooccurrence" -> (DataOps.windowCooccurrence _),
+    "simhash_recall_sampled" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      DataOps.simhashRecallSampled(s, d)),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.

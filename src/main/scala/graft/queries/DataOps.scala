@@ -585,10 +585,30 @@ object DataOps {
   def lshRecallSampled(spark: SparkSession, dir: String,
                        denom: Int = 4): DataFrame = {
     val big = shingled(spark, dir)
-    val sample = big.filter(
+    cachedScope(big) { lshRecallOn(big, hashSample(big, denom)) }
+  }
+
+  /** The deterministic md5-mod 1/denom draw shared by the sampled recall
+    * monitors (the [[stratifiedSample]] hash discipline).
+    */
+  private def hashSample(sh: DataFrame, denom: Int): DataFrame =
+    sh.filter(
       pmod(conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
         16, 10).cast("long"), lit(denom)) === 0)
-    cachedScope(big) { lshRecallOn(big, sample) }
+
+  /** [[simhashRecall]]'s 100 TB binding, graded at the pinned default —
+    * the exact mirror of [[lshRecallSampled]]: truth over the md5-mod
+    * sample (quadratic cost ÷ denom²), SimHash detector over the full
+    * corpus, rows a flag-exact subset of the full monitor's (same
+    * restriction argument, same oracle construction).
+    */
+  def simhashRecallSampled(spark: SparkSession, dir: String,
+                           denom: Int = 4): DataFrame = {
+    val big = shingled(spark, dir)
+    cachedScope(big) {
+      recallFlagOn(ngramPairsOn(hashSample(big, denom), threshold = 0.8),
+        dedupSimhash(spark, dir), "found_by_simhash")
+    }
   }
 
   /** Canonical text normalization as a graded operator. The corpus is
@@ -3937,6 +3957,17 @@ object DataOps {
     */
   val oracles: Map[String, String] = {
     def hd(e: String, p: Int) = s"(instr('0123456789abcdef', substr($e, $p, 1)) - 1)"
+    // the md5-mod 1/4 sample draw shared by the graded sampled recall
+    // monitors — mirrors the Spark side's conv(substr(md5(id), 1, 8))
+    def sampSql(e: String) =
+      s"""((${hd(s"md5($e::VARCHAR)", 1)}::BIGINT * 268435456
+           + ${hd(s"md5($e::VARCHAR)", 2)}::BIGINT * 16777216
+           + ${hd(s"md5($e::VARCHAR)", 3)}::BIGINT * 1048576
+           + ${hd(s"md5($e::VARCHAR)", 4)}::BIGINT * 65536
+           + ${hd(s"md5($e::VARCHAR)", 5)}::BIGINT * 4096
+           + ${hd(s"md5($e::VARCHAR)", 6)}::BIGINT * 256
+           + ${hd(s"md5($e::VARCHAR)", 7)}::BIGINT * 16
+           + ${hd(s"md5($e::VARCHAR)", 8)}::BIGINT) % 4 = 0)"""
     // exact n-gram Jaccard pairs at any threshold (the naive all-postings
     // join — DuckDB needs no prefix filter, and the filter is lossless,
     // so the outputs coincide); shared by ngram_jaccard and lsh_recall
@@ -4886,25 +4917,24 @@ object DataOps {
       // r11: the full recall monitor restricted to the md5-mod sample —
       // valid because the sampled monitor's rows are a subset of the
       // full monitor's with identical flags (SampledRecallSpec)
-      "lsh_recall_sampled" -> {
-        def samp(e: String) =
-          s"""((${hd(s"md5($e::VARCHAR)", 1)}::BIGINT * 268435456
-               + ${hd(s"md5($e::VARCHAR)", 2)}::BIGINT * 16777216
-               + ${hd(s"md5($e::VARCHAR)", 3)}::BIGINT * 1048576
-               + ${hd(s"md5($e::VARCHAR)", 4)}::BIGINT * 65536
-               + ${hd(s"md5($e::VARCHAR)", 5)}::BIGINT * 4096
-               + ${hd(s"md5($e::VARCHAR)", 6)}::BIGINT * 256
-               + ${hd(s"md5($e::VARCHAR)", 7)}::BIGINT * 16
-               + ${hd(s"md5($e::VARCHAR)", 8)}::BIGINT) % 4 = 0)"""
-        s"""
+      "lsh_recall_sampled" -> s"""
         SELECT r.doc_a, r.doc_b, r.jaccard, r.found_by_lsh
         FROM (SELECT exq.doc_a, exq.doc_b, exq.jaccard,
                      (lshq.doc_a IS NOT NULL) AS found_by_lsh
               FROM (${ngramSql("0.8")}) exq
               LEFT JOIN (${base("dedup_minhash_lsh")}) lshq
                 ON lshq.doc_a = exq.doc_a AND lshq.doc_b = exq.doc_b) r
-        WHERE ${samp("r.doc_a")} AND ${samp("r.doc_b")}"""
-      },
+        WHERE ${sampSql("r.doc_a")} AND ${sampSql("r.doc_b")}""",
+      // r11: the SimHash twin of lsh_recall_sampled — same restriction
+      // argument (flag-exact subset of the full monitor)
+      "simhash_recall_sampled" -> s"""
+        SELECT r.doc_a, r.doc_b, r.jaccard, r.found_by_simhash
+        FROM (SELECT exq.doc_a, exq.doc_b, exq.jaccard,
+                     (simq.doc_a IS NOT NULL) AS found_by_simhash
+              FROM (${ngramSql("0.8")}) exq
+              LEFT JOIN (${base("dedup_simhash")}) simq
+                ON simq.doc_a = exq.doc_a AND simq.doc_b = exq.doc_b) r
+        WHERE ${sampSql("r.doc_a")} AND ${sampSql("r.doc_b")}""",
       // r11: the naive single-window form the bucketed plan must equal
       "epoch_shuffle" -> s"""
         SELECT doc_id,

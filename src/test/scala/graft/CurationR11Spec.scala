@@ -225,6 +225,25 @@ class CurationR11Spec extends SparkSpec {
     expect.foreach { case (k, v) => got(k) shouldBe v }
   }
 
+  test("simhash_recall_sampled: flag-exact subset of the full monitor") {
+    val full = DataOps.simhashRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val sampled = DataOps.simhashRecallSampled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+    sampled.foreach { case (k, v) => full(k) shouldBe v }
+    // both-endpoint sampling: every full-monitor pair whose endpoints are
+    // both in the 1/4 draw must appear — the restriction is exact
+    def inSample(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 4 == 0
+    }
+    val expected = full.keySet.filter { case (a, b) => inSample(a) && inSample(b) }
+    sampled.map(_._1).toSet shouldBe expected
+  }
+
   test("tfidf_topterms: dense per-doc ranks, scores recompute for a sample") {
     val rows = DataOps.tfidfTopTerms(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -32,10 +32,10 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
   test("the surface only grows: the graded-query count floor ratchets") {
     // a refactor that drops map entries (e.g. a bad merge of the two
     // big literal maps) shrinks the graded surface silently — pin the
-    // floor at the r11 count (117 + the eleven curation additions
+    // floor at the r11 count (117 + the twelve curation additions
     // N114–N124 + the graduated sampled recall monitor)
-    SparkEntry.queries.size should be >= 129
-    SparkEntry.oracleSql.size should be >= 129
+    SparkEntry.queries.size should be >= 130
+    SparkEntry.oracleSql.size should be >= 130
   }
 
   test("the committed sf1 scale-point artifact is clean and self-consistent") {
