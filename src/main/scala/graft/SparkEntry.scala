@@ -157,6 +157,17 @@ object SparkEntry {
     "window_cooccurrence" -> (DataOps.windowCooccurrence _),
     "simhash_recall_sampled" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       DataOps.simhashRecallSampled(s, d)),
+    // r11b: corpus analytics — phrase search, vocabulary growth, Zipf
+    // head coverage, n-gram diversity, blocklist gate, template prefix,
+    // source-vocabulary Jaccard, and the sweep-line concurrency peak.
+    "phrase_search" -> (DataOps.phraseSearch _),
+    "vocab_growth" -> (DataOps.vocabGrowth _),
+    "zipf_coverage" -> (DataOps.zipfCoverage _),
+    "ngram_diversity" -> (DataOps.ngramDiversity _),
+    "blocklist_filter" -> (DataOps.blocklistFilter _),
+    "boilerplate_prefix" -> (DataOps.boilerplatePrefix _),
+    "source_vocab_jaccard" -> (DataOps.sourceVocabJaccard _),
+    "concurrency_peak" -> (Relational.concurrencyPeak _),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.
@@ -596,6 +607,29 @@ object SparkEntry {
                 (sum(new_users) OVER (ORDER BY day
                    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
          FROM d""",
+    "concurrency_peak" ->
+      """WITH pts AS (
+           SELECT event_id, ts AS tt, 1::BIGINT AS delta FROM events
+           UNION ALL
+           SELECT event_id, ts + INTERVAL 30 MINUTE AS tt, -1::BIGINT AS delta
+           FROM events),
+         pd AS (SELECT event_id, tt, delta,
+                  strftime(date_trunc('day', tt), '%Y-%m-%d') AS day
+                FROM pts),
+         b AS (SELECT day, sum(delta) AS dsum FROM pd GROUP BY 1),
+         bb AS (SELECT day,
+                  coalesce(sum(dsum) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    ::BIGINT AS base
+                FROM b),
+         r AS (SELECT pd.day,
+                 bb.base + sum(pd.delta) OVER (PARTITION BY pd.day
+                   ORDER BY pd.tt, pd.delta, pd.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+               FROM pd JOIN bb USING (day))
+         SELECT day, max(running)::BIGINT AS peak_concurrent
+         FROM r GROUP BY day""",
     "key_skew" ->
       """SELECT user_id, count(*) AS n_rows,
                 ((1000 * count(*)) // (SELECT count(*) FROM events))::BIGINT

@@ -3950,6 +3950,221 @@ object DataOps {
     }
   }
 
+  // ------------------------------------- r11b: corpus analytics additions
+
+  /** The graded phrase — two mid-frequency vocabulary tokens, so both
+    * small-SF hit counts and the selectivity argument below are real. */
+  private[graft] val PhraseA = "fast"
+  private[graft] val PhraseB = "table"
+
+  /** Positional phrase search — the quoted-query operator every corpus
+    * search surface needs next to [[keywordSearchBm25]]'s bag-of-words
+    * ranking: documents where "fast table" occurs as ADJACENT tokens,
+    * with occurrence count and first position.
+    *
+    * Scale shape: this is the positional-postings plan, not a scan-time
+    * regex — token positions for the two QUERY TERMS ONLY survive the
+    * filter (in a real vocabulary each term selects a tiny corpus
+    * fraction; a `text LIKE '%fast table%'` scan re-reads every byte of
+    * every document and can't use an index), and adjacency is one
+    * co-partitioned equi-join on the compound (doc_id, position) key —
+    * no window, no inequality join, partial-aggregable count on top.
+    * Generalizes to k-term phrases as k−1 cascaded equi-joins on the
+    * same key, each join input already term-filtered.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val pos = toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("t"))
+    val a = pos.filter(col("t") === PhraseA).select(col("doc_id"), col("p"))
+    val b = pos.filter(col("t") === PhraseB)
+      .select(col("doc_id"), (col("p") - 1).as("p"))
+    a.join(b, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("p")).as("first_pos"))
+  }
+
+  /** Vocabulary-growth (Heaps-law) checkpoints — distinct unigrams and
+    * 3-gram shingles seen in the doc_id-ordered corpus prefix at fixed
+    * checkpoints, the curve a crawl operator reads to decide whether new
+    * data still adds new language ([[ngramNovelty]] is the per-document
+    * marginal face; this is the corpus-level integral).
+    *
+    * Scale shape: "distinct seen before k" never runs a prefix-distinct —
+    * each gram's FIRST document is one partial-aggregable min() shuffle
+    * (the [[ngramNovelty]] trick), the result is vocabulary-bounded, and
+    * the checkpoint explode/count runs on that bounded frame, never the
+    * corpus. The checkpoint join is a ≤7-row broadcast by construction.
+    */
+  private[graft] val GrowthCheckpoints: Seq[Long] =
+    Seq(64L, 128L, 256L, 512L, 1024L, 4096L, 16384L)
+
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    def firstDoc(ex: DataFrame) =
+      ex.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    def atCheckpoints(first: DataFrame, name: String) =
+      first
+        .select(explode(lit(GrowthCheckpoints.toArray)).as("ck"), col("fd"))
+        .filter(col("fd") < col("ck"))
+        .groupBy(col("ck")).agg(count(lit(1)).as(name))
+    val t = toks(spark, dir)
+    val uni = firstDoc(t.select(col("doc_id"), explode(col("w")).as("g")))
+    val tri = firstDoc(shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g")))
+    val docsSeen = atCheckpoints(
+      docs(spark, dir).select(col("doc_id").as("fd")).withColumn("g", lit("d")),
+      "docs_seen")
+    docsSeen
+      .join(atCheckpoints(uni, "vocab_uni"), "ck")
+      .join(atCheckpoints(tri, "vocab_tri"), "ck")
+      .select(col("ck"), col("docs_seen"), col("vocab_uni"), col("vocab_tri"))
+  }
+
+  /** Zipf head-coverage per language: total token mass, vocabulary size,
+    * the top token's per-mille share, and k80 — the number of distinct
+    * tokens (frequency-ranked) needed to cover 80% of the mass. The
+    * "how head-heavy is this corpus" statistic that sizes tokenizer
+    * vocabularies and caches.
+    *
+    * Scale shape: the corpus pays ONE partial-aggregable shuffle onto
+    * (lang, token); the rank/cumsum window then runs over that
+    * vocabulary-bounded frame — thousands of rows per language partition
+    * regardless of corpus size — and the totals join broadcasts a
+    * lang-bounded frame. Integer per-mille comparisons throughout, so
+    * the k80 cut is engine-exact.
+    */
+  def zipfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = toks(spark, dir)
+      .select(col("lang"), explode(col("w")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    cachedScope(cnt) {
+      val ord = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tok"))
+      val tot = cnt.groupBy(col("lang")).agg(
+        sum(col("c")).as("total"), count(lit(1)).as("vocab"),
+        max(col("c")).as("cmax"))
+      cnt
+        .withColumn("rk", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(tot), "lang")
+        .groupBy(col("lang"))
+        .agg(max(col("total")).as("n_tokens"), max(col("vocab")).as("vocab"),
+          max(expr("(1000 * cmax) div total")).as("top1_milli"),
+          min(when(expr("1000 * cum >= 800 * total"), col("rk"))).as("k80"))
+    }
+  }
+
+  /** N-gram diversity (distinct-n) per language — distinct grams over
+    * total gram instances, per-mille, for n ∈ {1, 3}: the standard
+    * corpus-degeneracy metric (synthetic/templated text scores low; the
+    * corpus-level complement of [[docRepetition]]'s per-document gate).
+    *
+    * Scale shape: one union of two explodes, then a single two-phase
+    * distinct aggregation on the bounded (lang, n) key — Spark plans
+    * count(DISTINCT) as partial-distinct before the final shuffle, so
+    * the wide edge moves (lang, n, gram) triples, already deduplicated
+    * map-side.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val uni = t.select(col("lang"), lit(1L).as("n"), explode(col("w")).as("g"))
+    val tri = t.filter(size(col("w")) >= 3)
+      .select(col("lang"), lit(3L).as("n"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+           i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+                       ' ', element_at(w, i + 2)))""")).as("g"))
+    uni.unionByName(tri)
+      .groupBy(col("lang"), col("n"))
+      .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("distinct_g"))
+      .select(col("lang"), col("n"), col("total"), col("distinct_g"),
+        expr("(1000 * distinct_g) div total").as("diversity_milli"))
+  }
+
+  /** The public word-blocklist gate (C4's "bad word" rule, Raffel et al.
+    * 2020 §2.2 — any listed word drops the document). List contents here
+    * are corpus-vocabulary stand-ins; the operator is the broadcast-list
+    * membership scan. */
+  private[graft] val Blocklist = Seq("slow", "legacy", "spam")
+
+  /** Blocklist filter: per-document hit count (token instances), the
+    * number of DISTINCT blocklist words present, and the C4 any-hit
+    * keep/drop verdict.
+    *
+    * Scale shape: zero shuffles — the list rides into the plan as an
+    * array literal (a real deployment broadcasts a few-thousand-word
+    * list the same way) and both counts are codegen'd array folds over
+    * the token array in the scan projection.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val inList = Blocklist.map(b => s"'$b'").mkString(", ")
+    toks(spark, dir).select(
+      col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+      expr(s"size(filter(w, t -> t IN ($inList)))").cast("long").as("hits"),
+      expr(s"size(filter(array($inList), b -> array_contains(w, b)))")
+        .cast("long").as("kinds"))
+      .withColumn("kept", col("hits") === 0L)
+  }
+
+  private[graft] val PrefixTokens = 2
+  private[graft] val TemplateMin = 2L
+
+  /** Boilerplate-template detection by shared document prefix: documents
+    * from the SAME source opening with the same first-[[PrefixTokens]]
+    * tokens are flagged as template candidates — the site-template
+    * signal crawl curation uses before paragraph-level span dedup
+    * ([[dedupParagraphs]]) pays per-paragraph cost.
+    *
+    * Scale shape: one partial-aggregable count shuffle on the (source,
+    * prefix) key and a join back co-partitioned on the SAME key — the
+    * classic hot-key hazard (every page of a big site shares one prefix)
+    * is exactly why the count aggregates map-side first; the join's
+    * build rows are one per group, not per document.
+    */
+  def boilerplatePrefix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      expr(s"array_join(slice(split(text, ' '), 1, $PrefixTokens), ' ')")
+        .as("pfx"))
+    val grp = d.groupBy(col("source"), col("pfx"))
+      .agg(count(lit(1)).as("group_n"))
+    d.join(grp, Seq("source", "pfx"))
+      .select(col("doc_id"), col("source"), md5(col("pfx")).as("prefix_hash"),
+        col("group_n"), (col("group_n") >= TemplateMin).as("templated"))
+  }
+
+  /** Pairwise source-vocabulary Jaccard — which crawl sources speak the
+    * same language, the between-cohort face of [[corpusDrift]]'s
+    * shape-drift monitor (drift compares one cohort pair on length/lang
+    * cells; this compares every source pair on vocabulary).
+    *
+    * Scale shape: the corpus collapses to distinct (source, token) pairs
+    * first (one two-phase distinct shuffle, output ≤ |vocab|·|sources|);
+    * the pairwise self-join runs on THAT bounded frame with per-token
+    * fanout capped by the source alphabet squared, and both vocab joins
+    * broadcast a |sources|-row frame. No corpus-sized pairwise anything.
+    */
+  def sourceVocabJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sv = docs(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+    cachedScope(sv) {
+      val vocab = sv.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      sv.as("a")
+        .join(sv.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(vocab.select(col("source").as("src_a"),
+          col("v").as("vocab_a"))), "src_a")
+        .join(broadcast(vocab.select(col("source").as("src_b"),
+          col("v").as("vocab_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          col("vocab_a"), col("vocab_b"),
+          expr("(1000 * inter) div (vocab_a + vocab_b - inter)")
+            .as("jaccard_milli"))
+    }
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -5071,6 +5286,110 @@ object DataOps {
                                     ORDER BY score DESC, term)::BIGINT AS rk
                FROM sc)
         SELECT doc_id, term, tf, score, rk FROM rk WHERE rk <= $TfidfTopK""",
+      // r11b: positional phrase search — same postings-adjacency join
+      "phrase_search" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        px AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                 p -> {'p': p, 't': w[p]})) AS u FROM toks),
+        pp AS (SELECT doc_id, u.p::BIGINT AS p, u.t AS t FROM px)
+        SELECT a.doc_id, count(*)::BIGINT AS n_hits, min(a.p)::BIGINT AS first_pos
+        FROM pp a JOIN pp b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        WHERE a.t = '$PhraseA' AND b.t = '$PhraseB'
+        GROUP BY a.doc_id""",
+      // r11b: Heaps-law vocabulary growth at fixed doc-prefix checkpoints
+      "vocab_growth" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT g, min(doc_id) AS fd
+                FROM (SELECT doc_id, unnest(w) AS g FROM toks) GROUP BY 1),
+        tri AS (SELECT g, min(doc_id) AS fd
+                FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                        range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+                      FROM toks WHERE len(w) >= 3) GROUP BY 1),
+        cks AS (SELECT unnest([${GrowthCheckpoints.mkString(", ")}]::BIGINT[]) AS ck),
+        dd AS (SELECT c.ck, count(*)::BIGINT AS docs_seen
+               FROM cks c JOIN documents d ON d.doc_id < c.ck GROUP BY 1),
+        du AS (SELECT c.ck, count(*)::BIGINT AS vocab_uni
+               FROM cks c JOIN uni u ON u.fd < c.ck GROUP BY 1),
+        dt AS (SELECT c.ck, count(*)::BIGINT AS vocab_tri
+               FROM cks c JOIN tri t2 ON t2.fd < c.ck GROUP BY 1)
+        SELECT ck, docs_seen, vocab_uni, vocab_tri
+        FROM dd JOIN du USING (ck) JOIN dt USING (ck)""",
+      // r11b: Zipf head coverage per language
+      "zipf_coverage" -> """
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        cnt AS (SELECT lang, tok, count(*)::BIGINT AS c
+                FROM (SELECT lang, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(c)::BIGINT AS total, count(*)::BIGINT AS vocab,
+                       max(c)::BIGINT AS cmax
+                FROM cnt GROUP BY 1),
+        rkd AS (SELECT lang, c, tok,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY c DESC, tok)::BIGINT AS rk,
+                  sum(c) OVER (PARTITION BY lang ORDER BY c DESC, tok
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    ::BIGINT AS cum
+                FROM cnt)
+        SELECT r.lang, max(t.total)::BIGINT AS n_tokens,
+               max(t.vocab)::BIGINT AS vocab,
+               max((1000 * t.cmax) // t.total)::BIGINT AS top1_milli,
+               min(CASE WHEN 1000 * r.cum >= 800 * t.total THEN r.rk END)::BIGINT
+                 AS k80
+        FROM rkd r JOIN tot t USING (lang)
+        GROUP BY r.lang""",
+      // r11b: distinct-n diversity per language, n in {1, 3}
+      "ngram_diversity" -> """
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT lang, 1::BIGINT AS n, unnest(w) AS g FROM toks),
+        tri AS (SELECT lang, 3::BIGINT AS n,
+                       unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                FROM toks WHERE len(w) >= 3),
+        u AS (SELECT * FROM uni UNION ALL SELECT * FROM tri)
+        SELECT lang, n, count(*)::BIGINT AS total,
+               count(DISTINCT g)::BIGINT AS distinct_g,
+               ((1000 * count(DISTINCT g)) // count(*))::BIGINT AS diversity_milli
+        FROM u GROUP BY lang, n""",
+      // r11b: C4-style blocklist gate
+      "blocklist_filter" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id, len(w)::BIGINT AS n_tokens,
+               len(list_filter(w,
+                 t -> t IN (${Blocklist.map(b => s"'$b'").mkString(", ")})))::BIGINT
+                 AS hits,
+               len(list_filter([${Blocklist.map(b => s"'$b'").mkString(", ")}],
+                 b -> list_contains(w, b)))::BIGINT AS kinds,
+               len(list_filter(w,
+                 t -> t IN (${Blocklist.map(b => s"'$b'").mkString(", ")}))) = 0
+                 AS kept
+        FROM toks""",
+      // r11b: shared-prefix template detection per source
+      "boilerplate_prefix" -> s"""
+        WITH d AS (SELECT doc_id, source,
+                     array_to_string(string_split(text, ' ')[1:$PrefixTokens], ' ')
+                       AS pfx
+                   FROM documents),
+        g AS (SELECT source, pfx, count(*)::BIGINT AS group_n
+              FROM d GROUP BY 1, 2)
+        SELECT d.doc_id, d.source, md5(d.pfx) AS prefix_hash, g.group_n,
+               g.group_n >= $TemplateMin AS templated
+        FROM d JOIN g USING (source, pfx)""",
+      // r11b: pairwise source-vocabulary Jaccard
+      "source_vocab_jaccard" -> """
+        WITH sv AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        vocab AS (SELECT source, count(*)::BIGINT AS v FROM sv GROUP BY 1),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                         count(*)::BIGINT AS inter
+                  FROM sv a JOIN sv b
+                    ON a.tok = b.tok AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT i.src_a, i.src_b, i.inter,
+               va.v AS vocab_a, vb.v AS vocab_b,
+               ((1000 * i.inter) // (va.v + vb.v - i.inter))::BIGINT
+                 AS jaccard_milli
+        FROM inter i JOIN vocab va ON va.source = i.src_a
+        JOIN vocab vb ON vb.source = i.src_b""",
     )
   }
 

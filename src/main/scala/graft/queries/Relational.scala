@@ -620,4 +620,41 @@ object Relational {
            round(sum(col("value")), 2).as("total"))
       .select(col("event_type"), col("day"), col("g_type"), col("g_day"),
         col("n"), col("total"))
+
+  /** Peak concurrency per day — the sweep-line maximum of overlapping
+    * 30-minute activity intervals (each event opens a session
+    * [ts, ts+30min)), the "how many users at once" capacity statistic.
+    *
+    * Scale shape: the naive form is one GLOBAL running sum over every
+    * interval endpoint — an `Exchange SinglePartition` at any scale. This
+    * plan splits it exactly the [[graft.queries.DataOps.epochShuffle]]
+    * way: per-day delta totals (one partial-aggregable shuffle onto the
+    * bounded day key) feed a days-sized cumulative window (broadcast
+    * back as each day's carry-over base), and the within-day running sum
+    * partitions by day. End-exclusive sessions: at an equal instant the
+    * −1 sorts before the +1 (delta ascending), and the (t, delta,
+    * event_id) total order makes every intermediate prefix — hence the
+    * max — engine-identical. A skewed single day re-buckets by hour with
+    * the same base-offset trick.
+    */
+  def concurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val pts = ev.select(col("event_id"), col("ts").as("tt"), lit(1L).as("delta"))
+      .unionByName(ev.select(col("event_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("tt"),
+        lit(-1L).as("delta")))
+      .withColumn("day", date_format(date_trunc("day", col("tt")), "yyyy-MM-dd"))
+    val base = pts.groupBy(col("day")).agg(sum(col("delta")).as("dsum"))
+      .withColumn("base", coalesce(sum(col("dsum")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("base"))
+    val run = Window.partitionBy(col("day"))
+      .orderBy(col("tt"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.join(broadcast(base), "day")
+      .withColumn("running", col("base") + sum(col("delta")).over(run))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("peak_concurrent"))
+  }
 }

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.queries.{DataOps, Relational}
+
+/** r11b corpus-analytics additions: positional phrase search, Heaps-law
+  * vocabulary growth, Zipf head coverage, n-gram diversity, the C4
+  * blocklist gate, template-prefix detection, source-vocabulary Jaccard
+  * and the sweep-line concurrency peak. Exact cross-engine equality is
+  * the driver's DuckDB oracle; these pin each operator against an
+  * independent in-process recompute (driver-side Scala or the naive
+  * single-window executable spec).
+  */
+class CorpusAnalyticsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  private def docTokens: Map[Long, Array[String]] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' '))
+      .toMap
+
+  test("phrase_search: equals a driver-side adjacency recompute") {
+    val got = DataOps.phraseSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = docTokens.flatMap { case (id, w) =>
+      val hits = w.indices.dropRight(1)
+        .filter(i => w(i) == DataOps.PhraseA && w(i + 1) == DataOps.PhraseB)
+      if (hits.isEmpty) None
+      else Some(id -> (hits.size.toLong, hits.min.toLong + 1L))
+    }
+    got shouldBe want
+    got.size should be > 0
+  }
+
+  test("vocab_growth: monotone in ck and exact at every checkpoint") {
+    val rows = DataOps.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    rows.map(_._1) shouldBe DataOps.GrowthCheckpoints.sorted
+    // all three curves are non-decreasing in the checkpoint
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b._2 should be >= a._2; b._3 should be >= a._3; b._4 should be >= a._4
+    }
+    val tk = docTokens
+    rows.foreach { case (ck, seen, vu, vt) =>
+      val prefix = tk.filter(_._1 < ck)
+      seen shouldBe prefix.size.toLong
+      vu shouldBe prefix.values.flatten.toSet.size.toLong
+      vt shouldBe prefix.values.flatMap(w =>
+        w.sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSet.size.toLong
+    }
+  }
+
+  test("zipf_coverage: k80 and top1 equal a driver-side recompute") {
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tk = docTokens
+    val got = DataOps.zipfCoverage(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val byLang = tk.toSeq.groupBy { case (id, _) => langs(id) }
+    got.keySet shouldBe byLang.keySet
+    byLang.foreach { case (lang, docs) =>
+      val counts = docs.flatMap(_._2).groupBy(identity).map {
+        case (t, xs) => t -> xs.size.toLong
+      }
+      val total = counts.values.sum
+      val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      val cums = ranked.scanLeft(0L)(_ + _._2).drop(1)
+      val k80 = cums.indexWhere(c => 1000L * c >= 800L * total) + 1L
+      got(lang) shouldBe ((total, counts.size.toLong,
+        1000L * ranked.head._2 / total, k80))
+    }
+  }
+
+  test("ngram_diversity: per-mille ratios recompute exactly") {
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tk = docTokens
+    val got = DataOps.ngramDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byLang = tk.toSeq.groupBy { case (id, _) => langs(id) }
+    byLang.foreach { case (lang, docs) =>
+      val uni = docs.flatMap(_._2)
+      got((lang, 1L)) shouldBe ((uni.size.toLong, uni.toSet.size.toLong,
+        1000L * uni.toSet.size / uni.size))
+      val tri = docs.flatMap(_._2.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")))
+      got((lang, 3L)) shouldBe ((tri.size.toLong, tri.toSet.size.toLong,
+        1000L * tri.toSet.size / tri.size))
+    }
+  }
+
+  test("blocklist_filter: hits, kinds and the any-hit verdict recompute") {
+    val got = DataOps.blocklistFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    val bl = DataOps.Blocklist.toSet
+    docTokens.foreach { case (id, w) =>
+      val hits = w.count(bl.contains)
+      got(id) shouldBe ((w.length.toLong, hits.toLong,
+        bl.count(w.contains).toLong, hits == 0))
+    }
+    // the gate actually fires both ways on this corpus
+    got.values.count(_._4) should be > 0
+    got.values.count(!_._4) should be > 0
+  }
+
+  test("boilerplate_prefix: group sizes count exact (source, prefix) peers") {
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(' ').take(DataOps.PrefixTokens).mkString(" ")))
+    val sizes = meta.groupBy(m => (m._2, m._3)).map { case (k, xs) =>
+      k -> xs.length.toLong
+    }
+    val got = DataOps.boilerplatePrefix(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    got.size shouldBe meta.length
+    meta.foreach { case (id, src, pfx) =>
+      val n = sizes((src, pfx))
+      got(id) shouldBe ((src, n, n >= DataOps.TemplateMin))
+    }
+    // template groups exist at this SF (birthday collisions on a 2-token
+    // prefix over a bounded vocabulary)
+    got.values.count(_._3) should be > 0
+  }
+
+  test("source_vocab_jaccard: pairwise set overlap recomputes exactly") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(' ').toSet)
+    val vocab = rows.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).reduce(_ ++ _)
+    }
+    val got = DataOps.sourceVocabJaccard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val want = (for {
+      a <- vocab.keys; b <- vocab.keys if a < b
+      i = (vocab(a) & vocab(b)).size.toLong if i > 0
+    } yield (a, b) -> (i, vocab(a).size.toLong, vocab(b).size.toLong,
+      1000L * i / (vocab(a).size + vocab(b).size - i))).toMap
+    got shouldBe want
+    got.size should be > 0
+  }
+
+  test("concurrency_peak: equals the naive global-sweep executable spec") {
+    val got = Relational.concurrencyPeak(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.queries.Tables(spark, sf, "events")
+    val pts = ev.select(col("event_id"), col("ts").as("tt"), lit(1L).as("delta"))
+      .unionByName(ev.select(col("event_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("tt"),
+        lit(-1L).as("delta")))
+    val naive = pts
+      .withColumn("running", sum(col("delta")).over(
+        Window.orderBy(col("tt"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(date_format(date_trunc("day", col("tt")), "yyyy-MM-dd").as("day"))
+      .agg(max(col("running")).as("peak"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe naive
+    // sessions span midnight: the carry-over base must matter somewhere,
+    // i.e. at least one day's peak cannot be explained by that day's
+    // deltas alone starting from zero — sanity: peaks are all >= 1
+    got.values.foreach(_ should be >= 1L)
+  }
+}
