@@ -30,7 +30,11 @@ class PartitionDeterminismSpec extends SparkSpec {
     // hash (manifest), a LOCF window over a generated spine (gap_fill),
     // a cumulative-flag window (islands), and the deepest composition
     // (training_set joins three materialized flag frames)
-    "corpus_manifest", "gap_fill", "islands_coverage", "training_set")
+    "corpus_manifest", "gap_fill", "islands_coverage", "training_set",
+    // r11b additions in the risk class: a rank/cumsum window with a
+    // tie-broken total order (zipf) and a carry-over running sum whose
+    // every prefix must be engine- and partitioning-identical (sweep)
+    "zipf_coverage", "concurrency_peak")
 
   private def hash(df: DataFrame): String = {
     val cols = df.columns.sorted
