@@ -168,6 +168,12 @@ object SparkEntry {
     "boilerplate_prefix" -> (DataOps.boilerplatePrefix _),
     "source_vocab_jaccard" -> (DataOps.sourceVocabJaccard _),
     "concurrency_peak" -> (Relational.concurrencyPeak _),
+    "scd2_intervals" -> (Relational.scd2Intervals _),
+    "next_token_topk" -> (DataOps.nextTokenTopk _),
+    "tfidf_topk" -> (DataOps.tfidfTopk _),
+    "token_triangles" -> (DataOps.tokenTriangles _),
+    "quality_deciles" -> (DataOps.qualityDeciles _),
+    "attribution_last_touch" -> (Relational.attributionLastTouch _),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.
@@ -630,6 +636,56 @@ object SparkEntry {
                FROM pd JOIN bb USING (day))
          SELECT day, max(running)::BIGINT AS peak_concurrent
          FROM r GROUP BY day""",
+    "attribution_last_touch" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')),
+         t AS (SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+               FROM e),
+         c AS (SELECT *,
+                 last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                   OVER wl AS t_id,
+                 last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+                   OVER wl AS t_type,
+                 last_value(CASE WHEN kind = 0 THEN tu END IGNORE NULLS)
+                   OVER wl AS t_tu
+               FROM t
+               WINDOW wl AS (PARTITION BY user_id ORDER BY tu, kind, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         p AS (SELECT *, (t_tu IS NOT NULL
+                          AND tu - t_tu <= ${Relational.AttributionWindowUs})
+                 AS attributed
+               FROM c WHERE kind = 1)
+         SELECT event_id AS purchase_id, user_id, tu AS p_tu,
+                CASE WHEN attributed THEN t_id END AS touch_id,
+                CASE WHEN attributed THEN t_type END AS touch_type,
+                CASE WHEN attributed THEN t_tu END AS touch_tu,
+                attributed
+         FROM p""",
+    "scd2_intervals" ->
+      """WITH m AS (
+           SELECT user_id, event_id, ts, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+         g AS (SELECT user_id, ts, event_type,
+                 sum(CASE WHEN prev IS NULL OR prev <> event_type
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+               FROM m),
+         runs AS (SELECT user_id, grp, event_type, min(ts) AS t0,
+                         count(*)::BIGINT AS n_events
+                  FROM g GROUP BY 1, 2, 3),
+         iv AS (SELECT user_id, event_type, t0, n_events,
+                  lead(t0) OVER (PARTITION BY user_id ORDER BY grp) AS t_next
+                FROM runs)
+         SELECT user_id, event_type,
+                strftime(t0, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+                strftime(t_next, '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+                n_events, t_next IS NULL AS is_current
+         FROM iv""",
     "key_skew" ->
       """SELECT user_id, count(*) AS n_rows,
                 ((1000 * count(*)) // (SELECT count(*) FROM events))::BIGINT

@@ -4165,6 +4165,147 @@ object DataOps {
     }
   }
 
+  private[graft] val NextTopK = 3L
+
+  /** Next-token top-k — the serving face of [[sbNgramCounts]]'s n-gram
+    * LM: for EVERY context token, the [[NextTopK]] most frequent
+    * successors with a deterministic (count DESC, token ASC) rank. The
+    * autocomplete / greedy-decode table a count-based LM actually ships.
+    *
+    * Scale shape: bigram counts are one partial-aggregable shuffle whose
+    * output is vocabulary²-bounded regardless of corpus size; the top-k
+    * window partitions per context over that bounded frame. No corpus
+    * bytes move twice.
+    */
+  def nextTokenTopk(spark: SparkSession, dir: String): DataFrame = {
+    val bi = toks(spark, dir)
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+           i -> struct(element_at(w, i) AS ctx, element_at(w, i + 1) AS nxt))"""))
+        .as("p"))
+      .select(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      .groupBy(col("ctx"), col("nxt")).agg(count(lit(1)).as("cnt"))
+    bi.withColumn("rk", row_number().over(
+        Window.partitionBy(col("ctx"))
+          .orderBy(col("cnt").desc, col("nxt"))).cast("long"))
+      .filter(col("rk") <= NextTopK)
+  }
+
+  private[graft] val TfidfK = 5L
+
+  /** Per-document top-[[TfidfK]] terms by integer-scaled TF-IDF — the
+    * keyword-extraction face of [[docRarity]]: where N44 scores whole
+    * documents, this ranks the TERMS inside each document by
+    * `(1e6 · tf) div df` (the corpus-size factor is constant per corpus
+    * and drops out of a per-doc ranking; integer division keeps both
+    * engines bit-identical where a float log-idf could .5-flip).
+    * Deterministic rank order (score DESC, tok ASC).
+    *
+    * Scale shape: TF is one partial-aggregable shuffle on (doc, tok);
+    * DF aggregates the TF frame — already distinct per (doc, tok) — to
+    * a vocabulary-bounded table that BROADCASTS back onto TF; the
+    * top-k window partitions per doc_id over each doc's ≤ distinct-
+    * token frame. The corpus is tokenized once, shuffled once.
+    */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tf = toks(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score", expr("(1000000 * tf) div df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= TfidfK)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  /** Token co-occurrence triangles — the clustering-coefficient face of
+    * the graph family (N86 ranks nodes, N24 finds components; this
+    * counts the 3-cliques that make a neighborhood CLUSTERED rather
+    * than merely connected). Nodes are tokens, an edge joins two tokens
+    * that co-occur in at least one document, and each triangle is
+    * emitted once as its token-sorted triple.
+    *
+    * Scale shape: the standard degree-ordered node-iterator. Edges
+    * come from a per-doc distinct-token self-join (distinct-per-doc
+    * first, so a token repeated 500× in one doc contributes once), then
+    * global-distinct — vocabulary²-bounded output. Each edge is
+    * oriented from its (degree, token)-smaller endpoint, so every
+    * wedge is generated at its LOWEST-degree vertex: the join fan-out
+    * per vertex is min-degree², not degree² — the classic √m bound —
+    * and the closing probe is an equi-join against the oriented edge
+    * set. Degrees broadcast (vocabulary-bounded); no corpus-sized side
+    * ever re-shuffles.
+    */
+  def tokenTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val dt = toks(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
+    val edges = dt.as("x").join(dt.as("y"), "doc_id")
+      .filter(col("x.tok") < col("y.tok"))
+      .select(col("x.tok").as("a"), col("y.tok").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("tok"))
+      .unionAll(edges.select(col("b").as("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(broadcast(deg.withColumnRenamed("tok", "a")
+        .withColumnRenamed("deg", "da")), "a")
+      .join(broadcast(deg.withColumnRenamed("tok", "b")
+        .withColumnRenamed("deg", "db")), "b")
+    val o = withDeg.select(
+      when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          col("db").as("dd")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+          col("da").as("dd"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dd").as("dd"))
+    val wedge = o.as("e1").join(o.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w2"))
+    wedge.join(o.as("c"),
+        col("c.src") === col("v") && col("c.dst") === col("w2"))
+      .select(expr("array_sort(array(u, v, w2))").as("t"))
+      .select(element_at(col("t"), 1).as("t1"),
+        element_at(col("t"), 2).as("t2"),
+        element_at(col("t"), 3).as("t3"))
+  }
+
+  /** Exact global quality deciles — the curriculum-binning step: every
+    * document assigned its decile (0–9) of the [[docQuality]] score
+    * distribution, deterministic under ties via the (score, doc_id)
+    * total order. The standard trick (global `ntile`) is an Exchange
+    * SinglePartition over the corpus at any scale; this splits the
+    * global rank the N116/N132 way: scores are integer milli in
+    * [0, 1400], so the score HISTOGRAM is a ≤1401-row frame — its
+    * cumulative "docs strictly below" runs in one bounded single-
+    * partition window and broadcasts back, while the within-score
+    * row_number partitions by score_milli over the corpus. Global
+    * rank = below + within-rank, with no corpus-sized global sort.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val q = docQuality(spark, dir).select(col("doc_id"), col("score_milli"))
+    val hist = q.groupBy(col("score_milli")).agg(count(lit(1)).as("c"))
+    val below = hist.withColumn("below",
+      coalesce(sum(col("c")).over(Window.orderBy(col("score_milli"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("score_milli"), col("below"))
+    q.withColumn("wr", row_number().over(
+        Window.partitionBy(col("score_milli")).orderBy(col("doc_id"))))
+      .join(broadcast(below), "score_milli")
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("n_total"))))
+      .select(col("doc_id"), col("score_milli"),
+        expr("(10 * (below + wr - 1)) div n_total").as("decile"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -5374,6 +5515,50 @@ object DataOps {
         SELECT d.doc_id, d.source, md5(d.pfx) AS prefix_hash, g.group_n,
                g.group_n >= $TemplateMin AS templated
         FROM d JOIN g USING (source, pfx)""",
+      // r11b: next-token top-k over bigram counts
+      "next_token_topk" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bi AS (SELECT u.ctx AS ctx, u.nxt AS nxt
+               FROM (SELECT unnest(list_transform(range(1, len(w)),
+                       i -> {'ctx': w[i], 'nxt': w[i+1]})) AS u
+                     FROM toks WHERE len(w) >= 2)),
+        c AS (SELECT ctx, nxt, count(*)::BIGINT AS cnt FROM bi GROUP BY 1, 2),
+        r AS (SELECT ctx, nxt, cnt,
+                row_number() OVER (PARTITION BY ctx
+                                   ORDER BY cnt DESC, nxt)::BIGINT AS rk
+              FROM c)
+        SELECT ctx, nxt, cnt, rk FROM r WHERE rk <= $NextTopK""",
+      // r11c: per-doc top-k integer-scaled TF-IDF terms
+      "tfidf_topk" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+        df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                ((1000000 * tf.tf) // df.df)::BIGINT AS score
+              FROM tf JOIN df USING (tok)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, tok)::BIGINT AS rk FROM s)
+        SELECT doc_id, tok, tf, df, score, rk FROM r WHERE rk <= $TfidfK""",
+      // r11c: token co-occurrence triangles (a<b<c chain join — the
+      // orientation trick is a Spark SCALE device; the triangle SET is
+      // orientation-independent, so the oracle uses the naive chain)
+      "token_triangles" -> """
+        WITH dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                    FROM documents),
+        e AS (SELECT DISTINCT x.tok AS a, y.tok AS b
+              FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok)
+        SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+      // r11c: exact global quality deciles — oracle uses the one-window
+      // global rank; the Spark side splits it histogram + within-score
+      "quality_deciles" -> s"""
+        WITH q AS (${base("doc_quality")})
+        SELECT doc_id, score_milli,
+               ((10 * (row_number() OVER (ORDER BY score_milli, doc_id) - 1))
+                 // (SELECT count(*) FROM q))::BIGINT AS decile
+        FROM q""",
       // r11b: pairwise source-vocabulary Jaccard
       "source_vocab_jaccard" -> """
         WITH sv AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok

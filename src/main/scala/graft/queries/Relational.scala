@@ -637,6 +637,93 @@ object Relational {
     * max — engine-identical. A skewed single day re-buckets by hour with
     * the same base-offset trick.
     */
+  /** SCD2 validity intervals — the slowly-changing-dimension type-2
+    * build every warehouse runs: each user's event_type treated as a
+    * state, CONSECUTIVE equal states collapsed into one row carrying
+    * [valid_from, valid_to) and an is_current flag (valid_to = the next
+    * state's first timestamp; NULL while current). N30's time travel
+    * versions STORAGE snapshots; this derives the row-validity history
+    * from the data itself.
+    *
+    * Scale shape: classic gaps-and-islands — a lag() change marker and
+    * a running change-count group the runs, then lead() over the
+    * collapsed runs closes each interval. All three windows and the
+    * run aggregation share ONE user_id hash partitioning (Spark plans a
+    * single Exchange; the later sorts reorder within partitions), and
+    * per-user partitions are the well-behaved millions-of-small case.
+    * Ties at an instant are totally ordered by (ts, event_id), so run
+    * boundaries are engine-identical.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy(col("user_id"), col("grp"), col("event_type"))
+      .agg(min(col("ts")).as("t0"), count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+    runs
+      .withColumn("t_next", lead(col("t0"), 1).over(w2))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("t0"), "yyyy-MM-dd HH:mm:ss").as("valid_from_s"),
+        date_format(col("t_next"), "yyyy-MM-dd HH:mm:ss").as("valid_to_s"),
+        col("n_events"), col("t_next").isNull.as("is_current"))
+  }
+
+  private[graft] val AttributionWindowUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Last-touch attribution — each purchase credited to the user's most
+    * recent preceding touch (click or view) within a 7-day lookback:
+    * the marketing-analytics twin of the as-of join (N15 joins two
+    * FRAMES as-of; this runs inside ONE event stream, so the union-
+    * tagged carry-forward is cheaper than building join sides). A
+    * purchase with no in-window touch reports NULLs and
+    * attributed = false — unattributed conversions are a monitored
+    * cohort, not dropped rows.
+    *
+    * Scale shape: one user_id hash partitioning carries the whole
+    * plan — the three `last(ignoreNulls)` carry-forwards share a
+    * single window frame, and ties at an instant are totally ordered
+    * by (tu, kind, event_id) with touches sorting before the purchase
+    * they may serve (same-instant touch counts, matching the as-of
+    * convention). Per-user frames are the well-behaved millions-of-
+    * small case; no self-join, no second shuffle.
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val tagged = e.filter(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("kind",
+        when(col("event_type") === "purchase", 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: org.apache.spark.sql.Column) =
+      last(when(col("kind") === 0, c), ignoreNulls = true).over(w)
+    tagged
+      .withColumn("t_id", carry(col("event_id")))
+      .withColumn("t_type", carry(col("event_type")))
+      .withColumn("t_tu", carry(col("tu")))
+      .filter(col("kind") === 1)
+      .withColumn("attributed",
+        col("t_tu").isNotNull &&
+          col("tu") - col("t_tu") <= AttributionWindowUs)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tu").as("p_tu"),
+        when(col("attributed"), col("t_id")).as("touch_id"),
+        when(col("attributed"), col("t_type")).as("touch_type"),
+        when(col("attributed"), col("t_tu")).as("touch_tu"),
+        col("attributed"))
+  }
+
   def concurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val pts = ev.select(col("event_id"), col("ts").as("tt"), lit(1L).as("delta"))

@@ -152,6 +152,52 @@ class CorpusAnalyticsSpec extends SparkSpec {
     got.size should be > 0
   }
 
+  test("scd2_intervals: runs partition each user's timeline exactly") {
+    val rows = Relational.scd2Intervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4), r.getBoolean(5)))
+    val byUser = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(_._3)
+    }
+    val evCount = graft.queries.Tables(spark, sf, "events")
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (u, iv) =>
+      // exactly one open (current) interval, and it is the LAST one
+      iv.count(_._6) shouldBe 1
+      iv.last._4 shouldBe None
+      iv.last._6 shouldBe true
+      // each closed interval hands off to the next run's valid_from
+      iv.sliding(2).foreach {
+        case Array(a, b) =>
+          a._4 shouldBe Some(b._3)
+          // consecutive runs really are state CHANGES
+          a._2 should not be b._2
+        case _ => ()
+      }
+      // run lengths cover every event of the user
+      iv.map(_._5).sum shouldBe evCount(u)
+    }
+  }
+
+  test("next_token_topk: equals a driver-side bigram recompute") {
+    val got = DataOps.nextTokenTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val counts = docTokens.values.flatMap(w =>
+      w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val want = counts.groupBy(_._1._1).map { case (ctx, m) =>
+      ctx -> m.toSeq.map { case ((_, nxt), c) => (nxt, c) }
+        .sortBy { case (nxt, c) => (-c, nxt) }.take(3)
+        .zipWithIndex.map { case ((nxt, c), i) => (ctx, nxt, c, i + 1L) }
+    }
+    got.keySet shouldBe want.keySet
+    want.foreach { case (ctx, exp) =>
+      got(ctx).sortBy(_._4) shouldBe exp
+    }
+  }
+
   test("concurrency_peak: equals the naive global-sweep executable spec") {
     val got = Relational.concurrencyPeak(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -33,10 +33,10 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
     // a refactor that drops map entries (e.g. a bad merge of the two
     // big literal maps) shrinks the graded surface silently — pin the
     // floor at the r11 count (117 + the twelve curation additions
-    // N114–N124 + the graduated sampled recall monitor + the eight
-    // r11b corpus-analytics additions N125–N132)
-    SparkEntry.queries.size should be >= 138
-    SparkEntry.oracleSql.size should be >= 138
+    // N114–N124 + the graduated sampled recall monitor + the ten
+    // r11b corpus-analytics additions N125–N134)
+    SparkEntry.queries.size should be >= 140
+    SparkEntry.oracleSql.size should be >= 140
   }
 
   test("the committed sf1 scale-point artifact is clean and self-consistent") {

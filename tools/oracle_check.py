@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate, for
+running the graded surface at scale points the driver does not grade
+(sf1). Compares each graft.Verify parquet dump against the oracle SQL
+from oracle_sql.json executed by DuckDB over the same parquet tables.
+
+Compare semantics mirror the driver: sort columns by name, sort rows by
+all columns, then require (a) identical row counts, (b) identical
+column names, (c) identical values (stringified, NaN-safe). Each oracle
+query runs in a subprocess with a wall-clock timeout so the handful of
+quadratic-by-design recall monitors cannot wedge the whole run; a
+timeout is recorded as "oracle_timeout", not a pass.
+
+Usage: oracle_check.py <verify_out_dir> <sf_dir> <result_json> [timeout_s]
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+WORKER = r'''
+import duckdb, glob, json, sys
+import pyarrow.parquet as pq
+import pandas as pd
+
+out, sf, name, sql_file = sys.argv[1:5]
+sql = open(sql_file).read()
+con = duckdb.connect()
+import os
+for p in glob.glob(f"{sf}/*.parquet"):
+    t = p.rsplit("/", 1)[1][:-8]
+    # driver testdata is one file per table; GenTestData (Spark) writes
+    # a directory of part files — glob inside it for DuckDB
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{pat}')")
+oradf = con.execute(sql).fetchdf()
+sdf = pq.read_table(glob.glob(f"{out}/{name}/*.parquet")).to_pandas()
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+a, b = norm(sdf), norm(oradf)
+res = {"rows_spark": len(a), "rows_oracle": len(b),
+       "schema_match": list(a.columns) == list(b.columns)}
+if res["schema_match"] and len(a) == len(b):
+    res["value_match"] = bool(
+        a.astype(str).fillna("").equals(b.astype(str).fillna("")))
+else:
+    res["value_match"] = False
+res["match"] = res["schema_match"] and res["value_match"] \
+    and len(a) == len(b)
+print(json.dumps(res))
+'''
+
+
+def main():
+    out_dir, sf_dir, result_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 900
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    errors = {}
+    err_path = os.path.join(out_dir, "_errors.json")
+    if os.path.exists(err_path):
+        errors = json.load(open(err_path))
+    results = {}
+    for name in sorted(oracle):
+        if name in errors:
+            results[name] = {"match": False, "error": errors[name]}
+            print(f"{name}: SPARK-SIDE ERROR", flush=True)
+            continue
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = {"match": False, "error": "no spark output"}
+            print(f"{name}: NO OUTPUT", flush=True)
+            continue
+        with tempfile.NamedTemporaryFile("w", suffix=".sql",
+                                         delete=False) as f:
+            f.write(oracle[name])
+            sql_file = f.name
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", WORKER, out_dir, sf_dir, name,
+                 sql_file],
+                capture_output=True, text=True, timeout=timeout)
+            if p.returncode != 0:
+                results[name] = {"match": False,
+                                 "error": p.stderr.strip()[-500:]}
+                print(f"{name}: ORACLE ERROR", flush=True)
+            else:
+                results[name] = json.loads(p.stdout.strip().splitlines()[-1])
+                print(f"{name}: "
+                      f"{'MATCH' if results[name]['match'] else 'MISMATCH'}"
+                      f" ({results[name].get('rows_spark')} rows)",
+                      flush=True)
+        except subprocess.TimeoutExpired:
+            results[name] = {"match": False, "error": "oracle_timeout",
+                             "timeout_s": timeout}
+            print(f"{name}: ORACLE TIMEOUT after {timeout}s", flush=True)
+        finally:
+            os.unlink(sql_file)
+    n_match = sum(1 for r in results.values() if r.get("match"))
+    summary = {"sf_dir": sf_dir, "n_queries": len(results),
+               "n_match": n_match,
+               "mismatches": sorted(k for k, r in results.items()
+                                    if not r.get("match")),
+               "queries": results}
+    with open(result_path, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"TOTAL {n_match}/{len(results)} match -> {result_path}")
+
+
+if __name__ == "__main__":
+    main()
