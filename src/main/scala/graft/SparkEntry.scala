@@ -176,12 +176,61 @@ object SparkEntry {
     "attribution_last_touch" -> (Relational.attributionLastTouch _),
     "length_percentiles" -> (DataOps.lengthPercentiles _),
     "embedding_centroids" -> (DataOps.embeddingCentroids _),
+    // r12: TPC-H Q7/Q10 join shapes, robust statistics (trimmed mean,
+    // MAD outliers, rational trend slope), cadence analytics (gap
+    // percentiles, adaptive sessionize), and corpus-health analytics
+    // (Pareto skyline, lang-ID confusion, near-dup degree histogram).
+    "q7_nation_flows" -> (Relational.q7NationFlows _),
+    "q10_returned" -> (Relational.q10Returned _),
+    "trimmed_stats" -> (Relational.trimmedStats _),
+    "trend_slope" -> (Relational.trendSlope _),
+    "interevent_gaps" -> (Relational.intereventGaps _),
+    "adaptive_sessionize" -> (Relational.adaptiveSessionize _),
+    "pareto_front" -> (DataOps.paretoFront _),
+    "lang_confusion" -> (DataOps.langConfusion _),
+    "dup_degree_hist" -> (DataOps.dupDegreeHist _),
+    "mad_outliers" -> (DataOps.madOutliers _),
+    "basket_affinity" -> (Relational.basketAffinity _),
+    "conversion_latency" -> (Relational.conversionLatency _),
+    "hourly_profile" -> (Relational.hourlyProfile _),
+    "lang_source_lift" -> (DataOps.langSourceLift _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.
     "html_extract" -> (ExtractOps.htmlExtract _),
     // Multimodal BINARY-column plumbing (decode is a documented stub).
     "multimodal_meta" -> (graft.multimodal.MultimodalOps.multimodalMeta _),
     "frame_sample" -> (graft.multimodal.MultimodalOps.frameSample _),
   )
+
+  /** attribution_last_touch oracle — factored to a val so
+    * conversion_latency NESTS it verbatim (the qualityCalibration
+    * discipline: drift in attribution fails both entries).
+    */
+  private val attributionOracle: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
+          FROM events
+          WHERE event_type IN ('click', 'view', 'purchase')),
+       t AS (SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+             FROM e),
+       c AS (SELECT *,
+               last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                 OVER wl AS t_id,
+               last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+                 OVER wl AS t_type,
+               last_value(CASE WHEN kind = 0 THEN tu END IGNORE NULLS)
+                 OVER wl AS t_tu
+             FROM t
+             WINDOW wl AS (PARTITION BY user_id ORDER BY tu, kind, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       p AS (SELECT *, (t_tu IS NOT NULL
+                        AND tu - t_tu <= ${Relational.AttributionWindowUs})
+               AS attributed
+             FROM c WHERE kind = 1)
+       SELECT event_id AS purchase_id, user_id, tu AS p_tu,
+              CASE WHEN attributed THEN t_id END AS touch_id,
+              CASE WHEN attributed THEN t_type END AS touch_type,
+              CASE WHEN attributed THEN t_tu END AS touch_tu,
+              attributed
+       FROM p"""
 
   /** DuckDB oracle for each query (same column names, same values). */
   def oracleSql: Map[String, String] = Map(
@@ -636,32 +685,7 @@ object SparkEntry {
                FROM pd JOIN bb USING (day))
          SELECT day, max(running)::BIGINT AS peak_concurrent
          FROM r GROUP BY day""",
-    "attribution_last_touch" ->
-      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
-            FROM events
-            WHERE event_type IN ('click', 'view', 'purchase')),
-         t AS (SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
-               FROM e),
-         c AS (SELECT *,
-                 last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
-                   OVER wl AS t_id,
-                 last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
-                   OVER wl AS t_type,
-                 last_value(CASE WHEN kind = 0 THEN tu END IGNORE NULLS)
-                   OVER wl AS t_tu
-               FROM t
-               WINDOW wl AS (PARTITION BY user_id ORDER BY tu, kind, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         p AS (SELECT *, (t_tu IS NOT NULL
-                          AND tu - t_tu <= ${Relational.AttributionWindowUs})
-                 AS attributed
-               FROM c WHERE kind = 1)
-         SELECT event_id AS purchase_id, user_id, tu AS p_tu,
-                CASE WHEN attributed THEN t_id END AS touch_id,
-                CASE WHEN attributed THEN t_type END AS touch_type,
-                CASE WHEN attributed THEN t_tu END AS touch_tu,
-                attributed
-         FROM p""",
+    "attribution_last_touch" -> attributionOracle,
     "scd2_intervals" ->
       """WITH m AS (
            SELECT user_id, event_id, ts, event_type,
@@ -776,6 +800,157 @@ object SparkEntry {
          SELECT 'props', count(*), count(*) - count(props),
                 count(DISTINCT props), NULL::BIGINT, NULL::BIGINT
          FROM events""",
+    // r12: TPC-H Q7/Q10 shapes and the events-side robust statistics
+    "q7_nation_flows" ->
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation
+                    WHERE n_name IN ('NATION_1', 'NATION_2')),
+         s AS (SELECT s_suppkey, n_name AS supp_nation
+               FROM supplier JOIN n ON s_nationkey = n_nationkey),
+         c AS (SELECT c_custkey, n_name AS cust_nation
+               FROM customer JOIN n ON c_nationkey = n_nationkey)
+         SELECT supp_nation, cust_nation,
+                year(l_shipdate)::BIGINT AS l_year,
+                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                  ::BIGINT AS revenue_cents
+         FROM lineitem JOIN s ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN c ON o_custkey = c_custkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND supp_nation <> cust_nation
+         GROUP BY 1, 2, 3""",
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                  ::BIGINT AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+    "trimmed_stats" ->
+      """WITH e AS (SELECT event_type, event_id,
+                      round(value * 100)::BIGINT AS cents FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM e)
+         SELECT event_type, count(*)::BIGINT AS n_kept,
+                sum(cents)::BIGINT AS sum_cents,
+                (sum(cents) // count(*))::BIGINT AS mean_cents
+         FROM r WHERE rn > (5 * n) // 100 AND rn <= (95 * n) // 100
+         GROUP BY 1""",
+    "trend_slope" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  date_diff('day', DATE '1970-01-01',
+                            date_trunc('day', ts))::BIGINT AS x,
+                  sum(round(value * 100)::BIGINT)::BIGINT AS y
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, count(*)::BIGINT AS n_days,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+               FROM daily GROUP BY 1)
+         SELECT event_type, n_days,
+                (n_days * sxy - sx * sy)::BIGINT AS slope_num,
+                (n_days * sxx - sx * sx)::BIGINT AS slope_den
+         FROM m""",
+    "interevent_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tu
+                    FROM events),
+         g0 AS (SELECT user_id, event_id, tu,
+                  lag(tu) OVER (PARTITION BY user_id
+                                ORDER BY tu, event_id) AS prev
+                FROM e),
+         g AS (SELECT user_id, event_id, (tu - prev) // 1000000 AS gap_s
+               FROM g0 WHERE prev IS NOT NULL),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY gap_s, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+               FROM g)
+         SELECT user_id, max(n)::BIGINT AS n_gaps,
+                max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END)::BIGINT
+                  AS median_gap_s,
+                max(CASE WHEN rn = (95 * n + 99) // 100 THEN gap_s END)::BIGINT
+                  AS p95_gap_s,
+                max(gap_s)::BIGINT AS max_gap_s
+         FROM r GROUP BY 1""",
+    "adaptive_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tu
+                    FROM events),
+         g0 AS (SELECT user_id, event_id, tu,
+                  lag(tu) OVER (PARTITION BY user_id
+                                ORDER BY tu, event_id) AS prev
+                FROM e),
+         g AS (SELECT user_id, event_id, (tu - prev) // 1000000 AS gap_s
+               FROM g0 WHERE prev IS NOT NULL),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY gap_s, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+               FROM g),
+         med AS (SELECT user_id,
+                   least(greatest(
+                     3 * max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END),
+                     60), 3600)::BIGINT AS threshold_s
+                 FROM r GROUP BY 1),
+         br AS (SELECT g.user_id, count(*)::BIGINT AS n_breaks
+                FROM g JOIN med USING (user_id)
+                WHERE g.gap_s > med.threshold_s GROUP BY 1),
+         base AS (SELECT user_id, count(*)::BIGINT AS n_events
+                  FROM e GROUP BY 1)
+         SELECT base.user_id, base.n_events,
+                coalesce(med.threshold_s, 60)::BIGINT AS threshold_s,
+                (1 + coalesce(br.n_breaks, 0))::BIGINT AS n_sessions
+         FROM base LEFT JOIN med USING (user_id)
+         LEFT JOIN br USING (user_id)""",
+    "basket_affinity" ->
+      """WITH ot AS (SELECT DISTINCT l_orderkey, p_type
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+         marg AS (SELECT p_type, count(*)::BIGINT AS c FROM ot GROUP BY 1),
+         tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM ot),
+         pairs AS (SELECT a.p_type AS type_a, b.p_type AS type_b,
+                     count(*)::BIGINT AS c_ab
+                   FROM ot a JOIN ot b
+                     ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+                   GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.c_ab,
+                ((1000 * p.c_ab * t.n_orders) // (ma.c * mb.c))::BIGINT
+                  AS lift_milli
+         FROM pairs p JOIN marg ma ON ma.p_type = p.type_a
+         JOIN marg mb ON mb.p_type = p.type_b
+         CROSS JOIN tot t""",
+    "conversion_latency" ->
+      s"""WITH att AS ($attributionOracle),
+         l AS (SELECT touch_type, purchase_id,
+                 (p_tu - touch_tu) // 1000000 AS lat_s
+               FROM att WHERE attributed),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY touch_type
+                                    ORDER BY lat_s, purchase_id) AS rn,
+                 count(*) OVER (PARTITION BY touch_type) AS n
+               FROM l)
+         SELECT touch_type, max(n)::BIGINT AS n_conversions,
+                max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END)::BIGINT
+                  AS median_lat_s,
+                max(CASE WHEN rn = (95 * n + 99) // 100 THEN lat_s END)::BIGINT
+                  AS p95_lat_s,
+                max(lat_s)::BIGINT AS max_lat_s
+         FROM r GROUP BY 1""",
+    "hourly_profile" ->
+      """WITH cells AS (SELECT event_type, hour(ts)::BIGINT AS hr,
+                          count(*)::BIGINT AS n_events
+                        FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(n_events)::BIGINT AS n_type
+                 FROM cells GROUP BY 1)
+         SELECT c.event_type, c.hr, c.n_events,
+                ((1000 * c.n_events) // t.n_type)::BIGINT AS share_milli
+         FROM cells c JOIN tot t USING (event_type)""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++
     DataOps.trainingSetOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles

@@ -4306,6 +4306,134 @@ object DataOps {
         expr("(10 * (below + wr - 1)) div n_total").as("decile"))
   }
 
+  /** Pareto frontier of documents on (quality score, length) — the
+    * skyline operator: docs kept iff NO other doc is at least as good on
+    * both axes and strictly better on one (the "don't throw away a doc
+    * unless something dominates it" curation rule, where [[qualityDeciles]]
+    * ranks on ONE axis). The naive form is the O(n²) dominance self-join
+    * the oracle runs; the scale path exploits the bounded score axis
+    * exactly like N137: score_milli ∈ [0, 1400] ⇒ the per-score max-token
+    * table is a ≤1401-row frame, its strictly-higher-score running max is
+    * one bounded window, and both broadcast back — a doc is dominated iff
+    * that running max reaches its token count, or its own score level
+    * holds a strictly longer doc. One corpus shuffle (the score histogram
+    * feed), no pairwise anything.
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    val s = qualityScoredOn(toks(spark, dir), Nil)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("score_milli"))
+    val hist = s.groupBy(col("score_milli")).agg(max(col("n_tokens")).as("mxn"))
+    // bounded frame (≤1401 rows): the single-partition window is a
+    // deliberate, documented exception — same rationale as qualityDeciles
+    val hi = hist.withColumn("hi", max(col("mxn")).over(
+      Window.orderBy(col("score_milli").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    s.join(broadcast(hi), "score_milli")
+      .filter(!(coalesce(col("hi"), lit(-1L)) >= col("n_tokens") ||
+        col("mxn") > col("n_tokens")))
+      .select(col("doc_id"), col("score_milli"), col("n_tokens"))
+  }
+
+  /** Language-ID confusion matrix — the audit next to [[langId]]'s
+    * per-doc predictions: true lang × predicted lang counts with the
+    * per-mille row share (diagonal = recall). The oracle nests the
+    * graded lang_id SQL verbatim (the qualityCalibration discipline), so
+    * marker drift fails both entries together. One partial-aggregable
+    * shuffle onto the ≤25-cell (lang, pred) key; row totals aggregate
+    * THAT bounded frame and broadcast back.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cm = langId(spark, dir).select(col("lang"), col("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_true"))
+    cm.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("(1000 * n_docs) div n_true").as("share_milli"))
+  }
+
+  /** Near-dup candidate-graph degree histogram — the corpus-health shape
+    * statistic over [[dedupMinhashLsh]]'s verified pair set: how many
+    * docs have exactly d near-dup partners (a heavy tail here means
+    * template farms; [[clusterSizes]] reports components, this reports
+    * local degree). The oracle nests the graded LSH SQL verbatim. The
+    * pair set is orders of magnitude smaller than the corpus (and
+    * localCheckpointed by the LSH call), so both groupBys are
+    * bounded-input shuffles.
+    */
+  def dupDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val p = dedupMinhashLsh(spark, dir)
+    p.select(col("doc_a").as("doc"))
+      .unionAll(p.select(col("doc_b").as("doc")))
+      .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Robust per-language length outliers via median absolute deviation —
+    * the dispersion statistic that, unlike [[valueOutliers]]' mean ± k·σ,
+    * a single 10 GB pathological document cannot drag. Lower-median
+    * convention ((n+1) div 2 rank) keeps both medians exact integers.
+    *
+    * Scale shape: NO corpus-sized window anywhere — the char-length axis
+    * is value-bounded in practice (distinct lengths ≪ rows), so median
+    * and MAD both resolve on the (lang, length)-histogram frame: one
+    * partial-aggregable corpus shuffle builds the histogram; the
+    * cumulative scans, deviation re-fold, and outlier count all run on
+    * that bounded frame and rejoin by broadcast. Compare
+    * percentilesByType, which pays a per-type corpus sort for the same
+    * rank selection — this is the histogram-split (N137/N116) form of
+    * the same idea, exact as long as lengths are integers.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val hist = docs(spark, dir).select(col("lang"), col("n_chars"))
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n_docs"))
+    def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
+      val wc = Window.partitionBy(col("lang")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("c")).over(wc))
+        .join(broadcast(tot), "lang")
+        .filter(col("cum") >= expr("(n_docs + 1) div 2"))
+        .groupBy(col("lang")).agg(min(col(v)).as(out))
+    }
+    val med = lowerMedian(hist, "n_chars", "med_chars")
+    val dev = hist.join(broadcast(med), "lang")
+      .groupBy(col("lang"), abs(col("n_chars") - col("med_chars")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(dev, "dev", "mad_chars")
+    val outl = dev.join(broadcast(mad), "lang")
+      .filter(col("dev") > lit(3L) * col("mad_chars"))
+      .groupBy(col("lang")).agg(sum(col("c")).as("n_outliers"))
+    tot.join(broadcast(med), "lang").join(broadcast(mad), "lang")
+      .join(outl, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("med_chars"), col("mad_chars"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
+
+  /** Language × source association lift — does a crawl source
+    * over-supply a language? lift_milli = 1000·n·N ÷ (n_lang·n_source),
+    * the exact integer per-mille of observed over independence-expected
+    * mass (>1000 = over-represented). The contingency companion to
+    * [[corpusDrift]]'s shape monitor and [[sourceVocabJaccard]]'s
+    * content overlap. One partial-aggregable shuffle onto the bounded
+    * (lang, source) key; marginals aggregate that ≤ |langs|·|sources|
+    * frame and broadcast back. Same BIGINT headroom note as N124: the
+    * triple product crosses 2⁶³ near 10¹² docs — bind to the log-domain
+    * form there.
+    */
+  def langSourceLift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val lt = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    val st = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("n_source"))
+    val tot = cells.agg(sum(col("n_docs")).as("n_total"))
+    cells.join(broadcast(lt), "lang").join(broadcast(st), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("(1000 * n_docs * n_total) div (n_lang * n_source)")
+          .as("lift_milli"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -5575,6 +5703,85 @@ object DataOps {
                  AS jaccard_milli
         FROM inter i JOIN vocab va ON va.source = i.src_a
         JOIN vocab vb ON vb.source = i.src_b""",
+      // r12: Pareto skyline on (quality score, token count). The oracle
+      // runs the NAIVE O(n²) dominance anti-join the Spark side refuses
+      // to — agreement proves the bounded-histogram split is the same
+      // set. Score arithmetic mirrors base("doc_quality") verbatim.
+      "pareto_front" -> """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS mx
+              FROM toks),
+        s AS (SELECT doc_id, n::BIGINT AS n_tokens,
+                ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                 + 200 - (200 * mx) // n)::BIGINT AS score_milli
+              FROM m)
+        SELECT a.doc_id, a.score_milli, a.n_tokens FROM s a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM s b
+          WHERE b.score_milli >= a.score_milli AND b.n_tokens >= a.n_tokens
+            AND (b.score_milli > a.score_milli OR b.n_tokens > a.n_tokens))""",
+      // r12: language-ID confusion matrix — nests the graded lang_id SQL
+      // verbatim (the qualityCalibration discipline)
+      "lang_confusion" -> s"""
+        WITH li AS (${base("lang_id")}),
+        cm AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+               FROM li GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(n_docs)::BIGINT AS n_true FROM cm GROUP BY 1)
+        SELECT cm.lang, cm.pred_lang, cm.n_docs,
+               ((1000 * cm.n_docs) // t.n_true)::BIGINT AS share_milli
+        FROM cm JOIN tot t USING (lang)""",
+      // r12: degree histogram of the LSH near-dup candidate graph —
+      // nests the graded dedup_minhash_lsh SQL verbatim
+      "dup_degree_hist" -> s"""
+        WITH p AS (${base("dedup_minhash_lsh")}),
+        d AS (SELECT doc_a AS doc FROM p UNION ALL SELECT doc_b FROM p),
+        deg AS (SELECT doc, count(*)::BIGINT AS degree FROM d GROUP BY 1)
+        SELECT degree, count(*)::BIGINT AS n_docs FROM deg GROUP BY 1""",
+      // r12: per-language MAD length outliers — the oracle mirrors the
+      // histogram-split construction (same lower-median rank), so both
+      // engines resolve medians on the identical bounded frame
+      "mad_outliers" -> """
+        WITH h AS (SELECT lang, n_chars, count(*)::BIGINT AS c
+                   FROM documents GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(c)::BIGINT AS n_docs FROM h GROUP BY 1),
+        cm AS (SELECT h.lang, h.n_chars,
+                 sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.n_chars
+                   ROWS UNBOUNDED PRECEDING) AS cum, t.n_docs
+               FROM h JOIN tot t USING (lang)),
+        med AS (SELECT lang, min(n_chars)::BIGINT AS med_chars FROM cm
+                WHERE cum >= (n_docs + 1) // 2 GROUP BY 1),
+        dv AS (SELECT h.lang, abs(h.n_chars - m.med_chars)::BIGINT AS dev,
+                 sum(h.c)::BIGINT AS c
+               FROM h JOIN med m USING (lang) GROUP BY 1, 2),
+        cd AS (SELECT dv.lang, dv.dev,
+                 sum(dv.c) OVER (PARTITION BY dv.lang ORDER BY dv.dev
+                   ROWS UNBOUNDED PRECEDING) AS cum, t.n_docs
+               FROM dv JOIN tot t USING (lang)),
+        mad AS (SELECT lang, min(dev)::BIGINT AS mad_chars FROM cd
+                WHERE cum >= (n_docs + 1) // 2 GROUP BY 1),
+        outl AS (SELECT dv.lang, sum(dv.c)::BIGINT AS n_out
+                 FROM dv JOIN mad USING (lang)
+                 WHERE dv.dev > 3 * mad.mad_chars GROUP BY 1)
+        SELECT t.lang, t.n_docs, med.med_chars, mad.mad_chars,
+               coalesce(outl.n_out, 0)::BIGINT AS n_outliers
+        FROM tot t JOIN med USING (lang) JOIN mad USING (lang)
+        LEFT JOIN outl USING (lang)""",
+      // r12: lang × source association lift — exact integer per-mille of
+      // observed over independence-expected mass
+      "lang_source_lift" -> """
+        WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY 1, 2),
+        lt AS (SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM cells GROUP BY 1),
+        st AS (SELECT source, sum(n_docs)::BIGINT AS n_source
+               FROM cells GROUP BY 1),
+        tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM cells)
+        SELECT c.lang, c.source, c.n_docs,
+               ((1000 * c.n_docs * t.n_total) // (lt.n_lang * st.n_source))
+                 ::BIGINT AS lift_milli
+        FROM cells c JOIN lt USING (lang) JOIN st USING (source)
+        CROSS JOIN tot t""",
     )
   }
 

@@ -744,4 +744,285 @@ object Relational {
       .groupBy(col("day"))
       .agg(max(col("running")).as("peak_concurrent"))
   }
+
+  /** TPC-H Q7-style bilateral trade volume: revenue flowing between one
+    * nation PAIR (supplier side ↔ customer side), per direction per ship
+    * year. The 6-way join every warehouse benchmark stresses.
+    *
+    * Scale shape: nation (25 rows at every SF) broadcasts onto supplier
+    * and customer FIRST, and the pair filter cuts each to ~2/25 of its
+    * rows before the fact table sees them — the filtered builds carry no
+    * broadcast hint (they grow linearly with SF; AQE broadcasts at small
+    * SF, shuffles on the natural keys at scale). The shipdate range
+    * filter pushes to the lineitem scan.
+    */
+  def q7NationFlows(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nation = t(spark, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      // revenue in integer cents, rounded PER ROW: the per-row double
+      // product is bit-identical in both engines, so the BIGINT sum is
+      // exact where round(sum(double), 2) diverges by one cent when the
+      // sum's addition order lands on a .005 ridge (observed on
+      // q10_returned at sf0.01)
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        100).cast("long")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10-style returned-item reporting: customers ranked by revenue
+    * lost to returns in one quarter, top 20 with their nation. The
+    * lineitem flag filter and the orders quarter filter both push to the
+    * scans; nation broadcasts; customer carries no hint (linear growth —
+    * AQE decides). Top-20 plans as TakeOrderedAndProject: per-partition
+    * heads then a 20-row driver merge, never a global sort.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      // integer-cents discipline — see q7NationFlows' rationale
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        100).cast("long")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Trimmed (5%–95%) per-type value statistics in integer cents — the
+    * robust-mean companion to [[valueOutliers]]' flagging: drop each
+    * type's bottom and top 5% by exact rank, then sum/mean what's left.
+    * Rank bounds are integer expressions ((5·n) div 100 exclusive,
+    * (95·n) div 100 inclusive) over the (cents, event_id) total order,
+    * so the kept set is engine-identical — no interpolation anywhere.
+    * Cents are round(value·100): both engines round half away from zero
+    * on identical IEEE doubles (the int8_codes precedent).
+    *
+    * Scale shape: the rank window and the final aggregation share ONE
+    * event_type hash partitioning (single Exchange); per-type corpus
+    * sort is the same documented trade as percentilesByType, with the
+    * same t-digest escape hatch at 100 TB.
+    */
+  def trimmedStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val wt = Window.partitionBy(col("event_type"))
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        wt.orderBy(col("cents"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wt))
+    ranked
+      .filter(col("rn") > expr("(5 * n) div 100") &&
+        col("rn") <= expr("(95 * n) div 100"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+      .withColumn("mean_cents", expr("sum_cents div n_kept"))
+  }
+
+  /** Per-type revenue trend as an EXACT rational OLS slope — daily cent
+    * totals regressed on epoch-day, reported as (numerator, denominator)
+    * BIGINT pair: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Keeping the
+    * rational avoids the cross-engine float division entirely; the
+    * consumer divides (or compares num·den' vs num'·den). Magnitudes:
+    * x ~ 2·10⁴ (epoch days), daily cents ~ 10⁷ at sf1 ⇒ n·Σxy ~ 10¹⁵,
+    * five orders under BIGINT overflow. (The intercept's Σy·Σx² crosses
+    * 10¹⁸ at sf10 — deliberately NOT reported.)
+    *
+    * Scale shape: daily totals are one partial-aggregable shuffle onto
+    * the bounded (type, day) key; the regression moments aggregate that
+    * bounded frame onto the type alphabet. Corpus bytes move once.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
+  /** Per-user inter-event gap distribution: exact lower-median, p95
+    * (ceil-rank), and max gap in whole seconds. The cadence profile that
+    * feeds [[adaptiveSessionize]]'s thresholds. Rank selection over the
+    * (gap, event_id) total order — exact integers, no interpolation.
+    *
+    * Scale shape: the lag() window, the rank window, and the final
+    * aggregation all share ONE user_id hash partitioning (Spark plans a
+    * single Exchange; later sorts reorder within partitions), and
+    * per-user partitions are the well-behaved millions-of-small case.
+    */
+  def intereventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val gaps = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+      .withColumn("prev", lag(col("tu"), 1).over(wo))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("(tu - prev) div 1000000").as("gap_s"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("gap_s"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    ranked.groupBy(col("user_id")).agg(
+      max(col("n")).as("n_gaps"),
+      max(when(col("rn") === expr("(n + 1) div 2"), col("gap_s")))
+        .as("median_gap_s"),
+      max(when(col("rn") === expr("(95 * n + 99) div 100"), col("gap_s")))
+        .as("p95_gap_s"),
+      max(col("gap_s")).as("max_gap_s"))
+  }
+
+  /** Sessionization with a PER-USER adaptive idle threshold — fixed-gap
+    * sessionize (N17) mis-splits both the clicky user and the browser:
+    * here each user's threshold is 3× their own median gap, clamped to
+    * [60 s, 3600 s], and their session count is 1 + gaps exceeding it.
+    * Single-event users (no gaps) report one session at the clamp floor.
+    * All integer seconds, the same lower-median rank as
+    * [[intereventGaps]] — engine-exact end to end.
+    *
+    * Scale shape: every stage — lag, rank, median, break count, event
+    * count — keys on user_id; the median/break frames are per-user
+    * aggregates (tiny) rejoining the same partitioning. No global
+    * anything.
+    */
+  def adaptiveSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val gaps = e.withColumn("prev", lag(col("tu"), 1).over(wo))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("(tu - prev) div 1000000").as("gap_s"))
+    val med = gaps
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("gap_s"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("gap_s"))).as("med"))
+      .withColumn("threshold_s",
+        least(greatest(lit(3L) * col("med"), lit(60L)), lit(3600L)))
+    val breaks = gaps.join(med, "user_id")
+      .filter(col("gap_s") > col("threshold_s"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_breaks"))
+    e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .join(med.select(col("user_id"), col("threshold_s")), Seq("user_id"), "left")
+      .join(breaks, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("threshold_s"), lit(60L)).as("threshold_s"),
+        (lit(1L) + coalesce(col("n_breaks"), lit(0L))).as("n_sessions"))
+  }
+
+  /** Market-basket affinity over part types: for every unordered type
+    * pair, how many orders contain BOTH, with an exact per-mille lift
+    * (1000·c_ab·N ÷ (c_a·c_b) — >1000 means the pair co-occurs more than
+    * independence predicts). The recommender-ish analytics staple, and
+    * the relational twin of N124's token PMI.
+    *
+    * Scale shape: the corpus collapses to distinct (order, type) FIRST —
+    * output ≤ orders × |type alphabet| — so the per-order pair self-join
+    * fans out by the per-order type count (≤ 6 here), never by lineitem
+    * count; pair and marginal counts are partial-aggregable onto
+    * alphabet-bounded keys, and the marginals broadcast back. Integer
+    * note (the N124 discipline): 1000·c_ab·N overflows BIGINT around
+    * 10⁹ orders — at that scale bind the per-mille to the log-domain
+    * float form.
+    */
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val ot = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_type")).distinct()
+    val marg = ot.groupBy(col("p_type")).agg(count(lit(1)).as("c"))
+    val total = ot.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    ot.as("a").join(ot.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_type") < col("b.p_type"))
+      .groupBy(col("a.p_type").as("type_a"), col("b.p_type").as("type_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .join(broadcast(marg.select(col("p_type").as("type_a"),
+        col("c").as("c_a"))), "type_a")
+      .join(broadcast(marg.select(col("p_type").as("type_b"),
+        col("c").as("c_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("c_ab"),
+        expr("(1000 * c_ab * n_orders) div (c_a * c_b)").as("lift_milli"))
+  }
+
+  /** Conversion-latency distribution — the serving statistic on top of
+    * [[attributionLastTouch]]: among ATTRIBUTED purchases, seconds from
+    * touch to purchase, summarized per touch type as exact lower-median,
+    * ceil-rank p95, and max (the [[intereventGaps]] rank discipline).
+    * The oracle nests the graded attribution SQL verbatim, so attribution
+    * drift fails both entries together.
+    *
+    * Scale shape: attribution's output is purchase-bounded (≪ events);
+    * the rank window and aggregation repartition it once onto the
+    * touch-type alphabet. The documented per-type-sort trade of
+    * percentilesByType applies within that bounded frame.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val a = attributionLastTouch(spark, dir).filter(col("attributed"))
+      .select(col("touch_type"), col("purchase_id"),
+        expr("(p_tu - touch_tu) div 1000000").as("lat_s"))
+    val wt = Window.partitionBy(col("touch_type"))
+    val ranked = a
+      .withColumn("rn", row_number().over(
+        wt.orderBy(col("lat_s"), col("purchase_id"))))
+      .withColumn("n", count(lit(1)).over(wt))
+    ranked.groupBy(col("touch_type")).agg(
+      max(col("n")).as("n_conversions"),
+      max(when(col("rn") === expr("(n + 1) div 2"), col("lat_s")))
+        .as("median_lat_s"),
+      max(when(col("rn") === expr("(95 * n + 99) div 100"), col("lat_s")))
+        .as("p95_lat_s"),
+      max(col("lat_s")).as("max_lat_s"))
+  }
+
+  /** Hour-of-day activity profile per event type with exact per-mille
+    * share — the seasonality fingerprint behind capacity planning and
+    * anomaly baselines. One partial-aggregable shuffle onto the bounded
+    * (type, hour) key; per-type totals aggregate that ≤ |types|·24 frame
+    * and broadcast back.
+    */
+  def hourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.groupBy(col("event_type")).agg(sum(col("n_events")).as("n_type"))
+    cells.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hr"), col("n_events"),
+        expr("(1000 * n_events) div n_type").as("share_milli"))
+  }
 }

@@ -32,11 +32,10 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
   test("the surface only grows: the graded-query count floor ratchets") {
     // a refactor that drops map entries (e.g. a bad merge of the two
     // big literal maps) shrinks the graded surface silently — pin the
-    // floor at the r11 count (117 + the twelve curation additions
-    // N114–N124 + the graduated sampled recall monitor + the ten
-    // r11b corpus-analytics additions N125–N134)
-    SparkEntry.queries.size should be >= 140
-    SparkEntry.oracleSql.size should be >= 140
+    // floor at the r12 count (the 144 r11-close entries + the fourteen
+    // r12 additions N139–N152)
+    SparkEntry.queries.size should be >= 158
+    SparkEntry.oracleSql.size should be >= 158
   }
 
   test("the committed sf1 scale-point artifact is clean and self-consistent") {
@@ -70,6 +69,35 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
     withClue(s"sf1 run recorded failures: $failed ") {
       failed.trim shouldBe empty
     }
+  }
+
+  test("the committed sf1 CORRECTNESS artifact records a full-surface pass") {
+    // r11 advice institutionalized: the first CORRECTNESS_sf1.json was
+    // committed with n_match 0/138 (every query felled by one DuckDB
+    // glob bug in the checker, not by the engine) — an artifact that
+    // *records a failure* must fail the gate, not sit in the tree
+    // looking like evidence. Pins: the artifact exists, every checked
+    // query matched, the mismatch list is empty, and the run covered a
+    // full-surface-sized set. Regenerate with:
+    //   sbt "runMain graft.Verify /tmp/verify_sf1 <sf1 dir>"
+    //   python3 tools/oracle_check.py /tmp/verify_sf1 <sf1 dir> CORRECTNESS_sf1.json
+    val path = Seq("CORRECTNESS_sf1.json", "/root/repo/CORRECTNESS_sf1.json")
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+    withClue("CORRECTNESS_sf1.json missing — run Verify + tools/oracle_check.py at sf1: ") {
+      path.isDefined shouldBe true
+    }
+    val json = java.nio.file.Files.readString(path.get)
+    def intField(k: String): Int = s""""$k":\\s*(\\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(fail(s"no $k in CORRECTNESS_sf1.json"))
+    val (nMatch, nQueries) = (intField("n_match"), intField("n_queries"))
+    nQueries should be >= 117
+    withClue(s"sf1 oracle run not clean: $nMatch/$nQueries matched ") {
+      nMatch shouldBe nQueries
+    }
+    val mism = """"mismatches":\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    withClue(s"sf1 mismatches recorded: $mism ") { mism.trim shouldBe empty }
   }
 
   test("the committed materialized-mode audit covers every graded query") {

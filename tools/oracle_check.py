@@ -27,6 +27,9 @@ import pandas as pd
 out, sf, name, sql_file = sys.argv[1:5]
 sql = open(sql_file).read()
 con = duckdb.connect()
+# long queries (sf1 recall monitors) otherwise draw progress bars into
+# stdout, burying the JSON result line
+con.execute("SET enable_progress_bar = false")
 import os
 for p in glob.glob(f"{sf}/*.parquet"):
     t = p.rsplit("/", 1)[1][:-8]
@@ -39,15 +42,31 @@ oradf = con.execute(sql).fetchdf()
 sdf = pq.read_table(glob.glob(f"{out}/{name}/*.parquet")).to_pandas()
 
 def norm(df):
-    df = df[sorted(df.columns)]
+    # Dtype-normalize BEFORE stringifying: a nullable BIGINT surfaces as
+    # float64 from one engine path and int64 from the other ('1.0' vs
+    # '1', with precision loss past 2^53), so coerce float columns whose
+    # non-null values are all integral back to nullable Int64, and map
+    # nulls to a sentinel pre-str (NaN stringifies to 'nan'/'None'
+    # inconsistently across dtypes).
+    import numpy as np
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            nn = df[c].dropna()
+            if len(nn) == 0 or bool((nn == nn.round()).all()):
+                try:
+                    df[c] = df[c].astype("Int64")
+                except (TypeError, ValueError):
+                    pass
+    df = df.astype(object).where(df.notna(), "\x00NULL")
+    df = df.astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 a, b = norm(sdf), norm(oradf)
 res = {"rows_spark": len(a), "rows_oracle": len(b),
        "schema_match": list(a.columns) == list(b.columns)}
 if res["schema_match"] and len(a) == len(b):
-    res["value_match"] = bool(
-        a.astype(str).fillna("").equals(b.astype(str).fillna("")))
+    res["value_match"] = bool(a.equals(b))
 else:
     res["value_match"] = False
 res["match"] = res["schema_match"] and res["value_match"] \
@@ -88,11 +107,29 @@ def main():
                                  "error": p.stderr.strip()[-500:]}
                 print(f"{name}: ORACLE ERROR", flush=True)
             else:
-                results[name] = json.loads(p.stdout.strip().splitlines()[-1])
-                print(f"{name}: "
-                      f"{'MATCH' if results[name]['match'] else 'MISMATCH'}"
-                      f" ({results[name].get('rows_spark')} rows)",
-                      flush=True)
+                # the result is the LAST parseable JSON line — duckdb/
+                # pandas can append progress or warning lines to stdout,
+                # and one unparseable tail line must fail THIS query,
+                # not crash the whole run (r12: seen at sf1)
+                parsed = None
+                for line in reversed(p.stdout.strip().splitlines()):
+                    try:
+                        parsed = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+                if parsed is None:
+                    results[name] = {
+                        "match": False,
+                        "error": "no JSON in worker stdout: "
+                                 + p.stdout.strip()[-300:]}
+                    print(f"{name}: WORKER OUTPUT UNPARSEABLE", flush=True)
+                else:
+                    results[name] = parsed
+                    print(f"{name}: "
+                          f"{'MATCH' if parsed['match'] else 'MISMATCH'}"
+                          f" ({parsed.get('rows_spark')} rows)",
+                          flush=True)
         except subprocess.TimeoutExpired:
             results[name] = {"match": False, "error": "oracle_timeout",
                              "timeout_s": timeout}
