@@ -4344,8 +4344,12 @@ object DataOps {
     * THAT bounded frame and broadcast back.
     */
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    // ≤ |langs|² rows, eagerly materialized so the row-total pass and
+    // the join derive from it instead of re-running langId over the
+    // corpus per consumer
     val cm = langId(spark, dir).select(col("lang"), col("pred_lang"))
       .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
     val tot = cm.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_true"))
     cm.join(broadcast(tot), "lang")
       .select(col("lang"), col("pred_lang"), col("n_docs"),
@@ -4385,8 +4389,13 @@ object DataOps {
     * the same idea, exact as long as lengths are integers.
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // the histogram is the ONE corpus pass — eagerly materialized
+    // (bounded: ≤ distinct lengths × langs rows) so the five consumers
+    // below derive from it instead of re-scanning and re-shuffling the
+    // corpus per consumer (the lazy form re-ran the corpus groupBy 5×)
     val hist = docs(spark, dir).select(col("lang"), col("n_chars"))
       .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n_docs"))
     def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
       val wc = Window.partitionBy(col("lang")).orderBy(col(v))
@@ -4400,6 +4409,7 @@ object DataOps {
     val dev = hist.join(broadcast(med), "lang")
       .groupBy(col("lang"), abs(col("n_chars") - col("med_chars")).as("dev"))
       .agg(sum(col("c")).as("c"))
+      .localCheckpoint(true) // same bound; three consumers below
     val mad = lowerMedian(dev, "dev", "mad_chars")
     val outl = dev.join(broadcast(mad), "lang")
       .filter(col("dev") > lit(3L) * col("mad_chars"))
@@ -4422,8 +4432,11 @@ object DataOps {
     * form there.
     */
   def langSourceLift(spark: SparkSession, dir: String): DataFrame = {
+    // ≤ |langs|·|sources| rows, eagerly materialized: one corpus pass
+    // feeds both marginals, the total, and the join
     val cells = docs(spark, dir).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
     val lt = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
     val st = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("n_source"))
     val tot = cells.agg(sum(col("n_docs")).as("n_total"))

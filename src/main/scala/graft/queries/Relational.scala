@@ -959,10 +959,16 @@ object Relational {
     * float form.
     */
   def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct (order, type) projection is eagerly materialized —
+    // it feeds FOUR consumers (marginals, total, both self-join sides)
+    // and the lazy form re-ran the lineitem⋈part distinct per consumer;
+    // its size is ≤ orders × per-order type count (≤ 6), two narrow
+    // columns — the standard price of a basket pass
     val ot = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       .join(t(spark, dir, "part").select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_type")).distinct()
+      .localCheckpoint(true)
     val marg = ot.groupBy(col("p_type")).agg(count(lit(1)).as("c"))
     val total = ot.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
@@ -1017,9 +1023,12 @@ object Relational {
     * and broadcast back.
     */
   def hourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    // ≤ |types|·24 rows, eagerly materialized: one stream pass feeds
+    // both the totals and the join
     val cells = t(spark, dir, "events")
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true)
     val tot = cells.groupBy(col("event_type")).agg(sum(col("n_events")).as("n_type"))
     cells.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("hr"), col("n_events"),

@@ -73,7 +73,27 @@ class PlanBudgetSpec extends SparkSpec {
     "corpus_manifest" -> 2,
     // native AsOfJoinExec: one keyed Exchange per side, the purchase
     // pre-agg reusing the right side's user_id partitioning
-    "asof_join_forward" -> 2)
+    "asof_join_forward" -> 2,
+    // r12 additions — checkpointed bounded intermediates collapse the
+    // corpus side to ONE pass; the visible Exchanges below move only
+    // alphabet- or orders-bounded frames
+    "q7_nation_flows" -> 2,    // orders⋈lineitem + final (pair, year) agg
+    "q10_returned" -> 1,       // one keyed join family + TakeOrdered
+    "trimmed_stats" -> 1,      // rank window + agg share the type keying
+    "trend_slope" -> 2,        // (type, day) totals + bounded moments
+    "interevent_gaps" -> 1,    // lag/rank/agg share the user_id keying
+    "adaptive_sessionize" -> 4, // gaps + median + breaks + event counts,
+                                // all inside the user_id key family
+    "pareto_front" -> 2,       // score histogram + its bounded window
+    "lang_confusion" -> 1,     // row totals over the checkpointed cells
+    "dup_degree_hist" -> 2,    // degree + histogram over the pair set
+    "conversion_latency" -> 2, // touch-type repartition of attribution
+    "hourly_profile" -> 1,     // totals over the checkpointed cells
+    "lang_source_lift" -> 3,   // two marginals + join, all cell-bounded
+    "mad_outliers" -> 8,       // cum/median/dev/outlier passes, every
+                               // one over the ≤ lengths×langs histogram
+    "basket_affinity" -> 7)    // marginals/total/pair self-join over the
+                               // checkpointed (order, type) projection
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
