@@ -194,12 +194,23 @@ object SparkEntry {
     "conversion_latency" -> (Relational.conversionLatency _),
     "hourly_profile" -> (Relational.hourlyProfile _),
     "lang_source_lift" -> (DataOps.langSourceLift _),
+    "kmv_union_est" -> (RefOps.kmvUnionEst _),
+    "order_gaps" -> (Relational.orderGaps _),
+    "grouping_sets_events" -> (Relational.groupingSetsEvents _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.
     "html_extract" -> (ExtractOps.htmlExtract _),
     // Multimodal BINARY-column plumbing (decode is a documented stub).
     "multimodal_meta" -> (graft.multimodal.MultimodalOps.multimodalMeta _),
     "frame_sample" -> (graft.multimodal.MultimodalOps.frameSample _),
   )
+
+  /** The md5-hex → 60-bit BIGINT hash fraction numerator shared by the
+    * KMV oracles (approx_distinct_kmv, kmv_union_est) — factored so the
+    * sketch and its merge grade against ONE hash definition.
+    */
+  private val kmvHashSql: String = (1 to 15).map(i =>
+    s"(instr('0123456789abcdef', substr(md5(user_id::VARCHAR), $i, 1)) - 1)::BIGINT * ${java.lang.Long.parseLong("1" + "0" * (15 - i), 16)}")
+    .mkString(" + ")
 
   /** attribution_last_touch oracle — factored to a val so
     * conversion_latency NESTS it verbatim (the qualityCalibration
@@ -407,11 +418,7 @@ object SparkEntry {
          FROM c JOIN p ON c.user_id = p.user_id
            AND abs(epoch_us(c.ts) - epoch_us(p_ts)) <= 3600000000""",
     "approx_distinct_kmv" ->
-      ("""WITH h AS (SELECT DISTINCT event_type, (""" +
-        (1 to 15).map(i =>
-          s"(instr('0123456789abcdef', substr(md5(user_id::VARCHAR), $i, 1)) - 1)::BIGINT * ${java.lang.Long.parseLong("1" + "0" * (15 - i), 16)}")
-          .mkString(" + ") +
-        """) / 2.0^60 AS h
+      (s"""WITH h AS (SELECT DISTINCT event_type, ($kmvHashSql) / 2.0^60 AS h
            FROM events),
          rk AS (SELECT event_type, h,
                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
@@ -951,6 +958,70 @@ object SparkEntry {
          SELECT c.event_type, c.hr, c.n_events,
                 ((1000 * c.n_events) // t.n_type)::BIGINT AS share_milli
          FROM cells c JOIN tot t USING (event_type)""",
+    "kmv_union_est" ->
+      s"""WITH h AS (SELECT DISTINCT event_type, ($kmvHashSql) / 2.0^60 AS h
+            FROM events),
+         rk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM h),
+         surv AS (SELECT event_type, h FROM rk WHERE rn <= 32),
+         tp AS (SELECT DISTINCT event_type FROM events),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+                   FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         mh AS (SELECT DISTINCT p.type_a, p.type_b, s.h
+                FROM pairs p JOIN surv s
+                  ON s.event_type IN (p.type_a, p.type_b)),
+         mrk AS (SELECT type_a, type_b, h,
+                   row_number() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY h) AS rn,
+                   count(*) OVER (PARTITION BY type_a, type_b) AS cnt
+                 FROM mh),
+         est AS (SELECT type_a, type_b,
+                   CASE WHEN cnt < 32 THEN cnt::DOUBLE
+                        ELSE round(31 / h, 2) END AS est_union
+                 FROM mrk WHERE rn = least(32, cnt)),
+         tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         ct AS (SELECT event_type, count(*)::BIGINT AS c FROM tu GROUP BY 1),
+         inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*)::BIGINT AS i
+                   FROM tu a JOIN tu b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+         SELECT e.type_a, e.type_b,
+                (ca.c + cb.c - coalesce(i.i, 0))::BIGINT AS n_exact_union,
+                e.est_union
+         FROM est e JOIN ct ca ON ca.event_type = e.type_a
+         JOIN ct cb ON cb.event_type = e.type_b
+         LEFT JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b""",
+    "order_gaps" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                      date_diff('day', DATE '1970-01-01',
+                                date_trunc('day', o_orderdate))::BIGINT AS d
+                    FROM orders),
+         g0 AS (SELECT o_custkey, o_orderkey, d,
+                  lag(d) OVER (PARTITION BY o_custkey
+                               ORDER BY d, o_orderkey) AS prev
+                FROM o),
+         g AS (SELECT o_custkey, o_orderkey, d - prev AS gap_d
+               FROM g0 WHERE prev IS NOT NULL),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY gap_d, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_custkey) AS n
+               FROM g)
+         SELECT o_custkey, max(n)::BIGINT AS n_gaps,
+                max(CASE WHEN rn = (n + 1) // 2 THEN gap_d END)::BIGINT
+                  AS median_gap_d,
+                max(gap_d)::BIGINT AS max_gap_d
+         FROM r GROUP BY 1""",
+    "grouping_sets_events" ->
+      """SELECT event_type,
+                strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                count(*) AS n_events
+         FROM events
+         GROUP BY GROUPING SETS (
+           (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')),
+           (event_type), ())""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++
     DataOps.trainingSetOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles

@@ -289,32 +289,45 @@ object RefOps {
     * Output carries the exact distinct count alongside for error
     * inspection.
     */
-  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
-    val k = 32
-    val salts = 32
-    val e = events(spark, dir)
-    // 15 hex digits = 60 bits; the bigint→double cast rounds identically
-    // (IEEE nearest) in both engines, and 2^60 is an exact double.
-    val h = e.select(col("event_type"),
+  private[queries] val KmvK = 32
+  private val KmvSalts = 32
+
+  /** The KMV machinery shared by [[approxDistinctKmv]] and
+    * [[kmvUnionEst]]: the distinct md5-hash-fraction frame per
+    * event_type and its k-smallest survivor set.
+    *
+    * 15 hex digits = 60 bits; the bigint→double cast rounds identically
+    * (IEEE nearest) in both engines, and 2^60 is an exact double.
+    * Survivor selection is the KMV pre-aggregation (the real sketch
+    * merge): k-smallest per (key, salt cell) first. Any global
+    * k-smallest hash is k-smallest in its cell, so survivors ⊇ the
+    * global k minimum — and the per-task sort is bounded at
+    * |cell| ≈ distinct/salts instead of one task ordering EVERY distinct
+    * hash of a hot key (r3's few-key skew: ~5 event types ⇒ 5 tasks
+    * sorting everything at 100 TB). The final per-key windows downstream
+    * order ≤ k·salts survivors.
+    */
+  private def kmvFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val h = events(spark, dir).select(col("event_type"),
         conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
           .cast("bigint").as("hb"))
       .distinct()
       .select(col("event_type"), col("hb"),
         (col("hb") / pow(lit(2), lit(60))).as("h"))
-    // Sketch size per key is a tiny grouped aggregate, not a window.
-    val cnts = h.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
-    // KMV pre-aggregation (the real sketch merge): k-smallest per
-    // (key, salt cell) first. Any global k-smallest hash is k-smallest in
-    // its cell, so survivors ⊇ the global k minimum — and the per-task
-    // sort is bounded at |cell| ≈ distinct/salts instead of one task
-    // ordering EVERY distinct hash of a hot key (r3's few-key skew: ~5
-    // event types ⇒ 5 tasks sorting everything at 100 TB). The final
-    // window orders ≤ k·salts survivors per key.
-    val cell = Window.partitionBy(col("event_type"), pmod(col("hb"), lit(salts)))
+    val cell = Window.partitionBy(col("event_type"), pmod(col("hb"), lit(KmvSalts)))
       .orderBy(col("h"))
     val survivors = h
-      .withColumn("crn", row_number().over(cell)).filter(col("crn") <= k)
+      .withColumn("crn", row_number().over(cell)).filter(col("crn") <= KmvK)
       .select(col("event_type"), col("h"))
+    (h, survivors)
+  }
+
+  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = KmvK
+    val e = events(spark, dir)
+    val (h, survivors) = kmvFrames(spark, dir)
+    // Sketch size per key is a tiny grouped aggregate, not a window.
+    val cnts = h.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
     // under-full sketch (< k distinct values): it holds them all, so the
     // estimate IS the exact count (when cnt < k every row survives the
@@ -329,6 +342,68 @@ object RefOps {
     val exact = e.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     exact.join(kth, Seq("event_type"))
+  }
+
+  /** KMV sketch MERGE — the property that makes sketches worth shipping
+    * at 100 TB: per event-type pair, the union's distinct-user estimate
+    * computed ONLY from the two types' k-value survivor sets (the
+    * k smallest of a union are a subset of the union of each side's
+    * k smallest), with the exact union count alongside for error
+    * inspection. A real deployment stores the ≤ k-row sketches and
+    * merges them driver-side without touching the corpus again; here
+    * both live in one plan so the oracle can grade the merge rule.
+    *
+    * Scale shape: survivors are ≤ k·salts rows per type (skew-safe, see
+    * [[kmvFrames]]); every pair-level frame below is alphabet²·k-bounded
+    * and the pair list broadcasts. The exact side is one distinct
+    * (type, user) projection feeding marginals and the co-user
+    * intersection equi-join — corpus bytes move once. Under-full merge:
+    * if the merged distinct hash set has < k values both inputs were
+    * under-full, so the estimate IS the merged count (exactly the
+    * single-sketch rule).
+    */
+  def kmvUnionEst(spark: SparkSession, dir: String): DataFrame = {
+    val k = KmvK
+    val e = events(spark, dir)
+    val (_, survivors0) = kmvFrames(spark, dir)
+    // ≤ k·salts·|types| rows, eagerly materialized: feeds both sides of
+    // the pair expansion below
+    val survivors = survivors0.localCheckpoint(true)
+    val types = survivors.select(col("event_type")).distinct()
+    val pairs = types.as("a").join(types.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+    val merged = pairs.join(broadcast(survivors),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("h")).distinct()
+    val wp = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val mcnt = merged.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = merged
+      .withColumn("rn", row_number().over(wp))
+      .join(broadcast(mcnt), Seq("type_a", "type_b"))
+      .filter(col("rn") === least(lit(k), col("cnt")))
+      .select(col("type_a"), col("type_b"),
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(round(lit(k - 1) / col("h"), 2)).as("est_union"))
+    val tu = e.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true)
+    val ct = tu.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("i"))
+    est
+      .join(broadcast(ct.select(col("event_type").as("type_a"), col("c").as("ca"))),
+        "type_a")
+      .join(broadcast(ct.select(col("event_type").as("type_b"), col("c").as("cb"))),
+        "type_b")
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        (col("ca") + col("cb") - coalesce(col("i"), lit(0L)))
+          .as("n_exact_union"),
+        col("est_union"))
   }
 
   /** Event-time RANGE join: every (click, purchase) pair of the same

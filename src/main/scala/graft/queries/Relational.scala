@@ -1034,4 +1034,58 @@ object Relational {
       .select(col("event_type"), col("hr"), col("n_events"),
         expr("(1000 * n_events) div n_type").as("share_milli"))
   }
+
+  /** Per-customer reorder intervals — the retention statistic behind
+    * "is this customer's cadence slowing": exact lower-median and max
+    * days between CONSECUTIVE orders, customers with ≥ 2 orders. The
+    * [[intereventGaps]] rank discipline on the orders table: the lag
+    * window, rank window, and aggregation share one o_custkey hash
+    * partitioning; gaps are integer epoch-day differences.
+    */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val gaps = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(date_trunc("day", col("o_orderdate")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .withColumn("prev", lag(col("d"), 1).over(wo))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("d") - col("prev")).as("gap_d"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("gap_d"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+    ranked.groupBy(col("o_custkey")).agg(
+      max(col("n")).as("n_gaps"),
+      max(when(col("rn") === expr("(n + 1) div 2"), col("gap_d")))
+        .as("median_gap_d"),
+      max(col("gap_d")).as("max_gap_d"))
+  }
+
+  /** Explicit GROUPING SETS — the third face of multi-level aggregation
+    * next to [[rollupOrders]] (hierarchy) and the events CUBE (all
+    * combinations): exactly the requested set list
+    * ((type, day), (type), ()) — the daily detail, the per-type total,
+    * and the grand total, WITHOUT the per-day-across-types level a CUBE
+    * would force. Exercised through the SQL surface (`spark.sql`), the
+    * API a warehouse user actually writes grouping sets in. Catalyst
+    * plans ONE scan + Expand (3 replicas) + a single partial-aggregable
+    * shuffle — not three scans; the NULL patterns of the two key
+    * columns identify the grouping set (day is never NULL in the data,
+    * so the encoding is unambiguous).
+    */
+  def groupingSetsEvents(spark: SparkSession, dir: String): DataFrame = {
+    val view = "events_grouping_sets"
+    t(spark, dir, "events").createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT event_type,
+            date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+            count(*) AS n_events
+          FROM $view
+          GROUP BY GROUPING SETS (
+            (event_type, date_format(date_trunc('day', ts), 'yyyy-MM-dd')),
+            (event_type), ())""")
+  }
 }

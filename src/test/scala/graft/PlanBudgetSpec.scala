@@ -92,8 +92,12 @@ class PlanBudgetSpec extends SparkSpec {
     "lang_source_lift" -> 3,   // two marginals + join, all cell-bounded
     "mad_outliers" -> 8,       // cum/median/dev/outlier passes, every
                                // one over the ≤ lengths×langs histogram
-    "basket_affinity" -> 7)    // marginals/total/pair self-join over the
+    "basket_affinity" -> 7,    // marginals/total/pair self-join over the
                                // checkpointed (order, type) projection
+    "kmv_union_est" -> 8,      // exact-side distinct + marginals + co-user
+                               // join; sketch side is ≤ k·salts·|types|
+    "order_gaps" -> 1,         // lag/rank/agg share the o_custkey keying
+    "grouping_sets_events" -> 1) // ONE Expand feeding one partial agg
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DataOps, Relational}
+import graft.queries.{DataOps, RefOps, Relational}
 
 /** r12 additions: TPC-H Q7/Q10 join shapes in integer cents, trimmed
   * stats, exact-rational trend slope, inter-event gap percentiles,
@@ -294,5 +294,80 @@ class Round12OpsSpec extends SparkSpec {
     byCell.foreach { case (c @ (l, s), cnt) =>
       got(c) shouldBe ((cnt, 1000L * cnt * n / (byLang(l) * bySource(s))))
     }
+  }
+
+  test("kmv_union_est: merge rule equals the single-sketch rule on the union set") {
+    // driver-side mirror: per type, the exact distinct user hash set;
+    // per pair, the k smallest of the union of each side's k smallest
+    val hashOf = (u: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) / math.pow(2, 60)
+    }
+    val byType = graft.queries.Tables(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(x => hashOf(x._2)).sorted.toVector)
+      .toMap
+    val k = 32
+    val got = RefOps.kmvUnionEst(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val types = byType.keys.toSeq.sorted
+    val wantPairs = for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j))
+    got.keySet shouldBe wantPairs.toSet
+    wantPairs.foreach { case p @ (a, b) =>
+      val merged = (byType(a).take(k) ++ byType(b).take(k)).distinct.sorted
+      val est =
+        if (merged.size < k) merged.size.toDouble
+        else BigDecimal((k - 1) / merged(k - 1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val exactUnion = (byType(a) ++ byType(b)).distinct.size.toLong
+      got(p)._1 shouldBe exactUnion
+      got(p)._2 shouldBe est
+      // the sketch is doing its job: within 40% of exact at k=32
+      math.abs(got(p)._2 - exactUnion) / exactUnion.toDouble should be < 0.4
+    }
+  }
+
+  test("order_gaps: exact rank selections per customer on the orders table") {
+    val byCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        datediff(date_trunc("day", col("o_orderdate")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sorted.toVector).toMap
+    val multi = byCust.filter(_._2.size >= 2)
+    val got = Relational.orderGaps(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got.keySet shouldBe multi.keySet
+    multi.foreach { case (cust, orders) =>
+      val gs = orders.sliding(2)
+        .collect { case Vector(x, y) => y._1 - x._1 }.toVector.sorted
+      got(cust) shouldBe ((gs.size.toLong, gs((gs.size + 1) / 2 - 1), gs.last))
+    }
+  }
+
+  test("grouping_sets_events: exactly the three requested levels, no cube extras") {
+    val rows = Relational.groupingSetsEvents(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)))
+    val detail = rows.filter(r => r._1.isDefined && r._2.isDefined)
+    val perType = rows.filter(r => r._1.isDefined && r._2.isEmpty)
+    val grand = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    // no (day-only) level — the set a CUBE would add
+    rows.count(r => r._1.isEmpty && r._2.isDefined) shouldBe 0
+    grand.length shouldBe 1
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    grand.head._3 shouldBe total
+    detail.map(_._3).sum shouldBe total
+    perType.map(_._3).sum shouldBe total
+    // per-type level is consistent with the detail level
+    detail.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap shouldBe
+      perType.map(r => r._1 -> r._3).toMap
   }
 }
