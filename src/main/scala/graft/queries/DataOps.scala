@@ -4474,11 +4474,14 @@ object DataOps {
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
                 FROM toks WHERE len(w) >= 3),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
-        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
-                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+        -- |A∩B| directly from ONE postings self-join (ex is distinct per
+        -- (doc, shingle), so the group count IS the intersection size).
+        -- The earlier cand-then-rejoin form did the same join three
+        -- times and timed out at sf1 (1800 s); this form is the same
+        -- set by construction.
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS i
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
         sz AS (SELECT doc_id, len(sh) AS n FROM shx)
         SELECT i2.doc_a, i2.doc_b,
