@@ -434,7 +434,7 @@ object SparkEntry {
          FROM exact JOIN kth ON exact.event_type = kth.event_type"""),
     "sessionize" ->
       """WITH o AS (SELECT user_id, ts, event_id,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (SELECT user_id, ts,

@@ -518,9 +518,14 @@ object RefOps {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("ts"), 1).over(w)
+    // gap compared in exact MICROSECONDS: the earlier whole-second form
+    // (unix_timestamp truncates) disagreed with DuckDB's fractional
+    // epoch() on gaps inside [1800 s, 1801 s) — invisible at sf0.01,
+    // 17 flipped sessions at sf1. Both engines now compare the same
+    // integer micros quantity.
     val o = events(spark, dir).withColumn("new_s",
       when(prev.isNull ||
-        unix_timestamp(col("ts")) - unix_timestamp(prev) > 1800, 1).otherwise(0))
+        unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1).otherwise(0))
     val s = o.withColumn("session_id",
       sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     s.groupBy(col("user_id"), col("session_id"))

@@ -53,7 +53,7 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
       path.isDefined shouldBe true
     }
     val json = java.nio.file.Files.readString(path.get)
-    val timedKeys = """"queries":\{([^}]*)\}""".r
+    val timedKeys = """"queries":\s*\{([^}]*)\}""".r
       .findFirstMatchIn(json).map(_.group(1))
       .getOrElse(fail("no queries object in BENCH_sf1.json"))
     val covered = "\"([a-z0-9_]+)\":".r.findAllMatchIn(timedKeys)
@@ -64,7 +64,7 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
       s"${orphans.toSeq.sorted.mkString(", ")} ") {
       orphans shouldBe empty
     }
-    val failed = """"failed":\[([^\]]*)\]""".r
+    val failed = """"failed":\s*\[([^\]]*)\]""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     withClue(s"sf1 run recorded failures: $failed ") {
       failed.trim shouldBe empty
@@ -117,7 +117,7 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
     val json = java.nio.file.Files.readString(path.get)
     // the artifact is one JSON object; the queries map's keys are exactly
     // the successfully-timed queries (failures are excluded from it)
-    val timedKeys = """"queries":\{([^}]*)\}""".r
+    val timedKeys = """"queries":\s*\{([^}]*)\}""".r
       .findFirstMatchIn(json).map(_.group(1))
       .getOrElse(fail("no queries object in bench_materialized.json"))
     val covered = "\"([a-z0-9_]+)\":".r.findAllMatchIn(timedKeys)
@@ -127,7 +127,7 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
       s"(stale artifact? failed run?): ${missing.toSeq.sorted.mkString(", ")} ") {
       missing shouldBe empty
     }
-    val failed = """"failed":\[([^\]]*)\]""".r
+    val failed = """"failed":\s*\[([^\]]*)\]""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     withClue(s"materialized audit recorded failures: $failed ") {
       failed.trim shouldBe empty
