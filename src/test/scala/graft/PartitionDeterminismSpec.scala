@@ -34,7 +34,14 @@ class PartitionDeterminismSpec extends SparkSpec {
     // r11b additions in the risk class: a rank/cumsum window with a
     // tie-broken total order (zipf) and a carry-over running sum whose
     // every prefix must be engine- and partitioning-identical (sweep)
-    "zipf_coverage", "concurrency_peak")
+    "zipf_coverage", "concurrency_peak",
+    // r12 additions in the risk class: a bounded single-partition
+    // running-max window (pareto), two chained histogram medians whose
+    // cumulative prefixes must not depend on partition layout (mad),
+    // rank selections over per-key total orders (trimmed/gaps/latency),
+    // and the k-th-smallest-of-merged sketch pick (kmv union)
+    "pareto_front", "mad_outliers", "trimmed_stats",
+    "interevent_gaps", "conversion_latency", "kmv_union_est")
 
   private def hash(df: DataFrame): String = {
     val cols = df.columns.sorted
