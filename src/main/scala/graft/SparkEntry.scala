@@ -197,6 +197,9 @@ object SparkEntry {
     "kmv_union_est" -> (RefOps.kmvUnionEst _),
     "order_gaps" -> (Relational.orderGaps _),
     "grouping_sets_events" -> (Relational.groupingSetsEvents _),
+    "attribution_first_touch" -> (Relational.attributionFirstTouch _),
+    "session_stats" -> (RefOps.sessionStats _),
+    "anomalous_days" -> (Relational.anomalousDays _),
     // HTML extraction layer (P1-P7) on synthesized two-site listing pages.
     "html_extract" -> (ExtractOps.htmlExtract _),
     // Multimodal BINARY-column plumbing (decode is a documented stub).
@@ -211,6 +214,24 @@ object SparkEntry {
   private val kmvHashSql: String = (1 to 15).map(i =>
     s"(instr('0123456789abcdef', substr(md5(user_id::VARCHAR), $i, 1)) - 1)::BIGINT * ${java.lang.Long.parseLong("1" + "0" * (15 - i), 16)}")
     .mkString(" + ")
+
+  /** sessionize oracle — factored to a val so session_stats NESTS it
+    * verbatim (drift in the session rule fails both entries).
+    */
+  private val sessionizeOracle: String =
+    """WITH o AS (SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, ts,
+               (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+             FROM o)
+       SELECT user_id, session_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+              count(*) AS n_events
+       FROM s GROUP BY 1, 2"""
 
   /** attribution_last_touch oracle — factored to a val so
     * conversion_latency NESTS it verbatim (the qualityCalibration
@@ -432,20 +453,7 @@ object SparkEntry {
                    FROM events GROUP BY 1)
          SELECT exact.event_type, n_exact, est_distinct
          FROM exact JOIN kth ON exact.event_type = kth.event_type"""),
-    "sessionize" ->
-      """WITH o AS (SELECT user_id, ts, event_id,
-               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         s AS (SELECT user_id, ts,
-                 (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
-               FROM o)
-         SELECT user_id, session_id,
-                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
-                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
-                count(*) AS n_events
-         FROM s GROUP BY 1, 2""",
+    "sessionize" -> sessionizeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
@@ -1022,6 +1030,69 @@ object SparkEntry {
          GROUP BY GROUPING SETS (
            (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')),
            (event_type), ())""",
+    "attribution_first_touch" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu
+            FROM events),
+         t AS (SELECT user_id, event_id AS t_id, event_type AS t_type,
+                 tu AS t_tu
+               FROM e WHERE event_type IN ('click', 'view')),
+         p AS (SELECT user_id, event_id AS purchase_id, tu AS p_tu
+               FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT p.purchase_id, t.t_tu, t.t_id, t.t_type,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY t.t_tu, t.t_id) AS rn
+               FROM p JOIN t ON t.user_id = p.user_id
+                 AND t.t_tu <= p.p_tu
+                 AND p.p_tu - t.t_tu <= ${Relational.AttributionWindowUs}),
+         f AS (SELECT purchase_id, t_id, t_type, t_tu FROM j WHERE rn = 1)
+         SELECT p.purchase_id, p.user_id, p.p_tu,
+                f.t_id AS touch_id, f.t_type AS touch_type,
+                f.t_tu AS touch_tu, f.t_tu IS NOT NULL AS attributed
+         FROM p LEFT JOIN f USING (purchase_id)""",
+    "session_stats" ->
+      s"""WITH s AS ($sessionizeOracle),
+         d AS (SELECT epoch(strptime(end_s, '%Y-%m-%d %H:%M:%S'))::BIGINT
+                   - epoch(strptime(start_s, '%Y-%m-%d %H:%M:%S'))::BIGINT
+                   AS dur_s,
+                 n_events
+               FROM s),
+         n AS (SELECT count(*)::BIGINT AS n_sessions FROM d),
+         rd AS (SELECT dur_s,
+                  row_number() OVER (ORDER BY dur_s) AS rn
+                FROM d),
+         re AS (SELECT n_events,
+                  row_number() OVER (ORDER BY n_events) AS rn
+                FROM d)
+         SELECT n.n_sessions,
+                (SELECT dur_s FROM rd, n
+                 WHERE rn = (n_sessions + 1) // 2)::BIGINT AS median_dur_s,
+                (SELECT dur_s FROM rd, n
+                 WHERE rn = (95 * n_sessions + 99) // 100)::BIGINT AS p95_dur_s,
+                (SELECT max(dur_s) FROM d)::BIGINT AS max_dur_s,
+                (SELECT n_events FROM re, n
+                 WHERE rn = (n_sessions + 1) // 2)::BIGINT AS median_events
+         FROM n""",
+    "anomalous_days" ->
+      """WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+                          AS day, count(*)::BIGINT AS n_events
+                        FROM events GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+         med AS (SELECT n_events AS med_events FROM
+                   (SELECT n_events,
+                      row_number() OVER (ORDER BY n_events, day) AS rn
+                    FROM daily) r, n
+                 WHERE rn = (n_days + 1) // 2),
+         dev AS (SELECT d.day, d.n_events,
+                   abs(d.n_events - m.med_events)::BIGINT AS deviation
+                 FROM daily d CROSS JOIN med m),
+         mad AS (SELECT deviation AS mad_events FROM
+                   (SELECT deviation,
+                      row_number() OVER (ORDER BY deviation, day) AS rn
+                    FROM dev) r, n
+                 WHERE rn = (n_days + 1) // 2)
+         SELECT dev.day, dev.n_events, dev.deviation,
+                dev.deviation > 3 * mad.mad_events AS is_anomaly
+         FROM dev CROSS JOIN mad""",
   ) ++ DataOps.oracles ++ DataOps.clusterStarOracle ++
     DataOps.trainingSetOracle ++ ExtractOps.oracles ++
     graft.multimodal.MultimodalOps.oracles

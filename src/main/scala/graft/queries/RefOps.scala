@@ -533,6 +533,38 @@ object RefOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Corpus-level session statistics — the one-row report on top of
+    * [[sessionize]]: session count, exact lower-median / ceil-rank-p95 /
+    * max DURATION (whole seconds, computed from the session rollup's own
+    * second-truncated strings so the oracle — which nests the graded
+    * sessionize SQL verbatim — sees identical integers), and the
+    * lower-median session SIZE. Rank selections run on the duration/size
+    * HISTOGRAM frames (distinct values ≪ sessions — the madOutliers
+    * split), so no session-count-sized global sort exists in the plan;
+    * the bounded single-partition cumulative windows are the documented
+    * exception.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+      .select((unix_timestamp(col("end_s")) - unix_timestamp(col("start_s")))
+        .as("dur_s"), col("n_events"))
+      .localCheckpoint(true) // sessions ≪ events; five consumers below
+    val n = s.agg(count(lit(1)).as("n_sessions"))
+    def rankPick(v: String, rankExpr: String, out: String): DataFrame = {
+      val hist = s.groupBy(col(v)).agg(count(lit(1)).as("c"))
+      hist.withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") >= expr(rankExpr))
+        .agg(min(col(v)).as(out))
+    }
+    n.crossJoin(broadcast(rankPick("dur_s", "(n_sessions + 1) div 2", "median_dur_s")))
+      .crossJoin(broadcast(rankPick("dur_s", "(95 * n_sessions + 99) div 100", "p95_dur_s")))
+      .crossJoin(broadcast(s.agg(max(col("dur_s")).as("max_dur_s"))))
+      .crossJoin(broadcast(rankPick("n_events", "(n_sessions + 1) div 2", "median_events")))
+  }
+
   /** The full articles-pipeline analog on events, end-to-end: watermark
     * from the "stored" half, strict-< cutoff on the "incoming" half, keyed
     * dedup, upsert, top-N — the reference's whole notebook as one plan

@@ -1064,6 +1064,79 @@ object Relational {
       max(col("gap_d")).as("max_gap_d"))
   }
 
+  /** First-touch attribution — [[attributionLastTouch]]'s mirror: each
+    * purchase credited to the EARLIEST touch inside the 7-day lookback
+    * (brand-awareness credit where last-touch measures the closer). The
+    * carry-forward trick that made last-touch one window does NOT apply
+    * — "earliest within a bounded lookback" needs the window's leading
+    * edge — so this takes the N27 bucketed range-join shape: touch time
+    * bucketed by the window width W, purchases replicated into their 2
+    * adjacent buckets, equi-join on (user, bucket), the exact
+    * 0 ≤ p − t ≤ W filter lossless after the hash join, then one
+    * min-struct argmin per purchase over the (t_tu, event_id) total
+    * order. Unattributed purchases survive the left join as the
+    * monitored NULL cohort, exactly like last-touch.
+    */
+  def attributionFirstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = AttributionWindowUs
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"), col("tu").as("t_tu"),
+        expr(s"tu div $w").as("bk"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("tu").as("p_tu"))
+    val probed = purchases
+      .withColumn("bk", explode(array(expr(s"p_tu div $w") - 1,
+        expr(s"p_tu div $w"))))
+      .join(touches, Seq("user_id", "bk"))
+      .filter(col("t_tu") <= col("p_tu") &&
+        col("p_tu") - col("t_tu") <= w)
+      .groupBy(col("purchase_id"))
+      .agg(min(struct(col("t_tu"), col("t_id"), col("t_type"))).as("ft"))
+      .select(col("purchase_id"), col("ft.t_id").as("touch_id"),
+        col("ft.t_type").as("touch_type"), col("ft.t_tu").as("touch_tu"))
+    purchases.join(probed, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("p_tu"),
+        col("touch_id"), col("touch_type"), col("touch_tu"),
+        col("touch_tu").isNotNull.as("attributed"))
+  }
+
+  /** Daily-volume anomaly detection — the [[graft.queries.DataOps
+    * .madOutliers]] discipline applied to the TIME axis: a day is
+    * anomalous when its event count deviates from the corpus-median
+    * daily count by more than 3 MADs. The ops-monitoring query a
+    * pipeline runs before trusting a new day's crawl. The day frame is
+    * calendar-bounded (≤ days in the corpus), so the two global median
+    * rank selections run on a tiny frame — the deliberate bounded
+    * exception, same as qualityDeciles.
+    */
+  def anomalousDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // days-bounded; four consumers below
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.orderBy(col(v), col("day"))))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col(v).as(out))
+    val med = lowerMedian(daily, "n_events", "med_events")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("deviation", abs(col("n_events") - col("med_events")))
+    val mad = lowerMedian(
+      dev.select(col("deviation").as("n_events"), col("day")),
+      "n_events", "mad_events")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"), col("deviation"),
+        (col("deviation") > lit(3L) * col("mad_events")).as("is_anomaly"))
+  }
+
   /** Explicit GROUPING SETS — the third face of multi-level aggregation
     * next to [[rollupOrders]] (hierarchy) and the events CUBE (all
     * combinations): exactly the requested set list

@@ -97,7 +97,11 @@ class PlanBudgetSpec extends SparkSpec {
     "kmv_union_est" -> 8,      // exact-side distinct + marginals + co-user
                                // join; sketch side is ≤ k·salts·|types|
     "order_gaps" -> 1,         // lag/rank/agg share the o_custkey keying
-    "grouping_sets_events" -> 1) // ONE Expand feeding one partial agg
+    "grouping_sets_events" -> 1, // ONE Expand feeding one partial agg
+    "attribution_first_touch" -> 2, // (user, bucket) range join + argmin
+    "session_stats" -> 11,     // rank picks over session-bounded
+                               // histograms of the checkpointed rollup
+    "anomalous_days" -> 6)     // day-bounded median/MAD rank picks
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec

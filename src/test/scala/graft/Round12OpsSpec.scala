@@ -370,4 +370,71 @@ class Round12OpsSpec extends SparkSpec {
     detail.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap shouldBe
       perType.map(r => r._1 -> r._3).toMap
   }
+
+  test("attribution_first_touch: earliest in-window touch; brackets last-touch") {
+    val events = graft.queries.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val w = Relational.AttributionWindowUs
+    val touches = events.filter(e => e._3 == "click" || e._3 == "view")
+      .groupBy(_._1)
+    val got = Relational.attributionFirstTouch(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) None else Some((r.getLong(5), r.getLong(3))),
+          r.getBoolean(6))).toMap
+    val purchases = events.filter(_._3 == "purchase")
+    got.keySet shouldBe purchases.map(_._2).toSet
+    purchases.foreach { case (u, pid, _, ptu) =>
+      val inWin = touches.getOrElse(u, Array.empty)
+        .filter(t => t._4 <= ptu && ptu - t._4 <= w)
+      val want = inWin.sortBy(t => (t._4, t._2)).headOption
+        .map(t => (t._4, t._2))
+      got(pid)._1 shouldBe want
+      got(pid)._2 shouldBe want.isDefined
+    }
+    // first-touch time ≤ last-touch time on every co-attributed purchase
+    val last = Relational.attributionLastTouch(spark, sf)
+      .filter(col("attributed")).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    got.foreach { case (pid, (ft, attributed)) =>
+      if (attributed && last.contains(pid))
+        ft.get._1 should be <= last(pid)
+    }
+  }
+
+  test("session_stats: rank picks over sessionize's own output") {
+    val s = graft.queries.RefOps.sessionize(spark, sf)
+      .select(
+        (unix_timestamp(col("end_s")) - unix_timestamp(col("start_s")))
+          .as("d"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val durs = s.map(_._1).sorted
+    val evs = s.map(_._2).sorted
+    val n = s.length
+    val row = graft.queries.RefOps.sessionStats(spark, sf).collect().head
+    row.getLong(0) shouldBe n.toLong
+    row.getLong(1) shouldBe durs((n + 1) / 2 - 1)
+    row.getLong(2) shouldBe durs((95 * n + 99) / 100 - 1)
+    row.getLong(3) shouldBe durs.last
+    row.getLong(4) shouldBe evs((n + 1) / 2 - 1)
+  }
+
+  test("anomalous_days: MAD rule over the daily counts") {
+    val daily = graft.queries.Tables(spark, sf, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .count().collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(identity)
+    def lowerMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val med = lowerMed(daily.map(_._2).toSeq)
+    val mad = lowerMed(daily.map(d => math.abs(d._2 - med)).toSeq)
+    val got = Relational.anomalousDays(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    got.keySet shouldBe daily.map(_._1).toSet
+    daily.foreach { case (day, cnt) =>
+      got(day) shouldBe ((cnt, math.abs(cnt - med),
+        math.abs(cnt - med) > 3 * mad))
+    }
+  }
 }
