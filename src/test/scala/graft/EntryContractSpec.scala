@@ -91,7 +91,16 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
       .findFirstMatchIn(json).map(_.group(1).toInt)
       .getOrElse(fail(s"no $k in CORRECTNESS_sf1.json"))
     val (nMatch, nQueries) = (intField("n_match"), intField("n_queries"))
-    nQueries should be >= 117
+    // full-coverage coupling (the materialized-audit ratchet pattern,
+    // r12): a query added without re-grading the sf1 scale point fails
+    // HERE by count — the scale artifact must cover the whole surface,
+    // because sf1 is where the sf0.01-invisible bugs live (the r12
+    // sessionize seconds-truncation flip was caught only at sf1)
+    withClue(s"sf1 correctness artifact covers $nQueries of " +
+      s"${SparkEntry.queries.size} graded queries — re-run Verify + " +
+      "oracle_check at sf1: ") {
+      nQueries should be >= SparkEntry.queries.size
+    }
     withClue(s"sf1 oracle run not clean: $nMatch/$nQueries matched ") {
       nMatch shouldBe nQueries
     }
