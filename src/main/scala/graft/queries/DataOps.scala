@@ -4320,9 +4320,15 @@ object DataOps {
     * feed), no pairwise anything.
     */
   def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    // NULL score (empty/zero-token text) is excluded EXPLICITLY on both
+    // sides: the inner join here would drop such docs silently while the
+    // oracle's NOT EXISTS would keep them (NULL makes the dominance
+    // predicate unknown for every b) — encode one rule, visibly (r12
+    // advice)
     val s = qualityScoredOn(toks(spark, dir), Nil)
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
         col("score_milli"))
+      .filter(col("score_milli").isNotNull)
     val hist = s.groupBy(col("score_milli")).agg(max(col("n_tokens")).as("mxn"))
     // bounded frame (≤1401 rows): the single-partition window is a
     // deliberate, documented exception — same rationale as qualityDeciles
@@ -5732,7 +5738,9 @@ object DataOps {
         s AS (SELECT doc_id, n::BIGINT AS n_tokens,
                 ((400 * least(n, 50)) // 50 + (800 * nd) // n
                  + 200 - (200 * mx) // n)::BIGINT AS score_milli
-              FROM m)
+              FROM m
+              WHERE ((400 * least(n, 50)) // 50 + (800 * nd) // n
+                     + 200 - (200 * mx) // n) IS NOT NULL)
         SELECT a.doc_id, a.score_milli, a.n_tokens FROM s a
         WHERE NOT EXISTS (
           SELECT 1 FROM s b

@@ -114,10 +114,15 @@ def main():
                 parsed = None
                 for line in reversed(p.stdout.strip().splitlines()):
                     try:
-                        parsed = json.loads(line)
-                        break
+                        cand = json.loads(line)
                     except json.JSONDecodeError:
                         continue
+                    # json.loads accepts bare scalars ('123', 'true');
+                    # a stray numeric tail line must not masquerade as a
+                    # result dict — only a dict carrying 'match' counts
+                    if isinstance(cand, dict) and "match" in cand:
+                        parsed = cand
+                        break
                 if parsed is None:
                     results[name] = {
                         "match": False,
