@@ -445,7 +445,7 @@ object DataOps {
     * the body of [[ngramJaccard]], reusable at other thresholds (the
     * prefix bound is lossless for any t: see class scaladoc).
     */
-  private def ngramPairsOn(big: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def ngramPairsOn(big: DataFrame, threshold: Double): DataFrame = {
     // The exploded column is the shingle's xxhash64, NOT the shingle
     // string. Everything the exploded frame feeds — global frequency,
     // per-doc prefix rank, the candidate self-join — only needs a
@@ -484,12 +484,24 @@ object DataOps {
       .select(col("doc_id"), col("s"),
         row_number().over(byRarity).as("rk"), col("n"))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("n"))
     // pex cached: the candidate self-join otherwise recomputes the
     // frequency join + window once per side.
     cachedScope(pex) {
+      // Length-ratio filter INSIDE the join (SSJoin's second lossless
+      // bound, alongside the prefix filter): J ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥
+      // t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|), so min ≥ t·max — any
+      // pair whose (hash-)set sizes are more skewed than t cannot reach
+      // the threshold and is dropped before the distinct + verify joins.
+      // Sizes here are the HASHED set sizes the prefix bound already
+      // runs on: collisions only merge shingles, so hash-Jaccard ≥
+      // string-Jaccard and every string-true pair still passes (the
+      // string-array verification in jaccardOnPairs stays the arbiter).
       val cand = pex.as("a")
-        .join(pex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(pex.as("b"), col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= lit(threshold) * col("a.n") &&
+          col("a.n") >= lit(threshold) * col("b.n"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       jaccardOnPairs(cand, big, threshold)

@@ -89,6 +89,26 @@ class DataOpsSpec extends SparkSpec {
     assert(ng.intersect(lsh).size >= (lsh.size * 0.8).toInt)
   }
 
+  test("length-ratio filter is lossless: boundary pair at min = t*max survives") {
+    // r13: the candidate join adds SSJoin's length bound (J >= t implies
+    // min(|A|,|B|) >= t*max(|A|,|B|)). Pin the exactness of the boundary
+    // with a synthetic corpus the sf tables don't contain: a pair whose
+    // set sizes sit EXACTLY at the t = 0.5 ratio and whose Jaccard is
+    // exactly 0.5 must survive; a shared-shingle pair more skewed than t
+    // must be pruned (its true Jaccard is < t, so output is unchanged).
+    import spark.implicits._
+    val abcd = Seq("a", "b", "c", "d")
+    val sh = Seq(
+      1L -> abcd,                                        // |A| = 4
+      2L -> (abcd ++ Seq("e", "f", "g", "h")),           // |B| = 8: J = 4/8 = t, 4 = t*8
+      3L -> (Seq("a") ++ (1 to 9).map("u" + _)),         // shares "a", 4/10 < t -> pruned
+      4L -> (abcd :+ "x")                                // J(1,4) = 0.8; J(2,4) = 4/9 < t
+    ).toDF("doc_id", "sh")
+    val got = DataOps.ngramPairsOn(sh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe Set((1L, 2L, 0.5), (1L, 4L, 0.8))
+  }
+
   test("ngram_jaccard hashed-prefix path equals the naive string all-pairs join") {
     // The r9 footprint cut explodes xxhash64(shingle) longs instead of
     // shingle strings. Lossless by construction (collisions only add
