@@ -55,7 +55,11 @@ object DataOps {
 
   /** doc_id + token array, the common front of every text operator. */
   private def toks(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), col("lang"),
+    toksOn(docs(spark, dir))
+
+  /** The token front on an explicit documents frame (streaming faces). */
+  private[graft] def toksOn(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), col("lang"),
       TextOps.tokens(col("text")).as("w"))
 
   // ---------------------------------------------------------------- dedup
@@ -791,8 +795,16 @@ object DataOps {
     "fr" -> Seq("query", "scan", "data"),
     "zh" -> Seq("the", "join", "fast"))
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = LangMarkers.foldLeft(toks(spark, dir)) { case (df, (l, ms)) =>
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(toks(spark, dir))
+
+  /** [[langId]] on an explicit (doc_id, lang, w) token frame — the
+    * markers are fixed constants, so prediction is stateless per row and
+    * applies unchanged to a micro-batch slice
+    * ([[graft.streaming.StreamingMonitors]]).
+    */
+  private[graft] def langIdOn(t: DataFrame): DataFrame = {
+    val scored = LangMarkers.foldLeft(t) { case (df, (l, ms)) =>
       val set = ms.map(m => s"'$m'").mkString(", ")
       df.withColumn(s"s_$l", expr(s"size(filter(w, t -> t IN ($set)))"))
     }
@@ -4361,13 +4373,24 @@ object DataOps {
     * shuffle onto the ≤25-cell (lang, pred) key; row totals aggregate
     * THAT bounded frame and broadcast back.
     */
-  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
     // ≤ |langs|² rows, eagerly materialized so the row-total pass and
     // the join derive from it instead of re-running langId over the
     // corpus per consumer
-    val cm = langId(spark, dir).select(col("lang"), col("pred_lang"))
+    langConfusionFrom(langCellsOf(langId(spark, dir)).localCheckpoint(true))
+
+  /** Additive half of [[langConfusion]]: (true, predicted) partial
+    * counts over any slice of [[langId]]'s output — cells add across
+    * micro-batches ([[graft.streaming.StreamingMonitors]]).
+    */
+  private[graft] def langCellsOf(li: DataFrame): DataFrame =
+    li.select(col("lang"), col("pred_lang"))
       .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint(true)
+
+  /** Derive half of [[langConfusion]] on an eagerly-materialized
+    * complete cell frame (consumed twice: row totals + join).
+    */
+  private[graft] def langConfusionFrom(cm: DataFrame): DataFrame = {
     val tot = cm.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_true"))
     cm.join(broadcast(tot), "lang")
       .select(col("lang"), col("pred_lang"), col("n_docs"),

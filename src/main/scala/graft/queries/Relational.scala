@@ -1022,13 +1022,24 @@ object Relational {
     * (type, hour) key; per-type totals aggregate that ≤ |types|·24 frame
     * and broadcast back.
     */
-  def hourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyProfile(spark: SparkSession, dir: String): DataFrame =
     // ≤ |types|·24 rows, eagerly materialized: one stream pass feeds
     // both the totals and the join
-    val cells = t(spark, dir, "events")
-      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+    hourlyProfileFrom(hourlyCellsOf(t(spark, dir, "events")).localCheckpoint(true))
+
+  /** The additive half of [[hourlyProfile]]: (type, hour) partial counts
+    * from any slice of the events table. Cells ADD across slices, which
+    * is what lets [[graft.streaming.StreamingMonitors]] maintain the
+    * profile incrementally per micro-batch.
+    */
+  private[graft] def hourlyCellsOf(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint(true)
+
+  /** The derive half of [[hourlyProfile]], on an eagerly-materialized
+    * complete cell frame (it is consumed twice: totals + join).
+    */
+  private[graft] def hourlyProfileFrom(cells: DataFrame): DataFrame = {
     val tot = cells.groupBy(col("event_type")).agg(sum(col("n_events")).as("n_type"))
     cells.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("hr"), col("n_events"),
@@ -1114,11 +1125,22 @@ object Relational {
     * rank selections run on a tiny frame — the deliberate bounded
     * exception, same as qualityDeciles.
     */
-  def anomalousDays(spark: SparkSession, dir: String): DataFrame = {
-    val daily = t(spark, dir, "events")
+  def anomalousDays(spark: SparkSession, dir: String): DataFrame =
+    anomalousDaysFrom(dailyCountsOf(t(spark, dir, "events"))
+      .localCheckpoint(true)) // days-bounded; four consumers below
+
+  /** Additive half of [[anomalousDays]]: per-day partial counts from any
+    * slice of the events table (cells add across slices / micro-batches).
+    */
+  private[graft] def dailyCountsOf(events: DataFrame): DataFrame =
+    events
       .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint(true) // days-bounded; four consumers below
+
+  /** Derive half of [[anomalousDays]] on an eagerly-materialized complete
+    * daily frame (four consumers below).
+    */
+  private[graft] def anomalousDaysFrom(daily: DataFrame): DataFrame = {
     val n = daily.agg(count(lit(1)).as("n_days"))
     def lowerMedian(df: DataFrame, v: String, out: String): DataFrame =
       df.withColumn("rn", row_number().over(

