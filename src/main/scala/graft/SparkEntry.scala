@@ -71,6 +71,7 @@ object SparkEntry {
     "rolling_revenue_range" -> (Relational.rollingRevenueRange _),
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
+    "substring_dedup" -> (DataOps.substringDedup _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),

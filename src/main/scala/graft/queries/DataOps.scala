@@ -512,6 +512,100 @@ object DataOps {
     }
   }
 
+  /** Length of the exact-substring window for [[substringDedup]] — a
+    * power of two, so the final equality class is a single doubling
+    * level (Lee et al. 2021 use 50 BPE tokens at web scale; 16 word
+    * tokens plays the same role on this corpus' ~8–600-token docs).
+    */
+  private[graft] val SubstringL = 16
+
+  /** Suffix-array-family exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every maximal token span covered by a substring of length ≥ L that
+    * occurs MORE THAN ONCE in the corpus (anywhere — another doc or the
+    * same doc). Output is one row per maximal duplicated span
+    * (doc_id, span_start, span_end; 1-based inclusive token indexes) —
+    * exactly the byte ranges the paper's pipeline cuts out of training
+    * text.
+    *
+    * Structure: the prefix-doubling rounds of distributed suffix-array
+    * construction, kept in their EQUALITY-CLASS form. Level-k classes
+    * identify equal 2^k-token substrings; each round pairs a position's
+    * class with the class 2^(k-1) ahead (one idx-shifted self-join) and
+    * re-labels pairs by their class minimum (one groupBy + join back) —
+    * a dense, deterministic class id with no hashing anywhere, so
+    * equality is EXACT, not probabilistic. log₂(L) rounds total, every
+    * one a linear keyed shuffle of the position frame: the whole
+    * operator is O(tokens · log L) with no quadratic anywhere — the
+    * suffix-automaton scale story, vs. the L× blowup of materializing
+    * L-gram strings (the form the DuckDB oracle runs: agreement proves
+    * the doubling classes ARE L-gram equality).
+    *
+    * A span of length ≥ L occurs twice iff it contains a duplicated
+    * L-gram, so covered positions = union of [i, i+L) over duplicated
+    * L-grams i — the final interval merge is one bounded per-doc window
+    * over covered windows. Docs shorter than L cannot participate, by
+    * definition.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOn(toks(spark, dir), SubstringL)
+
+  private[graft] def substringDedupOn(t: DataFrame, L: Int): DataFrame = {
+    require(L >= 2 && (L & (L - 1)) == 0, s"L must be a power of two: $L")
+    // position frame: (doc_id, idx 1-based, level-0 class = the token).
+    // Each round is eagerly checkpointed: `rk` feeds itself THREE times
+    // per round (self, the shifted side, the relabel join), so a lazy
+    // loop triples the plan per level — 511 Exchanges at L=16, measured
+    // — while the checkpointed form keeps every round's plan constant
+    // (the host_cap_ranked PageRank-round discipline).
+    // docs shorter than L cannot hold an L-gram — drop them before the
+    // explode (the inner joins would prune their positions anyway, but
+    // only after paying log L rounds of shuffle on them)
+    var rk = t.filter(size(col("w")) >= L)
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("r"))
+      .localCheckpoint(true)
+    var width = 1
+    while (width < L) {
+      // pair each full-window position with the class `width` ahead; the
+      // inner join drops positions whose 2·width window would run off
+      // the doc's end — levels only ever contain full windows, so class
+      // equality always means exact substring equality
+      val ahead = rk.select(col("doc_id"), (col("idx") - width).as("idx"),
+        col("r").as("r2"))
+      val paired = rk.join(ahead, Seq("doc_id", "idx"))
+        .select(col("doc_id"), col("idx"), struct(col("r"), col("r2")).as("pr"))
+      // dense class relabel: the class's minimum position — deterministic
+      // and collision-free (no hash), one partial-aggregable shuffle
+      val classes = paired.groupBy(col("pr"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("cid"))
+      rk = paired.join(classes, "pr")
+        .select(col("doc_id"), col("idx"), col("cid").as("r"))
+        .localCheckpoint(true)
+      width *= 2
+    }
+    // duplicated L-grams: classes holding >= 2 positions (same-doc
+    // repeats count — the paper's occurrence rule)
+    val dup = rk.groupBy(col("r")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("r"))
+    val cov = rk.join(dup, "r")
+      .select(col("doc_id"), col("idx").as("s"), (col("idx") + L - 1).as("e"))
+    // merge overlapping/adjacent windows into maximal spans: classic
+    // islands — a window starts a new span iff it begins past every
+    // earlier window's running max end + 1
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    cov
+      .withColumn("maxe", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("maxe").isNull || col("s") > col("maxe") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("fresh")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   /** LSH recall monitor — the evaluation query a production dedup
     * pipeline runs continuously: every TRUE near-dup pair (exact
     * prefix-filtered Jaccard ≥ 0.8, the lossless ground truth) flagged
@@ -4690,6 +4784,34 @@ object DataOps {
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
            count(*) AS n_docs FROM documents GROUP BY 1""",
+      // r13: exact-substring dedup — the oracle materializes every
+      // L-gram STRING and groups (the L× blowup form); the Spark side
+      // runs the prefix-doubling equality classes. Agreement proves the
+      // doubling classes are exact L-gram equality.
+      "substring_dedup" -> {
+        val L = SubstringL
+        s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, w,
+                unnest(generate_series(1, len(w) - ${L - 1})) AS i
+              FROM t WHERE len(w) >= $L),
+        g AS (SELECT doc_id, i AS s, i + ${L - 1} AS e,
+                array_to_string(w[i:i+${L - 1}], ' ') AS gram FROM p),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        cov AS (SELECT doc_id, s, e FROM g
+                WHERE gram IN (SELECT gram FROM dup)),
+        m AS (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+              FROM cov),
+        isl AS (SELECT doc_id, s, e,
+                sum(CASE WHEN maxe IS NULL OR s > maxe + 1
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m)
+        SELECT doc_id, min(s)::BIGINT AS span_start,
+               max(e)::BIGINT AS span_end
+        FROM isl GROUP BY doc_id, grp"""
+      },
       "int8_codes" -> """
         WITH ex AS (SELECT vec_id,
                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))

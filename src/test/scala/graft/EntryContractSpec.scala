@@ -32,10 +32,10 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
   test("the surface only grows: the graded-query count floor ratchets") {
     // a refactor that drops map entries (e.g. a bad merge of the two
     // big literal maps) shrinks the graded surface silently — pin the
-    // floor at the r12 count (the 144 r11-close entries + the twenty
-    // r12 additions N139–N158)
-    SparkEntry.queries.size should be >= 164
-    SparkEntry.oracleSql.size should be >= 164
+    // floor at the r13 count (the 164 r12-close entries + the r13
+    // additions from N159 on)
+    SparkEntry.queries.size should be >= 165
+    SparkEntry.oracleSql.size should be >= 165
   }
 
   test("the committed sf1 scale-point artifact is clean and self-consistent") {

@@ -101,7 +101,11 @@ class PlanBudgetSpec extends SparkSpec {
     "attribution_first_touch" -> 2, // (user, bucket) range join + argmin
     "session_stats" -> 11,     // rank picks over session-bounded
                                // histograms of the checkpointed rollup
-    "anomalous_days" -> 6)     // day-bounded median/MAD rank picks
+    "anomalous_days" -> 6,     // day-bounded median/MAD rank picks
+    // r13: visible plan AFTER the checkpointed doubling rounds (each
+    // round is 3 keyed shuffles, log2(L) rounds — documented in the
+    // scaladoc): dup-class agg + covered join + the per-doc span window
+    "substring_dedup" -> 3)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec

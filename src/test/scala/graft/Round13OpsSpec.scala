@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.DataOps
+import graft.text.TextOps
+
+/** r13 operator batch. Exact cross-engine equality is the driver's
+  * DuckDB oracle; these pin the algorithmic boundaries the sf corpus
+  * doesn't exercise.
+  */
+class Round13OpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toksOf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("en").as("lang"),
+        TextOps.tokens(col("text")).as("w"))
+  }
+
+  private def spans(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("substring_dedup: an exactly-L shared run is found; L-1 is not") {
+    val shared16 = words("s", 16)
+    val shared15 = words("t", 15)
+    val t = toksOf(Seq(
+      1L -> s"${words("a", 5)} $shared16 ${words("b", 5)}",
+      2L -> s"${words("c", 3)} $shared16",
+      3L -> s"${words("d", 4)} $shared15 ${words("e", 4)}",
+      4L -> s"${words("f", 6)} $shared15"))
+    // L=4: |span| >= 4 duplicated substrings only
+    spans(DataOps.substringDedupOn(toksOf(Seq(
+      1L -> s"x1 x2 p1 p2 p3 p4 y1",
+      2L -> s"p1 p2 p3 p4 z1")), 4)) shouldBe
+      Set((1L, 3L, 6L), (2L, 1L, 4L))
+    // L=16 on the corpus above: the 16-run surfaces in both docs at its
+    // exact positions, the 15-run in neither
+    spans(DataOps.substringDedupOn(t, 16)) shouldBe
+      Set((1L, 6L, 21L), (2L, 4L, 19L))
+  }
+
+  test("substring_dedup: overlapping duplicated windows merge to one maximal span") {
+    // a shared 6-token run with L=4 yields three overlapping duplicated
+    // 4-grams per doc — the output must be ONE merged span covering all
+    // six tokens, not three window rows
+    val shared = words("m", 6)
+    val out = DataOps.substringDedupOn(toksOf(Seq(
+      1L -> s"${words("a", 2)} $shared",
+      2L -> s"$shared ${words("b", 3)}")), 4)
+    spans(out) shouldBe Set((1L, 3L, 8L), (2L, 1L, 6L))
+  }
+
+  test("substring_dedup: a WITHIN-doc repeat is a duplicate (occurrence rule)") {
+    // Lee et al. count occurrences, not documents: the run appearing
+    // twice inside one doc is duplicated even though no other doc has it
+    val run = words("r", 4)
+    val out = DataOps.substringDedupOn(toksOf(Seq(
+      1L -> s"$run ${words("x", 3)} $run")), 4)
+    spans(out) shouldBe Set((1L, 1L, 4L), (1L, 8L, 11L))
+    // and docs shorter than L never participate
+    DataOps.substringDedupOn(toksOf(Seq(
+      1L -> words("u", 3), 2L -> words("u", 3))), 4).count() shouldBe 0L
+  }
+
+  test("substring_dedup invariants on the sf corpus: in-bounds maximal spans of >= L") {
+    val L = 16L
+    val out = DataOps.substringDedup(spark, sf).cache()
+    out.filter(col("span_end") - col("span_start") + 1 < L).count() shouldBe 0L
+    out.filter(col("span_start") < 1).count() shouldBe 0L
+    // spans are maximal: per doc, sorted spans neither overlap nor touch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("span_start"))
+    out.withColumn("pe", lag(col("span_end"), 1).over(w))
+      .filter(col("pe").isNotNull && col("span_start") <= col("pe") + 1)
+      .count() shouldBe 0L
+    // nonempty at sf0.001 (the corpus plants near-dups and templates)
+    out.count() should be > 0L
+    out.unpersist()
+    ()
+  }
+}
