@@ -72,6 +72,7 @@ object SparkEntry {
     // LLM-data-pipeline operators on `documents`/`embeddings` (north star).
     "dedup_exact" -> (DataOps.dedupExact _),
     "substring_dedup" -> (DataOps.substringDedup _),
+    "containment_join" -> (DataOps.containmentJoin _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),

@@ -3904,6 +3904,66 @@ object DataOps {
     }
   }
 
+  /** TRUE containment self-join — the index [[minhashContainment]]'s
+    * scaladoc promises: every pair with |A∩B| / min(|A|,|B|) ≥ t,
+    * INCLUDING the containment-high/Jaccard-low pairs the MinHash bands
+    * (which approximate Jaccard) cannot surface — a 10-shingle doc fully
+    * embedded in a 600-shingle one is exactly the hit this exists for.
+    *
+    * Candidate generation is the prefix-stratified ASYMMETRIC form: with
+    * A the smaller set, C(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so by
+    * pigeonhole A's rarest-first prefix of |A| − ⌈t·|A|⌉ + 1 shingles
+    * must intersect B — the PROBE side is small-doc prefixes only, the
+    * INDEX side is full postings (no symmetric-prefix assumption: B's
+    * matching shingles may be its most common ones). Orientation
+    * n_probe ≤ n_index is lossless (equal sizes probe from both sides
+    * and dedup); verification runs exact set intersection on the
+    * original string arrays. Shape: one postings join probe×index, one
+    * pair distinct, two verify joins — no quadratic outside the hot
+    * posting list the prefix rarity ordering already minimizes.
+    */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = shingled(spark, dir)
+    big.cache()
+    try containmentPairsOn(big, ContainmentThreshold)
+    finally { big.unpersist(blocking = false); () }
+  }
+
+  private[graft] def containmentPairsOn(big: DataFrame,
+                                        threshold: Double): DataFrame = {
+    // hashed-postings footprint discipline of ngramPairsOn: 8-byte longs
+    // travel, string arrays stay put for the exact verification
+    val ex = big
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("s"))
+    val byShingle = Window.partitionBy(col("s"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val probe = ex.withColumn("f", count(lit(1)).over(byShingle))
+      .select(col("doc_id"), col("s"),
+        row_number().over(byRarity).as("rk"), col("n"))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("doc_id").as("p_id"), col("s"), col("n").as("p_n"))
+    val index = ex.select(col("doc_id").as("i_id"), col("s"),
+      col("n").as("i_n"))
+    val cand = probe.join(index,
+        probe("s") === index("s") && col("p_id") =!= col("i_id") &&
+          col("p_n") <= col("i_n"))
+      .select(least(col("p_id"), col("i_id")).as("doc_a"),
+        greatest(col("p_id"), col("i_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(big.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(big.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double").as("i"),
+        least(size(col("sa.sh")), size(col("sb.sh"))).cast("double").as("mn"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / col("mn"), 3).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private val CoocWindow = 4
   private val CoocMinCount = 5L
 
@@ -4882,6 +4942,26 @@ object DataOps {
         JOIN sz sb ON sb.doc_id = i2.doc_b
         WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8""",
       "ngram_jaccard" -> ngramSql("0.5"),
+      // r13: TRUE containment join — same naive postings self-join, the
+      // asymmetric metric; the Spark side's probe/index prefix split is
+      // lossless, so the sets coincide
+      "containment_join" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS i
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT i2.doc_a, i2.doc_b,
+               round(i2.i::DOUBLE / least(sa.n, sb.n), 3) AS containment
+        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
+        JOIN sz sb ON sb.doc_id = i2.doc_b
+        WHERE round(i2.i::DOUBLE / least(sa.n, sb.n), 3)
+          >= $ContainmentThreshold""",
       "dedup_simhash" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         big AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),

@@ -68,6 +68,46 @@ class Round13OpsSpec extends SparkSpec {
       1L -> words("u", 3), 2L -> words("u", 3))), 4).count() shouldBe 0L
   }
 
+  private def shingleFrame(rows: Seq[(Long, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "sh")
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("containment_join surfaces the containment-high/Jaccard-low embed") {
+    // a 5-shingle doc fully inside a 50-shingle doc: containment 1.0,
+    // Jaccard 0.1 — the pair the MinHash-band reranker cannot surface,
+    // and the reason the true index exists
+    val small = (1 to 5).map("s" + _)
+    val sh = shingleFrame(Seq(
+      1L -> small,
+      2L -> (small ++ (1 to 45).map("b" + _))))
+    pairs(DataOps.containmentPairsOn(sh, 0.9)) shouldBe Set((1L, 2L, 1.0))
+  }
+
+  test("containment_join boundary: exactly t kept, below t dropped, equal sizes once") {
+    val nine = (1 to 9).map("c" + _)
+    val sh = shingleFrame(Seq(
+      1L -> (nine :+ "x1"),          // shares 9 of 10 with doc 2
+      2L -> (nine :+ "y1"),          // equal sizes: C = 0.9 exactly
+      3L -> ((1 to 8).map("c" + _) ++ Seq("z1", "z2")))) // 8/10 vs doc 1 -> 0.8
+    val got = pairs(DataOps.containmentPairsOn(sh, 0.9))
+    got should contain((1L, 2L, 0.9)) // boundary pair survives, emitted ONCE
+    got.count { case (a, b, _) => a == 1L && b == 2L } shouldBe 1
+    got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) } shouldBe false
+  }
+
+  test("containment_join is a superset of the MinHash-band reranker on the sf corpus") {
+    val full = pairs(DataOps.containmentJoin(spark, sf).select(
+      col("doc_a"), col("doc_b"), col("containment")))
+    val banded = pairs(DataOps.minhashContainment(spark, sf).select(
+      col("doc_a"), col("doc_b"), col("containment")))
+    banded.subsetOf(full) shouldBe true
+    full.size should be >= banded.size
+  }
+
   test("substring_dedup invariants on the sf corpus: in-bounds maximal spans of >= L") {
     val L = 16L
     val out = DataOps.substringDedup(spark, sf).cache()
