@@ -73,6 +73,8 @@ object SparkEntry {
     "dedup_exact" -> (DataOps.dedupExact _),
     "substring_dedup" -> (DataOps.substringDedup _),
     "containment_join" -> (DataOps.containmentJoin _),
+    "top_dup_substrings" -> (DataOps.topDupSubstrings _),
+    "substring_dup_fraction" -> (DataOps.substringDupFraction _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),

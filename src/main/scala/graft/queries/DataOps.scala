@@ -551,16 +551,95 @@ object DataOps {
     substringDedupOn(toks(spark, dir), SubstringL)
 
   private[graft] def substringDedupOn(t: DataFrame, L: Int): DataFrame = {
+    val rk = substringClasses(t, L)
+    // duplicated L-grams: classes holding >= 2 positions (same-doc
+    // repeats count — the paper's occurrence rule)
+    val dup = rk.groupBy(col("r")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("r"))
+    val cov = rk.join(dup, "r")
+      .select(col("doc_id"), col("idx").as("s"), (col("idx") + L - 1).as("e"))
+    // merge overlapping/adjacent windows into maximal spans: classic
+    // islands — a window starts a new span iff it begins past every
+    // earlier window's running max end + 1
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    cov
+      .withColumn("maxe", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("maxe").isNull || col("s") > col("maxe") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("fresh")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The "WHICH boilerplate" face of [[substringDedup]]: every
+    * duplicated L-gram class with its occurrence count, distinct-doc
+    * count, and the gram TEXT — reconstructed by slicing the class's
+    * min-position representative doc (the class id IS a (doc, idx)
+    * position, so the text join is one broadcast-size lookup against the
+    * token table, not a second corpus pass materializing every gram).
+    * The triage query an operator runs after the span report says 4% of
+    * the corpus is duplicated: WHAT is repeated, and is it one template
+    * in ten thousand docs or ten thousand small accidents.
+    */
+  def topDupSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    topDupSubstringsOn(t, SubstringL)
+  }
+
+  private[graft] def topDupSubstringsOn(t: DataFrame, L: Int): DataFrame = {
+    val rk = substringClasses(t, L)
+    val dup = rk.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= 2)
+      .select(col("r.doc_id").as("rep_doc"), col("r.idx").as("rep_idx"),
+        col("n_occurrences"), col("n_docs"))
+    // duplicated classes are few; the representative-doc token lookup
+    // broadcasts the class list, one semi-join against the token table
+    dup.join(t.select(col("doc_id").as("rep_doc"), col("w")), Seq("rep_doc"))
+      .select(
+        concat_ws(" ", slice(col("w"), col("rep_idx"), lit(L))).as("gram"),
+        col("n_occurrences"), col("n_docs"))
+  }
+
+  /** Per-doc duplicated-token share over [[substringDedup]]'s spans —
+    * the health metric (what fraction of each doc is covered by corpus-
+    * duplicated runs) a curation gate thresholds on. Spans are disjoint
+    * maximal by construction, so covered = Σ(span lengths); docs with no
+    * span report 0 (the LEFT join), giving the full distribution, not
+    * just the affected tail.
+    */
+  def substringDupFraction(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val spans = substringDedupOn(t, SubstringL)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    t.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("(1000 * coalesce(dup_tokens, 0)) div n_tokens").as("dup_milli"))
+  }
+
+  /** The duplicated-L-gram equality classes both [[substringDedup]]
+    * faces share: (doc_id, idx, r) where r is the exact L-gram class id
+    * (the class's minimum position). Factored so the span report and
+    * the gram report cannot drift.
+    */
+  private def substringClasses(t: DataFrame, L: Int): DataFrame = {
     require(L >= 2 && (L & (L - 1)) == 0, s"L must be a power of two: $L")
     // position frame: (doc_id, idx 1-based, level-0 class = the token).
-    // Each round is eagerly checkpointed: `rk` feeds itself THREE times
-    // per round (self, the shifted side, the relabel join), so a lazy
-    // loop triples the plan per level — 511 Exchanges at L=16, measured
-    // — while the checkpointed form keeps every round's plan constant
-    // (the host_cap_ranked PageRank-round discipline).
-    // docs shorter than L cannot hold an L-gram — drop them before the
+    // Docs shorter than L cannot hold an L-gram — dropped before the
     // explode (the inner joins would prune their positions anyway, but
-    // only after paying log L rounds of shuffle on them)
+    // only after paying log L rounds of shuffle on them). Each round is
+    // eagerly checkpointed: `rk` feeds itself THREE times per round
+    // (self, the shifted side, the relabel join), so a lazy loop triples
+    // the plan per level — 511 Exchanges at L=16, measured — while the
+    // checkpointed form keeps every round's plan constant (the
+    // host_cap_ranked PageRank-round discipline).
     var rk = t.filter(size(col("w")) >= L)
       .select(col("doc_id"), posexplode(col("w")))
       .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("r"))
@@ -584,26 +663,7 @@ object DataOps {
         .localCheckpoint(true)
       width *= 2
     }
-    // duplicated L-grams: classes holding >= 2 positions (same-doc
-    // repeats count — the paper's occurrence rule)
-    val dup = rk.groupBy(col("r")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select(col("r"))
-    val cov = rk.join(dup, "r")
-      .select(col("doc_id"), col("idx").as("s"), (col("idx") + L - 1).as("e"))
-    // merge overlapping/adjacent windows into maximal spans: classic
-    // islands — a window starts a new span iff it begins past every
-    // earlier window's running max end + 1
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    cov
-      .withColumn("maxe", max(col("e")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("fresh",
-        when(col("maxe").isNull || col("s") > col("maxe") + 1, 1L).otherwise(0L))
-      .withColumn("grp", sum(col("fresh")).over(byDoc))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("s")).cast("long").as("span_start"),
-        max(col("e")).cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+    rk
   }
 
   /** LSH recall monitor — the evaluation query a production dedup
@@ -5289,6 +5349,33 @@ object DataOps {
                sum(weight * ((dim * 2654435761) % 1001 - 500)) > 0 AS flagged
         FROM x GROUP BY 1"""
     base ++ Map(
+      // r13: the WHICH-boilerplate face — materialized L-gram strings
+      // grouped directly (the blowup form the Spark class ids avoid)
+      "top_dup_substrings" -> s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, w,
+                unnest(generate_series(1, len(w) - ${SubstringL - 1})) AS i
+              FROM t WHERE len(w) >= $SubstringL),
+        g AS (SELECT doc_id, array_to_string(w[i:i+${SubstringL - 1}], ' ')
+                AS gram FROM p)
+        SELECT gram, count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM g GROUP BY gram HAVING count(*) >= 2""",
+      // r13: per-doc duplicated-token share — NESTS the graded
+      // substring_dedup SQL verbatim (span-rule drift fails both)
+      "substring_dup_fraction" -> s"""
+        WITH sd AS (${base("substring_dedup")}),
+        t AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+        agg AS (SELECT doc_id,
+                  sum(span_end - span_start + 1)::BIGINT AS dup_tokens
+                FROM sd GROUP BY 1)
+        SELECT t.doc_id, t.n_tokens,
+               coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
+               ((1000 * coalesce(agg.dup_tokens, 0)) // t.n_tokens)::BIGINT
+                 AS dup_milli
+        FROM t LEFT JOIN agg USING (doc_id)""",
       // the chunk generators are pure per-row arithmetic in both engines
       "chunk_documents" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

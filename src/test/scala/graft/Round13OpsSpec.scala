@@ -108,6 +108,37 @@ class Round13OpsSpec extends SparkSpec {
     full.size should be >= banded.size
   }
 
+  test("top_dup_substrings reconstructs the gram text from the class representative") {
+    // L=4: docs 1 and 2 share "p1 p2 p3 p4"; the run of 5 in docs 3+4
+    // yields TWO overlapping duplicated 4-gram classes
+    val out = DataOps.topDupSubstringsOn(toksOf(Seq(
+      1L -> "x1 x2 p1 p2 p3 p4",
+      2L -> "p1 p2 p3 p4 y1",
+      3L -> "q1 q2 q3 q4 q5",
+      4L -> "z1 q1 q2 q3 q4 q5")), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set(
+      ("p1 p2 p3 p4", 2L, 2L),
+      ("q1 q2 q3 q4", 2L, 2L),
+      ("q2 q3 q4 q5", 2L, 2L))
+  }
+
+  test("substring_dup_fraction: full corpus distribution with exact per-mille") {
+    val out = DataOps.substringDupFraction(spark, sf).cache()
+    // one row per document (clean docs report 0, not absence)
+    out.count() shouldBe
+      spark.read.parquet(s"$sf/documents.parquet").count()
+    out.filter(col("dup_milli") < 0 || col("dup_milli") > 1000)
+      .count() shouldBe 0L
+    out.filter(col("dup_tokens") > col("n_tokens")).count() shouldBe 0L
+    // ties to the span report: docs with a span carry dup_tokens > 0
+    val spanned = DataOps.substringDedup(spark, sf)
+      .select("doc_id").distinct().count()
+    out.filter(col("dup_tokens") > 0).count() shouldBe spanned
+    out.unpersist()
+    ()
+  }
+
   test("substring_dedup invariants on the sf corpus: in-bounds maximal spans of >= L") {
     val L = 16L
     val out = DataOps.substringDedup(spark, sf).cache()
