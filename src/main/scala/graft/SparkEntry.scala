@@ -75,6 +75,9 @@ object SparkEntry {
     "containment_join" -> (DataOps.containmentJoin _),
     "top_dup_substrings" -> (DataOps.topDupSubstrings _),
     "substring_dup_fraction" -> (DataOps.substringDupFraction _),
+    "remove_dup_spans" -> (DataOps.removeDupSpans _),
+    "event_trigrams" -> (Relational.eventTrigrams _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -781,6 +784,30 @@ object SparkEntry {
                  (sum(n_transitions) OVER (PARTITION BY prev_type)))::BIGINT
                   AS p_milli
          FROM g""",
+    "event_trigrams" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS tu,
+                           event_id
+                    FROM events),
+         s AS (SELECT user_id, event_type AS e1,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY tu, event_id) AS e2,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                                           ORDER BY tu, event_id) AS e3
+               FROM e),
+         g AS (SELECT e1, e2, e3, count(*)::BIGINT AS n_paths
+               FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+         SELECT e1, e2, e3, n_paths,
+                ((1000 * n_paths) //
+                 (sum(n_paths) OVER (PARTITION BY e1, e2)))::BIGINT
+                  AS p_milli
+         FROM g""",
+    "q18_large_orders" ->
+      """WITH tq AS (SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+                     FROM lineitem GROUP BY 1
+                     HAVING sum(l_quantity) > 300)
+         SELECT c_custkey, c_name, o_orderkey, total_qty
+         FROM tq JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey""",
     // The salt cancels out by construction — the oracle is the PLAIN
     // join, proving the salted rewrite is semantics-preserving.
     "salted_join" ->

@@ -624,6 +624,35 @@ object DataOps {
         expr("(1000 * coalesce(dup_tokens, 0)) div n_tokens").as("dup_milli"))
   }
 
+  /** The curation CUT over [[substringDedup]]'s spans: each document's
+    * text with every corpus-duplicated run of ≥ L tokens removed —
+    * deliberately the CONSERVATIVE remove-all-occurrences variant
+    * (boilerplate dropped everywhere; Lee et al. keep one canonical
+    * occurrence, which needs a per-class representative rule — the
+    * class-minimum machinery here could carry it, documented future
+    * face). The span list is per-doc bounded and the cut is a per-row
+    * indexed-lambda filter, so beyond the span computation this is one
+    * broadcast-size join + map work.
+    */
+  def removeDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = toks(spark, dir)
+    val spans = substringDedupOn(t0, SubstringL)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    t0.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"),
+        coalesce(col("spans"), expr(
+          "cast(array() as array<struct<span_start:bigint,span_end:bigint>>)"))
+          .as("spans"))
+      .select(col("doc_id"),
+        expr("""filter(w, (tok, i) -> NOT exists(spans,
+                 sp -> i + 1 >= sp.span_start AND i + 1 <= sp.span_end))""")
+          .as("kept"), col("n"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** The duplicated-L-gram equality classes both [[substringDedup]]
     * faces share: (doc_id, idx, r) where r is the exact L-gram class id
     * (the class's minimum position). Factored so the span report and
@@ -5361,6 +5390,23 @@ object DataOps {
         SELECT gram, count(*)::BIGINT AS n_occurrences,
                count(DISTINCT doc_id)::BIGINT AS n_docs
         FROM g GROUP BY gram HAVING count(*) >= 2""",
+      // r13: the curation cut — NESTS the graded substring_dedup SQL;
+      // positions kept iff no span covers them, text rebuilt in order
+      "remove_dup_spans" -> s"""
+        WITH sd AS (${base("substring_dedup")}),
+        t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+              FROM t),
+        k AS (SELECT p.doc_id, p.i, p.w[p.i] AS tok FROM p
+              WHERE NOT EXISTS (SELECT 1 FROM sd
+                WHERE sd.doc_id = p.doc_id
+                  AND p.i BETWEEN sd.span_start AND sd.span_end)),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                       count(*) AS n_kept
+                FROM k GROUP BY 1)
+        SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+               (len(t.w) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
+        FROM t LEFT JOIN agg USING (doc_id)""",
       // r13: per-doc duplicated-token share — NESTS the graded
       // substring_dedup SQL verbatim (span-rule drift fails both)
       "substring_dup_fraction" -> s"""

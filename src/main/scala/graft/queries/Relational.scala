@@ -1159,6 +1159,55 @@ object Relational {
         (col("deviation") > lit(3L) * col("mad_events")).as("is_anomaly"))
   }
 
+  /** Third-order path mining — [[eventTransitions]]' bigram model
+    * extended one step: counts of CONSECUTIVE event-type triples per
+    * user (by event time, event_id tie-break) with the exact per-mille
+    * continuation share — P(e3 | e1→e2), the statistic behind "after
+    * search→click, what happens next". Same single user-keyed window
+    * partitioning as the bigram form (two leads ride one sort), then one
+    * partial-aggregable shuffle onto the ≤ |types|³ cell key; prefix
+    * totals aggregate that bounded frame.
+    */
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val g = e
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"))
+    g.withColumn("tot", sum(col("n_paths")).over(
+        Window.partitionBy(col("e1"), col("e2"))))
+      .select(col("e1"), col("e2"), col("e3"), col("n_paths"),
+        expr("(1000 * n_paths) div tot").cast("long").as("p_milli"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: customers whose order sums
+    * more than 300 units across its line items. The Q18 plan lesson is
+    * the PRE-aggregation: lineitem collapses to per-order totals and the
+    * HAVING cuts to the rare tail BEFORE any join, so the join probes
+    * are a tiny fraction of orders and AQE broadcasts them — never
+    * join-then-aggregate, which would shuffle the full lineitem×orders
+    * width. Quantities are integral doubles; the cast to BIGINT after
+    * the exact integral sum grades engine-exactly.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > 300L)
+    big
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("total_qty"))
+  }
+
   /** Explicit GROUPING SETS — the third face of multi-level aggregation
     * next to [[rollupOrders]] (hierarchy) and the events CUBE (all
     * combinations): exactly the requested set list

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.DataOps
+import graft.queries.{DataOps, Relational}
 import graft.text.TextOps
 
 /** r13 operator batch. Exact cross-engine equality is the driver's
@@ -135,6 +135,46 @@ class Round13OpsSpec extends SparkSpec {
     val spanned = DataOps.substringDedup(spark, sf)
       .select("doc_id").distinct().count()
     out.filter(col("dup_tokens") > 0).count() shouldBe spanned
+    out.unpersist()
+    ()
+  }
+
+  test("remove_dup_spans cuts exactly the span report's tokens") {
+    val cut = DataOps.removeDupSpans(spark, sf).cache()
+    val frac = DataOps.substringDupFraction(spark, sf)
+      .select(col("doc_id"), col("dup_tokens"), col("n_tokens"))
+    // n_removed == the fraction report's dup_tokens on every doc, and
+    // the kept text has exactly n_tokens - dup_tokens tokens
+    cut.join(frac, "doc_id")
+      .filter(col("n_removed") =!= col("dup_tokens") ||
+        // split("") = [""], so a fully-cut doc measures 1, not 0
+        org.apache.spark.sql.functions.size(
+          split(col("clean_text"), " ")) =!= when(
+          col("n_removed") === col("n_tokens"), lit(1))
+          .otherwise(col("n_tokens") - col("n_removed")))
+      .count() shouldBe 0L
+    cut.unpersist()
+    ()
+  }
+
+  test("event_trigrams: continuation shares and bigram consistency") {
+    val tri = Relational.eventTrigrams(spark, sf).cache()
+    tri.filter(col("p_milli") < 0 || col("p_milli") > 1000).count() shouldBe 0L
+    // each (e1,e2) prefix's trigram total can't exceed its bigram count
+    val bi = Relational.eventTransitions(spark, sf)
+      .select(col("prev_type").as("e1"), col("next_type").as("e2"),
+        col("n_transitions"))
+    tri.groupBy(col("e1"), col("e2")).agg(sum(col("n_paths")).as("n3"))
+      .join(bi, Seq("e1", "e2"))
+      .filter(col("n3") > col("n_transitions")).count() shouldBe 0L
+    tri.unpersist()
+    ()
+  }
+
+  test("q18_large_orders: every order exceeds the threshold, keys consistent") {
+    val out = Relational.q18LargeOrders(spark, sf).cache()
+    out.filter(col("total_qty") <= 300).count() shouldBe 0L
+    out.select("o_orderkey").distinct().count() shouldBe out.count()
     out.unpersist()
     ()
   }
