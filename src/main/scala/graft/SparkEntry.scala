@@ -76,6 +76,7 @@ object SparkEntry {
     "top_dup_substrings" -> (DataOps.topDupSubstrings _),
     "substring_dup_fraction" -> (DataOps.substringDupFraction _),
     "remove_dup_spans" -> (DataOps.removeDupSpans _),
+    "bpe_learn" -> (DataOps.bpeLearn _),
     "event_trigrams" -> (Relational.eventTrigrams _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),

@@ -179,6 +179,32 @@ class Round13OpsSpec extends SparkSpec {
     ()
   }
 
+  test("bpe_learn equals the driver-Scala Bpe.train mirror on the corpus") {
+    // the distributed learner and the (spec-bounded) driver trainer must
+    // emit the identical merge list — same winners, same counts, same
+    // order — on the real corpus vocabulary
+    val dist = DataOps.bpeLearn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    val driver = DataOps.bpeMerges(spark, sf)
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).take(dist.size).toSeq
+    dist shouldBe driver
+    dist.size shouldBe 8
+  }
+
+  test("bpe_learn early-stops structurally when no pair reaches count 2") {
+    import spark.implicits._
+    // one word, count 1: round 0's best pair is under the count-2 floor,
+    // so EVERY round is empty — 0 merges, not 8 rows of noise
+    DataOps.bpeLearnOn(Seq(("ab", 1L)).toDF("word", "c"), 8)
+      .count() shouldBe 0L
+    // 'ab' twice: round 0 merges (a,b) cnt 2; round 1 has no pairs left
+    val one = DataOps.bpeLearnOn(Seq(("ab", 2L)).toDF("word", "c"), 8)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    one.toSeq shouldBe Seq((0L, "ab", 2L))
+  }
+
   test("substring_dedup invariants on the sf corpus: in-bounds maximal spans of >= L") {
     val L = 16L
     val out = DataOps.substringDedup(spark, sf).cache()
