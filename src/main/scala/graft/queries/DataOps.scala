@@ -591,11 +591,15 @@ object DataOps {
 
   private[graft] def topDupSubstringsOn(t: DataFrame, L: Int): DataFrame = {
     val rk = substringClasses(t, L)
+    // the representative is computed IN the dup aggregation (min position
+    // per class) — the final doubling level deliberately skips the dense
+    // relabel, so `r` is an opaque equality key, not a position
     val dup = rk.groupBy(col("r"))
       .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("idx"))).as("rep"))
       .filter(col("n_occurrences") >= 2)
-      .select(col("r.doc_id").as("rep_doc"), col("r.idx").as("rep_idx"),
+      .select(col("rep.doc_id").as("rep_doc"), col("rep.idx").as("rep_idx"),
         col("n_occurrences"), col("n_docs"))
     // duplicated classes are few; the representative-doc token lookup
     // broadcasts the class list, one semi-join against the token table
@@ -683,13 +687,24 @@ object DataOps {
         col("r").as("r2"))
       val paired = rk.join(ahead, Seq("doc_id", "idx"))
         .select(col("doc_id"), col("idx"), struct(col("r"), col("r2")).as("pr"))
-      // dense class relabel: the class's minimum position — deterministic
-      // and collision-free (no hash), one partial-aggregable shuffle
-      val classes = paired.groupBy(col("pr"))
-        .agg(min(struct(col("doc_id"), col("idx"))).as("cid"))
-      rk = paired.join(classes, "pr")
-        .select(col("doc_id"), col("idx"), col("cid").as("r"))
-        .localCheckpoint(true)
+      rk =
+        if (width * 2 >= L) {
+          // FINAL round: the pair struct already IS the L-gram equality
+          // relation — consumers only ever group by `r`, so the dense
+          // relabel (a groupBy + join back over the largest frame) buys
+          // nothing here and is skipped: 2 shuffles saved
+          paired.select(col("doc_id"), col("idx"), col("pr").as("r"))
+        } else {
+          // dense class relabel: the class's minimum position —
+          // deterministic and collision-free (no hash), one
+          // partial-aggregable shuffle; keeps the struct width constant
+          // across rounds instead of doubling
+          val classes = paired.groupBy(col("pr"))
+            .agg(min(struct(col("doc_id"), col("idx"))).as("cid"))
+          paired.join(classes, "pr")
+            .select(col("doc_id"), col("idx"), col("cid").as("r"))
+            .localCheckpoint(true)
+        }
       width *= 2
     }
     rk

@@ -102,19 +102,20 @@ class PlanBudgetSpec extends SparkSpec {
     "session_stats" -> 11,     // rank picks over session-bounded
                                // histograms of the checkpointed rollup
     "anomalous_days" -> 6,     // day-bounded median/MAD rank picks
-    // r13: visible plan AFTER the checkpointed doubling rounds (each
-    // round is 3 keyed shuffles, log2(L) rounds — documented in the
-    // scaladoc): dup-class agg + covered join + the per-doc span window
-    "substring_dedup" -> 3,
+    // r13: visible plan AFTER the checkpointed doubling rounds (3 keyed
+    // shuffles per INNER round; the final round skips the dense relabel
+    // — its pair join stays visible): final-round join + dup-class agg
+    // + covered join + the per-doc span window
+    "substring_dedup" -> 7,
     // user window + cell agg + bounded prefix-total window
     "event_trigrams" -> 3,
     // pre-agg FIRST is the plan's point: 1 at toy scale (AQE broadcasts
     // the rare-tail probes into both joins); at corpus scale the two
     // joins shuffle their keyed sides (5)
     "q18_large_orders" -> 5,
-    // span agg + per-doc span list join + the cut map over the
-    // checkpointed class frame
-    "remove_dup_spans" -> 4)
+    // the substring_dedup tail (final-round join + dup agg + cov join +
+    // span window) + span-list agg + the cut's per-doc left join
+    "remove_dup_spans" -> 8)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
