@@ -79,6 +79,7 @@ object SparkEntry {
     "bpe_learn" -> (DataOps.bpeLearn _),
     "event_trigrams" -> (Relational.eventTrigrams _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "part_best_supplier" -> (Relational.partBestSupplier _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -802,6 +803,20 @@ object SparkEntry {
                  (sum(n_paths) OVER (PARTITION BY e1, e2)))::BIGINT
                   AS p_milli
          FROM g""",
+    "part_best_supplier" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey, l_orderkey,
+                       round(l_extendedprice * 100)::BIGINT AS cents
+                     FROM lineitem),
+         b AS (SELECT l_partkey, cents AS best_cents,
+                 l_suppkey AS best_suppkey
+               FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY cents, l_suppkey, l_orderkey) AS rn
+                     FROM li)
+               WHERE rn = 1)
+         SELECT p.p_partkey, p.p_name, b.best_cents, s.s_name, n.n_name
+         FROM b JOIN part p ON p.p_partkey = b.l_partkey
+         JOIN supplier s ON s.s_suppkey = b.best_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey""",
     "q18_large_orders" ->
       """WITH tq AS (SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
                      FROM lineitem GROUP BY 1

@@ -1208,6 +1208,37 @@ object Relational {
         col("total_qty"))
   }
 
+  /** TPC-H Q2's correlated-subquery shape, Spark-first: for each part,
+    * the single cheapest purchase line (integer cents; ties broken by
+    * the (cents, suppkey, orderkey) total order) with its supplier and
+    * nation. Where SQL writes `WHERE cost = (SELECT min(cost) ...
+    * correlated)`, the declarative plan is ONE min-struct argmin per
+    * part key — a partial-aggregable shuffle, no per-row subquery, no
+    * second scan — then the dimension joins hang off the
+    * already-aggregated (parts-sized) frame, nation broadcast.
+    */
+  def partBestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val best = li.groupBy(col("l_partkey"))
+      .agg(min(struct(col("cents"), col("l_suppkey"), col("l_orderkey")))
+        .as("b"))
+      .select(col("l_partkey"), col("b.cents").as("best_cents"),
+        col("b.l_suppkey").as("best_suppkey"))
+    best
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_name")),
+        col("p_partkey") === col("l_partkey"))
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("s_suppkey") === col("best_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("best_cents"),
+        col("s_name"), col("n_name"))
+  }
+
   /** Explicit GROUPING SETS — the third face of multi-level aggregation
     * next to [[rollupOrders]] (hierarchy) and the events CUBE (all
     * combinations): exactly the requested set list

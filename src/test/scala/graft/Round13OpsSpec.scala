@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DataOps, Relational}
+import graft.queries.{DataOps, Relational, Tables}
 import graft.text.TextOps
 
 /** r13 operator batch. Exact cross-engine equality is the driver's
@@ -168,6 +168,19 @@ class Round13OpsSpec extends SparkSpec {
       .join(bi, Seq("e1", "e2"))
       .filter(col("n3") > col("n_transitions")).count() shouldBe 0L
     tri.unpersist()
+    ()
+  }
+
+  test("part_best_supplier: one row per purchased part, price is the true minimum") {
+    val out = Relational.partBestSupplier(spark, sf).cache()
+    out.select("p_partkey").distinct().count() shouldBe out.count()
+    // the argmin really is the min: no line item undercuts its part's best
+    val mins = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("true_min"))
+    out.join(mins, col("l_partkey") === col("p_partkey"))
+      .filter(col("best_cents") =!= col("true_min")).count() shouldBe 0L
+    out.unpersist()
     ()
   }
 
