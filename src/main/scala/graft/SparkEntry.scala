@@ -80,6 +80,16 @@ object SparkEntry {
     "event_trigrams" -> (Relational.eventTrigrams _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "part_best_supplier" -> (Relational.partBestSupplier _),
+    // r13b: TPC-H EXISTS/disjunction/anti-join shapes + exact
+    // distributed quantile machinery (weighted median, RFM quartiles)
+    // and MOSS winnowing fingerprints.
+    "q4_priority_late" -> (Relational.q4PriorityLate _),
+    "q14_promo_share" -> (Relational.q14PromoShare _),
+    "q19_bracket_revenue" -> (Relational.q19BracketRevenue _),
+    "q22_idle_balances" -> (Relational.q22IdleBalances _),
+    "weighted_median" -> (Relational.weightedMedian _),
+    "rfm_segments" -> (Relational.rfmSegments _),
+    "winnowing" -> (DataOps.winnowing _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -824,6 +834,80 @@ object SparkEntry {
          SELECT c_custkey, c_name, o_orderkey, total_qty
          FROM tq JOIN orders ON o_orderkey = l_orderkey
          JOIN customer ON c_custkey = o_custkey""",
+    "q4_priority_late" ->
+      """WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+                     FROM lineitem GROUP BY 1)
+         SELECT o_orderpriority, count(*)::BIGINT AS n_late
+         FROM orders JOIN ls ON l_orderkey = o_orderkey
+         WHERE last_ship > o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1""",
+    "q14_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                sum(CASE WHEN p_type = 'PROMO'
+                      THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                      ELSE 0 END)::BIGINT AS promo_cents,
+                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                  ::BIGINT AS total_cents,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         GROUP BY 1""",
+    "q19_bracket_revenue" ->
+      """SELECT count(*)::BIGINT AS n_lines,
+                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                  ::BIGINT AS revenue_cents
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#20' AND p_size BETWEEN 5 AND 30
+                AND l_quantity BETWEEN 10 AND 35)
+            OR (p_brand = 'Brand#25' AND p_size BETWEEN 15 AND 50
+                AND l_quantity BETWEEN 25 AND 50)""",
+    "q22_idle_balances" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey::BIGINT AS nationkey,
+                      round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+         thr AS (SELECT avg(cents) AS thr FROM c WHERE cents > 0)
+         SELECT nationkey, count(*)::BIGINT AS n_custs,
+                sum(cents)::BIGINT AS total_cents
+         FROM c, thr
+         WHERE cents > thr AND NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         GROUP BY 1""",
+    "weighted_median" ->
+      """WITH h AS (SELECT l_returnflag,
+                      round(l_extendedprice * 100)::BIGINT AS cents,
+                      sum(l_quantity)::BIGINT AS w
+                    FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, cents, w,
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tw
+               FROM h)
+         SELECT l_returnflag, min(cents)::BIGINT AS median_cents,
+                max(tw)::BIGINT AS total_weight
+         FROM c WHERE 2 * cum >= tw GROUP BY 1""",
+    // Oracle ranks globally; the Spark plan's bucketed rank equals it
+    // because the buckets are monotone in the ranked value.
+    "rfm_segments" ->
+      """WITH per AS (SELECT o_custkey AS c_custkey,
+               date_diff('day', DATE '1995-01-01', max(o_orderdate)::DATE)
+                 ::BIGINT AS r_days,
+               count(*)::BIGINT AS f_orders,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m_cents
+             FROM orders GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS n_custs FROM per),
+         rk AS (SELECT c_custkey,
+                 row_number() OVER (ORDER BY r_days, c_custkey) AS r_rank,
+                 row_number() OVER (ORDER BY f_orders, c_custkey) AS f_rank,
+                 row_number() OVER (ORDER BY m_cents, c_custkey) AS m_rank
+                FROM per),
+         sc AS (SELECT c_custkey,
+                 ((4 * (r_rank - 1)) // n_custs + 1)::BIGINT AS r_score,
+                 ((4 * (f_rank - 1)) // n_custs + 1)::BIGINT AS f_score,
+                 ((4 * (m_rank - 1)) // n_custs + 1)::BIGINT AS m_score
+                FROM rk, n)
+         SELECT c_custkey, r_score, f_score, m_score,
+                (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
+         FROM sc""",
     // The salt cancels out by construction — the oracle is the PLAIN
     // join, proving the salted rewrite is semantics-preserving.
     "salted_join" ->

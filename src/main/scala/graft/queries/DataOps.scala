@@ -4810,6 +4810,63 @@ object DataOps {
           .as("lift_milli"))
   }
 
+  /** Number of tokens per winnowing k-gram (k). */
+  private val WinnowK = 4
+  /** Winnowing window width (w): one fingerprint per w consecutive grams. */
+  private val WinnowW = 5
+
+  /** MOSS-style winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003) — the document-fingerprinting scheme with a
+    * POSITIONAL guarantee [[docFingerprint]]'s minhash lacks: from each
+    * window of [[WinnowW]] consecutive [[WinnowK]]-gram hashes keep the
+    * minimum (ties to the leftmost position), so any shared run of
+    * w + k − 1 tokens between two documents is guaranteed to share a
+    * selected fingerprint — the detection floor is structural, not
+    * probabilistic. Per doc: gram count, selected-fingerprint count, and
+    * the exact (sum, min, max, position-sum) of the selected set — the
+    * compact faces that grade the whole selection without materializing a
+    * grams-sized result. The rolling minimum packs (hash, pos) into one
+    * BIGINT (hash·10⁶ + pos; positions are doc-bounded ≪ 10⁶) so a single
+    * windowed MIN carries the tie rule. All windows are doc-keyed — work
+    * scales with corpus size, never concentrates; the 32-bit md5-prefix
+    * gram hash is the engine's portable-hash idiom, bit-identical in the
+    * oracle.
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowingSelectedOn(docs(spark, dir))
+      .groupBy(col("doc_id"), col("ng").as("n_grams"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("fp")).as("fp_sum"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"),
+        sum(col("fp_pos")).as("pos_sum"))
+
+  /** The selected winnowing fingerprint set — distinct (doc_id, ng, fp,
+    * fp_pos) — on an arbitrary (doc_id, text) frame; the testable core
+    * of [[winnowing]].
+    */
+  def winnowingSelectedOn(d: DataFrame): DataFrame = {
+    val tk = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = tk
+      .withColumn("t1", lead(col("tok"), 1).over(wd))
+      .withColumn("t2", lead(col("tok"), 2).over(wd))
+      .withColumn("t3", lead(col("tok"), 3).over(wd))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"),
+          col("t3"))), 1, 8), 16, 10).cast("long").as("hv"))
+    g.withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("key", min(col("hv") * 1000000L + col("pos")).over(
+        wd.rowsBetween(Window.currentRow, WinnowW - 1)))
+      .filter(col("pos") <= col("ng") - WinnowW)
+      .select(col("doc_id"), col("ng"), col("key")).distinct()
+      .select(col("doc_id"), col("ng"),
+        expr("key div 1000000").as("fp"),
+        (col("key") % 1000000).as("fp_pos"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -4828,6 +4885,11 @@ object DataOps {
            + ${hd(s"md5($e::VARCHAR)", 6)}::BIGINT * 256
            + ${hd(s"md5($e::VARCHAR)", 7)}::BIGINT * 16
            + ${hd(s"md5($e::VARCHAR)", 8)}::BIGINT) % 4 = 0)"""
+    // 8 hex digits of md5(e) as an unsigned 32-bit BIGINT — mirrors the
+    // Spark side's conv(substring(md5(e), 1, 8), 16, 10)
+    def hex8(e: String): String = (0 until 8).map(i =>
+      s"${hd(s"md5($e)", i + 1)}::BIGINT * ${1L << (4 * (7 - i))}")
+      .mkString("(", " + ", ")")
     // exact n-gram Jaccard pairs at any threshold (the naive all-postings
     // join — DuckDB needs no prefix filter, and the filter is lossless,
     // so the outputs coincide); shared by ngram_jaccard and lsh_recall
@@ -5012,6 +5074,30 @@ object DataOps {
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
            count(*) AS n_docs FROM documents GROUP BY 1""",
+      // r13b: MOSS winnowing — one fingerprint (min (hash, pos), packed
+      // into hash*1e6+pos so a plain windowed MIN carries the tie rule)
+      // per window of 5 consecutive 4-gram hashes; graded per doc as the
+      // selected set's (count, sum, min, max, position-sum).
+      "winnowing" -> s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i
+              FROM t WHERE len(w) >= 4),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                ${hex8("array_to_string(w[i:i+3], ' ')")} AS hv
+              FROM p),
+        h AS (SELECT doc_id, pos,
+                count(*) OVER (PARTITION BY doc_id) AS ng,
+                min(hv * 1000000 + pos) OVER (PARTITION BY doc_id
+                  ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                  AS key
+              FROM g),
+        d AS (SELECT DISTINCT doc_id, ng, key FROM h WHERE pos <= ng - 5)
+        SELECT doc_id, ng::BIGINT AS n_grams, count(*)::BIGINT AS n_fps,
+               sum(key // 1000000)::BIGINT AS fp_sum,
+               min(key // 1000000)::BIGINT AS fp_min,
+               max(key // 1000000)::BIGINT AS fp_max,
+               sum(key % 1000000)::BIGINT AS pos_sum
+        FROM d GROUP BY doc_id, ng""",
       // r13: exact-substring dedup — the oracle materializes every
       // L-gram STRING and groups (the L× blowup form); the Spark side
       // runs the prefix-doubling equality classes. Agreement proves the

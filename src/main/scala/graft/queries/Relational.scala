@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1262,5 +1262,188 @@ object Relational {
           GROUP BY GROUPING SETS (
             (event_type, date_format(date_trunc('day', ts), 'yyyy-MM-dd')),
             (event_type), ())""")
+  }
+
+  /** TPC-H Q4's EXISTS shape — order-priority service check: orders with
+    * at least one line item shipped more than 60 days after the order
+    * date, counted per priority class. SQL writes a correlated EXISTS;
+    * the declarative plan pre-aggregates lineitem to ONE row per order
+    * (max ship date — partial-aggregable, so the map side collapses each
+    * scan partition to its distinct orders before the shuffle) and joins
+    * that orders-sized frame once. The per-row correlated probe never
+    * exists, and the 60-day cut is a post-join filter on two columns of
+    * the same row — no second scan of either table.
+    */
+  def q4PriorityLate(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("last_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_late"))
+  }
+
+  /** TPC-H Q14's promo-share shape, per ship month. The classic form
+    * divides two SUMs into a percentage — a float whose last digit
+    * depends on addition order; here BOTH sums stay integer cents
+    * (per-row-rounded, the q7 discipline) so the hash is engine-exact and
+    * the caller divides. Part collapses to a (partkey, is_promo) boolean
+    * projection before the join — the narrowest possible build side; no
+    * hardcoded broadcast (part grows linearly with SF — AQE broadcasts at
+    * small SF, shuffles at large).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val promo = t(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"))
+      .agg(sum(when(col("is_promo"), col("cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("cents")).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19's disjunctive-bracket shape: revenue from three
+    * (brand, size-range, quantity-range) brackets OR-ed together. The
+    * plan point is predicate placement: the brand IN-list (the union of
+    * the brackets' part-side domains) pushes INTO the part scan, so the
+    * join build side is pre-cut to the three brands; the mixed-table
+    * bracket disjunction then runs as one codegen'd filter on the joined
+    * row — never three scans unioned, never a filter the scan could have
+    * taken left unpushed.
+    */
+  def q19BracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#13", "Brand#20", "Brand#25"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(5, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(15, 50) &&
+          col("l_quantity").between(25, 50)))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  /** TPC-H Q22's idle-balance shape, adapted to the schema (no phone
+    * country codes; recency stands in for "never ordered", which this
+    * generator never produces): per nation, the count and balance sum of
+    * customers whose balance exceeds the global positive-balance average
+    * and who placed NO order in 2001. The threshold is a 1-row broadcast
+    * (integer-cents average: exact BIGINT sum, one division); the
+    * inactivity test is a LEFT ANTI join against the date-pruned orders
+    * projection — the o_orderdate cut pushes to the orders scan, so the
+    * anti-join build is months of orders, not all of history.
+    */
+  def q22IdleBalances(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val thr = c.filter(col("cents") > 0).agg(avg(col("cents")).as("thr"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("cents") > col("thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("total_cents"))
+  }
+
+  /** Exact weighted median (lower median, weights = quantities) of the
+    * line price per return flag. The naive form sorts each group's raw
+    * rows — a single reducer per flag at corpus scale. Here the corpus
+    * collapses FIRST to the (flag, price-cents) histogram — a
+    * partial-aggregable shuffle onto the bounded price domain — and the
+    * cumulative-weight rule runs per flag over that domain-sized frame:
+    * the median is the smallest price whose running weight reaches half
+    * the total. The within-flag window sorts distinct PRICES, never rows.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val h = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .agg(sum(col("l_quantity")).cast("long").as("w"))
+    // running and total weight ride ONE flag partitioning (two window
+    // frames, same Exchange); the final per-flag agg reuses it too
+    val wf = Window.partitionBy(col("l_returnflag"))
+    h.withColumn("cum", sum(col("w")).over(wf.orderBy(col("cents"))))
+      .withColumn("tw", sum(col("w")).over(wf))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("median_cents"),
+        max(col("tw")).as("total_weight"))
+  }
+
+  /** Exact global rank of `value` (ties by c_custkey) WITHOUT a global
+    * sort: rows land in monotone buckets, the bucket histogram (bounded
+    * by the value domain, not the row count) yields broadcast cumulative
+    * bases, and a per-bucket row_number finishes the rank — the
+    * epoch_shuffle pattern on an ordered key. The only single-partition
+    * window runs over the bucket histogram.
+    */
+  private def bucketedRank(df: DataFrame, value: Column, bucket: Column,
+      out: String): DataFrame = {
+    val keyed = df.select(col("c_custkey"), value.as("v"), bucket.as("bkt"))
+    val bases = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      .select(col("bkt"),
+        coalesce(sum(col("bn")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("base"))
+    keyed.join(broadcast(bases), "bkt")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("v"), col("c_custkey"))))
+      .select(col("c_custkey"), (col("base") + col("rk")).as(out))
+  }
+
+  /** RFM customer segmentation — recency (last order date), frequency
+    * (order count), monetary (lifetime cents) quartile scores 1–4, the
+    * standard CRM cut. A global NTILE would move every customer into ONE
+    * partition; instead each metric gets an exact global rank from
+    * [[bucketedRank]] (recency: 64-day buckets; frequency: the count
+    * itself; monetary: 100k-dollar cents buckets — all bounded by their
+    * DOMAIN, so the histogram windows stay broadcast-size as customers
+    * grow), and the score is rank arithmetic: 1 + (4·(rank−1)) div n.
+    * Quartiles are equal-width by rank (the last partial width folds into
+    * the top bucket), ties broken by custkey — deterministic end to end.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    // five consumers (three ranks, the key spine, the count) — without
+    // the checkpoint each one re-executes the orders scan + aggregate
+    // as its own subtree (25 Exchanges; the mad_outliers lesson)
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        datediff(max(col("o_orderdate")).cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("r_days"),
+        count(lit(1)).as("f_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+      .localCheckpoint(true)
+    val r = bucketedRank(per, col("r_days"), expr("r_days div 64"), "r_rank")
+    val f = bucketedRank(per, col("f_orders"), col("f_orders"), "f_rank")
+    val m = bucketedRank(per, col("m_cents"), expr("m_cents div 10000000"),
+      "m_rank")
+    val n = per.agg(count(lit(1)).as("n_custs"))
+    per.select(col("c_custkey"))
+      .join(r, "c_custkey").join(f, "c_custkey").join(m, "c_custkey")
+      .crossJoin(broadcast(n))
+      .select(col("c_custkey"),
+        expr("(4 * (r_rank - 1)) div n_custs + 1").as("r_score"),
+        expr("(4 * (f_rank - 1)) div n_custs + 1").as("f_score"),
+        expr("(4 * (m_rank - 1)) div n_custs + 1").as("m_score"))
+      .withColumn("rfm",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("long"))
   }
 }

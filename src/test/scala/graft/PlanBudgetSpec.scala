@@ -115,7 +115,24 @@ class PlanBudgetSpec extends SparkSpec {
     "q18_large_orders" -> 5,
     // the substring_dedup tail (final-round join + dup agg + cov join +
     // span window) + span-list agg + the cut's per-doc left join
-    "remove_dup_spans" -> 8)
+    "remove_dup_spans" -> 8,
+    // r13b: per-order pre-agg + orders join + priority agg
+    "q4_priority_late" -> 3,
+    // part-side projection join + the month agg
+    "q14_promo_share" -> 2,
+    // brand-pruned join + the single-row final agg
+    "q19_bracket_revenue" -> 2,
+    // 1-row threshold agg + anti join (both sides) + nation agg
+    "q22_idle_balances" -> 4,
+    // price-domain histogram + ONE flag partitioning for both window
+    // frames and the final agg
+    "weighted_median" -> 2,
+    // 3 bucketed ranks x (bucket histogram + bounded-bases window +
+    // per-bucket rank) + the custkey assembly joins + the 1-row count;
+    // the per-customer base is checkpointed once for its five consumers
+    "rfm_segments" -> 17,
+    // doc-keyed gram/winnow windows share one Exchange; distinct + agg
+    "winnowing" -> 2)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
