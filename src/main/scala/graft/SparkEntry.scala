@@ -90,6 +90,16 @@ object SparkEntry {
     "weighted_median" -> (Relational.weightedMedian _),
     "rfm_segments" -> (Relational.rfmSegments _),
     "winnowing" -> (DataOps.winnowing _),
+    // r13c: the remaining TPC-H shapes — pushdown scan (Q6), conditional
+    // counting (Q12), outer-join distribution (Q13), max-with-ties (Q15),
+    // distinct-count with NOT-IN blacklist (Q16), decorrelated
+    // fifth-of-average (Q17).
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q12_service_by_delay" -> (Relational.q12ServiceByDelay _),
+    "q13_customer_distribution" -> (Relational.q13CustomerDistribution _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q16_part_supplier_counts" -> (Relational.q16PartSupplierCounts _),
+    "q17_small_quantity" -> (Relational.q17SmallQuantity _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -873,6 +883,62 @@ object SparkEntry {
            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
          GROUP BY 1""",
+    "q6_forecast_revenue" ->
+      """SELECT count(*)::BIGINT AS n_lines,
+                sum(round(l_extendedprice * l_discount * 100)::BIGINT)
+                  ::BIGINT AS revenue_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q12_service_by_delay" ->
+      """SELECT least(greatest(date_diff('day', o_orderdate::DATE,
+                  l_shipdate::DATE), 0) // 30, 6)::BIGINT AS delay_bucket,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END)::BIGINT AS high_lines,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END)::BIGINT AS low_lines
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         GROUP BY 1""",
+    "q13_customer_distribution" ->
+      """WITH per AS (SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+                      FROM customer LEFT JOIN (
+                        SELECT o_custkey, o_orderkey FROM orders
+                        WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                        ON o.o_custkey = c_custkey
+                      GROUP BY 1)
+         SELECT n_orders, count(*)::BIGINT AS n_custs FROM per GROUP BY 1""",
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                        sum(round(l_extendedprice * (1 - l_discount) * 100)
+                          ::BIGINT)::BIGINT AS revenue_cents
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                        AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+                      GROUP BY 1)
+         SELECT s_suppkey, s_name, revenue_cents
+         FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""",
+    "q16_part_supplier_counts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                        WHERE l_suppkey NOT IN (
+                          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+         SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+         FROM pairs JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+         GROUP BY 1, 2, 3""",
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey, l_quantity::BIGINT AS q,
+                       round(l_extendedprice * 100)::BIGINT AS cents
+                     FROM lineitem),
+         pp AS (SELECT l_partkey AS pk, sum(q)::BIGINT AS sum_q,
+                  count(*)::BIGINT AS n_q
+                FROM li GROUP BY 1),
+         sm AS (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+         SELECT count(*)::BIGINT AS n_lines, sum(cents)::BIGINT AS total_cents
+         FROM li JOIN pp ON li.l_partkey = pk JOIN sm ON p_partkey = pk
+         WHERE 5 * q * n_q < sum_q""",
     "weighted_median" ->
       """WITH h AS (SELECT l_returnflag,
                       round(l_extendedprice * 100)::BIGINT AS cents,

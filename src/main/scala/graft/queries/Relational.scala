@@ -1446,4 +1446,132 @@ object Relational {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .cast("long"))
   }
+
+  /** TPC-H Q6's forecast-revenue shape: the canonical predicate-pushdown
+    * showcase — every filter (ship year, discount band, quantity cap) is
+    * a single-column comparison the parquet scan takes as a pushed
+    * filter + row-group min/max prune, so at 100 TB the query reads only
+    * the row groups that can match and shuffles ONE partial-agg row per
+    * partition. Revenue stays per-row-rounded integer cents (the q7
+    * discipline) so the BIGINT sum grades engine-exactly.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")).as("revenue_cents"))
+
+  /** TPC-H Q12's conditional-counting shape, adapted to the schema (no
+    * ship modes; the service dimension is the ship DELAY): per 30-day
+    * delay bucket (capped at 6 — the tail bucket), how many line items
+    * belong to critical-priority orders vs the rest. The CASE runs
+    * inside the aggregate — one joined pass, one partial-aggregable
+    * shuffle onto the ≤ 7-bucket key; never two filtered scans unioned.
+    * The delay is an integer day difference, so the bucket rule is
+    * engine-exact by construction.
+    */
+  def q12ServiceByDelay(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("least(greatest(datediff(l_shipdate, o_orderdate), 0)" +
+        " div 30, 6)").cast("long").as("delay_bucket"), hi.as("hi"))
+      .groupBy(col("delay_bucket"))
+      .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("high_lines"),
+        sum(when(col("hi"), 0L).otherwise(1L)).as("low_lines"))
+  }
+
+  /** TPC-H Q13's customer-distribution shape: how many customers placed
+    * exactly k qualifying orders, INCLUDING the zero-order cohort — the
+    * reason this must be a LEFT OUTER join from customer, not an inner
+    * join (an inner join silently drops the never-ordered customers the
+    * distribution exists to expose). The per-customer count reuses the
+    * join's c_custkey partitioning (no second fact shuffle); the final
+    * histogram shuffle moves one row per distinct order COUNT — bounded
+    * by the count domain, not the customer count.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+
+  /** TPC-H Q15's top-supplier shape: quarterly revenue per supplier, keep
+    * the maximum (ALL ties, Q15's defining subtlety — an ORDER BY/LIMIT 1
+    * would drop co-leaders nondeterministically). The max is a 1-row
+    * broadcast against the supplier-sized aggregate; the supplier
+    * dimension joins AFTER the filter, so it probes only the winners.
+    * No hardcoded broadcast on supplier (it grows with SF — AQE decides).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+    val mx = rev.agg(max(col("revenue_cents")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("revenue_cents") === col("max_rev"))
+      .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+  }
+
+  /** TPC-H Q16's supplier-diversity shape, adapted to the schema (the
+    * part-supplier relation is DERIVED from observed lineitem pairs; the
+    * complaint blacklist is the negative-balance suppliers): per
+    * (brand, type, size) — excluding one brand and one type, Q16's
+    * negated predicates — how many DISTINCT suppliers ship the part.
+    * The lineitem pair-distinct collapses map-side before its one
+    * shuffle; the blacklist is a LEFT ANTI join against a frame AQE
+    * broadcasts (suppliers with complaints ≪ suppliers); countDistinct
+    * expands once over the part-bounded joined frame.
+    */
+  def q16PartSupplierCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(t(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q17's correlated-average decorrelation: revenue from lines of
+    * SMALL-type parts whose quantity is below one fifth of that part's
+    * average line quantity. SQL writes `l_quantity < 0.2 * (SELECT avg
+    * ... correlated)`; the declarative plan pre-aggregates per part ONCE
+    * (sum + count — partial-aggregable) and joins the parts-sized frame
+    * back. The fifth-of-average test is INTEGER algebra — 5·q·n < Σq —
+    * so no float average ever exists and the cut is engine-exact
+    * (quantities are integral; the products stay far below 2^63).
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_q"))
+      .join(t(spark, dir, "part").filter(col("p_type") === "SMALL")
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("pk"), col("sum_q"), col("n_q"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("q") * lit(5L) * col("n_q") < col("sum_q"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("total_cents"))
+  }
 }

@@ -132,7 +132,22 @@ class PlanBudgetSpec extends SparkSpec {
     // the per-customer base is checkpointed once for its five consumers
     "rfm_segments" -> 17,
     // doc-keyed gram/winnow windows share one Exchange; distinct + agg
-    "winnowing" -> 2)
+    "winnowing" -> 2,
+    // r13c: the remaining TPC-H shapes. Toy-scale AQE broadcasts shrink
+    // several joins; the budgets below are the corpus-scale counts.
+    // pushed-filter scan + ONE partial-agg row per partition
+    "q6_forecast_revenue" -> 1,
+    // orders join (2 at corpus scale; toy broadcasts, 1) + bucket agg
+    "q12_service_by_delay" -> 3,
+    // outer join (2) + histogram; the per-customer count reuses the
+    // join's c_custkey partitioning — no third fact shuffle
+    "q13_customer_distribution" -> 3,
+    // supplier agg + 1-row max + winners⋈supplier (2 at corpus scale)
+    "q15_top_supplier" -> 5,
+    // pair-distinct + part join (2 at scale) + countDistinct expand
+    "q16_part_supplier_counts" -> 5,
+    // per-part pre-agg + part join + the joined cut's single-row agg
+    "q17_small_quantity" -> 4)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
