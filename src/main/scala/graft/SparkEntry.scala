@@ -100,6 +100,14 @@ object SparkEntry {
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q16_part_supplier_counts" -> (Relational.q16PartSupplierCounts _),
     "q17_small_quantity" -> (Relational.q17SmallQuantity _),
+    // r13d: the last TPC-H shapes — all 22 now covered: market share
+    // (Q8), product profit (Q9), global-scalar HAVING (Q11), nested-IN
+    // decorrelation (Q20), EXISTS/NOT-EXISTS strict-latest (Q21).
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q11_important_parts" -> (Relational.q11ImportantParts _),
+    "q20_excess_suppliers" -> (Relational.q20ExcessSuppliers _),
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -928,6 +936,80 @@ object SparkEntry {
          FROM pairs JOIN part ON p_partkey = l_partkey
          WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
          GROUP BY 1, 2, 3""",
+    "q8_market_share" ->
+      """WITH ac AS (SELECT c_custkey FROM customer
+                     JOIN nation ON n_nationkey = c_nationkey
+                     JOIN region ON r_regionkey = n_regionkey
+                     WHERE r_name = 'ASIA'),
+         sf AS (SELECT s_suppkey, (n_name = 'NATION_5') AS is_n5
+                FROM supplier JOIN nation ON n_nationkey = s_nationkey)
+         SELECT year(o_orderdate)::BIGINT AS o_year,
+                sum(CASE WHEN is_n5 THEN
+                      round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                      ELSE 0 END)::BIGINT AS nation_cents,
+                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                  ::BIGINT AS total_cents,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN ac ON c_custkey = o_custkey
+         JOIN sf ON s_suppkey = l_suppkey
+         GROUP BY 1""",
+    "q9_product_profit" ->
+      """SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                    - l_quantity::BIGINT * round(p_retailprice * 100)::BIGINT)
+                  ::BIGINT AS profit_cents
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+         GROUP BY 1, 2""",
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT)
+                      ::BIGINT AS value_cents
+                    FROM lineitem
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+                      AND n_name = 'NATION_7'
+                    GROUP BY 1)
+         SELECT l_partkey, value_cents FROM v
+         WHERE value_cents * (SELECT count(*) FROM v)
+               > 2 * (SELECT sum(value_cents) FROM v)""",
+    "q20_excess_suppliers" ->
+      """WITH pl AS (SELECT l_partkey, l_suppkey, l_quantity::BIGINT AS q
+                     FROM lineitem
+                     JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+                     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'),
+         ps AS (SELECT l_partkey, l_suppkey, sum(q)::BIGINT AS supp_q
+                FROM pl GROUP BY 1, 2),
+         pt AS (SELECT l_partkey AS pk, sum(q)::BIGINT AS part_q
+                FROM pl GROUP BY 1),
+         w AS (SELECT DISTINCT l_suppkey FROM ps JOIN pt ON l_partkey = pk
+               WHERE supp_q * 4 > part_q)
+         SELECT s_suppkey, s_name, n_name
+         FROM w JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey""",
+    "q21_waiting_suppliers" ->
+      """WITH pos AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+                      FROM lineitem
+                      JOIN orders ON o_orderkey = l_orderkey
+                        AND o_orderstatus = 'F'
+                      GROUP BY 1, 2),
+         po AS (SELECT l_orderkey AS ok, max(ms) AS m1,
+                  count(*)::BIGINT AS n_supps
+                FROM pos GROUP BY 1),
+         ls AS (SELECT l_orderkey, l_suppkey FROM pos JOIN po ON
+                  l_orderkey = ok AND ms = m1
+                WHERE n_supps >= 2),
+         u AS (SELECT l_orderkey, count(*)::BIGINT AS n_at_max,
+                 min(l_suppkey) AS supp
+               FROM ls GROUP BY 1 HAVING count(*) = 1)
+         SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+         FROM u JOIN supplier ON s_suppkey = supp
+         GROUP BY 1, 2""",
     "q17_small_quantity" ->
       """WITH li AS (SELECT l_partkey, l_quantity::BIGINT AS q,
                        round(l_extendedprice * 100)::BIGINT AS cents

@@ -1574,4 +1574,177 @@ object Relational {
       .filter(col("q") * lit(5L) * col("n_q") < col("sum_q"))
       .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("total_cents"))
   }
+
+  /** TPC-H Q8's national-market-share shape: among STANDARD-part revenue
+    * sold to ASIA-region customers, the share supplied by NATION_5's
+    * suppliers, per order year. The share's numerator and denominator
+    * BOTH stay per-row-rounded integer cents (no float percentage — the
+    * q14 discipline). Plan: nation⨝region collapses to a broadcast
+    * custkey-side filter; part collapses to its filtered key set; the
+    * supplier side joins as a (suppkey, is_nation5) boolean projection —
+    * every dimension is pre-shrunk before the fact table moves, and the
+    * conditional sum replaces a second filtered scan.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(spark, dir, "nation")
+      .join(t(spark, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val asiaCust = t(spark, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppFlag = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === "NATION_5").as("is_n5"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(t(spark, dir, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(suppFlag, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("is_n5"), col("cents")).otherwise(0L))
+          .as("nation_cents"),
+        sum(col("cents")).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q9's product-profit shape, adapted to the schema (no partsupp
+    * supply cost — the cost basis is the part's RETAIL price in integer
+    * cents times the line quantity, a deterministic stand-in with the
+    * same join topology): per (supplier nation, order year), total
+    * profit over parts whose name contains "red". Profit stays integer
+    * cents end to end (revenue per-row-rounded, cost an exact integer
+    * product), so the grouped BIGINT sum grades engine-exactly. The
+    * name-filtered part projection and the supplier→nation flag are
+    * pre-shrunk build sides; nation is broadcast.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = t(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_cents"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long")
+          .as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev_cents") - col("q") * col("retail_cents"))
+        .as("profit_cents"))
+  }
+
+  /** TPC-H Q11's important-stock shape, adapted (no partsupp availqty —
+    * a part's "inventory value" is the observed lineitem revenue from
+    * NATION_7's suppliers): parts whose value exceeds TWICE the mean
+    * part value. Q11's literal `> fraction · total` cut degenerates at
+    * scale (the fraction of any one part among n parts falls as 1/n —
+    * at sf1 the 0.1% form returns zero rows); the mean-multiple cut is
+    * the same HAVING-against-a-global-scalar shape but scale-free. The
+    * global (total, count) is a 1-row broadcast and the test is INTEGER
+    * (value·n > 2·total) so the cut is engine-exact. The nation-filtered
+    * supplier key set pre-shrinks the fact scan's join; the per-part
+    * aggregate is partial-aggregable.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val n7supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"))
+    val value = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(n7supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2L)
+      .select(col("l_partkey"), col("value_cents"))
+  }
+
+  /** TPC-H Q20's nested-IN decorrelation: suppliers who shipped more
+    * than a QUARTER of some PROMO part's total 1998+ volume (the excess-stock
+    * shape — SQL nests `ps_availqty > 0.5 * (SELECT sum ...)` two
+    * subqueries deep; the declarative plan is two partial-aggregable
+    * aggregates of the SAME filtered scan joined on the part key, with
+    * the quarter test as integer algebra 4·supp_qty > part_qty). The
+    * distinct winner set then picks up supplier + nation names —
+    * dimension joins probe only qualifying suppliers.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val promoLines = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(t(spark, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+    val perPartSupp = promoLines.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("supp_q"))
+    val perPart = promoLines.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("part_q"))
+    perPartSupp.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("supp_q") * 4L > col("part_q"))
+      .select(col("l_suppkey")).distinct()
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  /** TPC-H Q21's waiting-suppliers shape: in finished ('F') orders with
+    * at least TWO suppliers, the supplier whose latest line shipped
+    * STRICTLY after every other supplier's — SQL writes an EXISTS (some
+    * other supplier) and a NOT EXISTS (no other supplier shipped as
+    * late), here decorrelated into per-(order, supplier) max-ship
+    * aggregates, a per-order (max, count) frame joined back, and a
+    * strictness check that the max is achieved exactly once. Counted per
+    * supplier. Every aggregate is partial-aggregable and every join key
+    * is the order key — one key family end to end.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perOS = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("ms"))
+    val perO = perOS.groupBy(col("l_orderkey").as("ok"))
+      .agg(max(col("ms")).as("m1"), count(lit(1)).as("n_supps"))
+    val lastShippers = perOS.join(perO,
+        col("l_orderkey") === col("ok") && col("ms") === col("m1"))
+      .filter(col("n_supps") >= 2L)
+    // strictness: the max must be achieved by exactly ONE supplier
+    val unique = lastShippers.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_at_max"), min(col("l_suppkey")).as("supp"))
+      .filter(col("n_at_max") === 1L)
+    unique.groupBy(col("supp")).agg(count(lit(1)).as("numwait"))
+      .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("s_suppkey") === col("supp"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
 }

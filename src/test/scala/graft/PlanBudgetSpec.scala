@@ -147,7 +147,22 @@ class PlanBudgetSpec extends SparkSpec {
     // pair-distinct + part join (2 at scale) + countDistinct expand
     "q16_part_supplier_counts" -> 5,
     // per-part pre-agg + part join + the joined cut's single-row agg
-    "q17_small_quantity" -> 4)
+    "q17_small_quantity" -> 4,
+    // pre-shrunk dimension probes + orders join (toy AQE broadcasts
+    // part/custkeys/suppflag: 3) + year agg; corpus scale adds the
+    // orders-side shuffle pair
+    "q8_market_share" -> 5,
+    // every dimension broadcastable at toy scale (1 = final agg);
+    // corpus scale shuffles the orders join pair
+    "q9_product_profit" -> 3,
+    // supplier-filtered fact agg + 1-row totals + the value self-probe
+    "q11_important_parts" -> 3,
+    // two aggregates of one filtered scan joined on the part key +
+    // winner distinct + dimension probes
+    "q20_excess_suppliers" -> 5,
+    // one orderkey family: per-(order,supp) agg + per-order frame +
+    // join-back + strictness agg + per-supplier count + name join
+    "q21_waiting_suppliers" -> 7)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
