@@ -108,6 +108,12 @@ object SparkEntry {
     "q11_important_parts" -> (Relational.q11ImportantParts _),
     "q20_excess_suppliers" -> (Relational.q20ExcessSuppliers _),
     "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
+    // r13e: frontier sketch/eval/retrieval faces — register-level HLL
+    // (oracle-graded, unlike the built-in binding), exact integer
+    // Mann-Whitney AUC, integer-quantized reciprocal-rank fusion.
+    "hll_distinct" -> (RefOps.hllDistinct _),
+    "quality_auc" -> (DataOps.qualityAuc _),
+    "rrf_fusion" -> (DataOps.rrfFusion _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -490,6 +496,30 @@ object SparkEntry {
                    FROM events GROUP BY 1)
          SELECT exact.event_type, n_exact, est_distinct
          FROM exact JOIN kth ON exact.event_type = kth.event_type"""),
+    // r13: register-level HLL on the SAME hash definition as the KMV
+    // family; rho is integer bin-length arithmetic, the Σ2^-rho is an
+    // exact BIGINT, and the one float op divides the Scala-computed
+    // constant (interpolated below so both engines parse one IEEE value)
+    "hll_distinct" ->
+      s"""WITH h AS (SELECT event_type, ($kmvHashSql) AS hb FROM events),
+         r AS (SELECT event_type, hb % 256 AS bucket,
+                 CASE WHEN hb // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(hb // 256)) END AS rho
+               FROM h),
+         regs AS (SELECT event_type, bucket, max(rho)::BIGINT AS r
+                  FROM r GROUP BY 1, 2),
+         agg AS (SELECT event_type, count(*)::BIGINT AS m_used,
+                   sum(1::BIGINT << (53 - r))::BIGINT AS sum_used
+                 FROM regs GROUP BY 1),
+         est AS (SELECT event_type, (256 - m_used)::BIGINT AS v_zero,
+                   (sum_used + (256 - m_used) * (1::BIGINT << 53))::BIGINT
+                     AS sum_pow
+                 FROM agg)
+         SELECT x.event_type, x.n_exact, e.v_zero, e.sum_pow,
+                round(${RefOps.HllAlphaScaled} / e.sum_pow, 2) AS est_raw
+         FROM est e JOIN (SELECT event_type,
+                count(DISTINCT user_id)::BIGINT AS n_exact
+              FROM events GROUP BY 1) x USING (event_type)""",
     "sessionize" -> sessionizeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

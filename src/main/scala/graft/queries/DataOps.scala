@@ -4268,6 +4268,85 @@ object DataOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("score_milli")).as("score_sum"),
         sum(col("logit")).as("logit_sum"))
 
+  /** Exact threshold-free ranking AUC of the quality score against the
+    * Gopher gate, per language — the Mann–Whitney U statistic with
+    * average-rank tie handling, computed ENTIRELY in integers: the
+    * corpus collapses to the (lang, score) histogram (one
+    * partial-aggregable shuffle onto the bounded score domain, the
+    * quality_deciles discipline — never a row-level global sort), the
+    * cumulative base rides one lang partitioning, and the tie-corrected
+    * rank sum uses 2·avg_rank = 2·base + cnt + 1 (always integer).
+    * auc_micro = ⌊10⁶·U/(n_pos·n_neg)⌋ — engine-exact, no float rank
+    * arithmetic anywhere. One-class languages report NULL.
+    *
+    * Headroom: num2 ≤ n_pos·(2n+1), so the 500000× numerator overflows
+    * BIGINT only past ~10⁹ docs per language — shard the histogram or
+    * widen to DECIMAL there (the N124 note).
+    */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val s = docQuality(spark, dir)
+      .filter(col("score_milli").isNotNull)
+      .select(col("doc_id"), col("score_milli"))
+    val g = gopherGates(spark, dir).select(col("doc_id"), col("kept").as("label"))
+    val h = s.join(g, "doc_id")
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("score_milli"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("npos"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score_milli"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("base", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(sum(col("npos")).as("n_pos"),
+        (sum(col("cnt")) - sum(col("npos"))).as("n_neg"),
+        sum(col("npos") * (lit(2L) * col("base") + col("cnt") + lit(1L)))
+          .as("num2"))
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("((num2 - n_pos * (n_pos + 1)) * 500000)" +
+            " div (n_pos * n_neg)")).as("auc_micro"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the two graded
+    * retrieval arms: the lexical conjunctive-tf ranking
+    * ([[keywordSearch]], top 20) and a semantic cosine ranking against
+    * query vector 0 (the [[annCosineTopk]] discipline, top 20). The RRF
+    * constant is the standard k = 60 and the score is QUANTIZED to
+    * integer micro-units — rrf_micro = Σ ⌊10⁶/(60+rank)⌋ — so fusion
+    * order is engine-exact (classic float RRF differs from this only
+    * below the 10⁻⁶ level, far under any rank-flipping gap). A doc
+    * missing from one arm contributes 0 from it (standard RRF).
+    *
+    * Scale: both arms are salted two-phase top-k draws; the fusion
+    * itself joins two ≤ 20-row frames — driver-free, broadcast-trivial,
+    * and the final window runs on the ≤ 40-row fused frame (the
+    * constant-key idiom keeps it out of the single-partition trap on
+    * principle).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = keywordSearch(spark, dir)
+      .select(col("doc_id"), col("rank").cast("long").as("lex_rank"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (round(VectorOps.dot(col("qe"), col("embedding")) /
+          (col("qn") * col("nrm")), 4) + lit(0.0)).as("cos"))
+    val sem = saltedTopK(scored, "doc_id",
+        Seq(col("cos").desc, col("doc_id")), 20, "sem_rank")
+      .select(col("doc_id"), col("sem_rank").cast("long").as("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+    fused.withColumn("fused_rank",
+        row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("fused_rank") <= 20)
+  }
+
   private val TfidfTopK = 3
 
   /** Per-document top-K salient terms by TF·IDF with an INTEGER idf
@@ -5578,6 +5657,41 @@ object DataOps {
                sum(weight * ((dim * 2654435761) % 1001 - 500))::BIGINT AS logit,
                sum(weight * ((dim * 2654435761) % 1001 - 500)) > 0 AS flagged
         FROM x GROUP BY 1"""
+    // factored for nesting: quality_auc nests the gate verbatim and
+    // rrf_fusion nests the lexical arm (the qualityCalibration rule:
+    // rule drift fails both entries together)
+    val gopherGatesSql = s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                list_aggregate(list_transform(w, t -> length(t)), 'sum')::BIGINT AS sl,
+                len(list_filter(w, x -> x IN (${GopherStopwords.map(s => s"'$s'").mkString(", ")})))::BIGINT AS stop_count,
+                list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t))))::BIGINT AS mx
+              FROM toks),
+        r AS (SELECT doc_id, n_words,
+                ((1000 * sl) // n_words)::BIGINT AS mean_len_milli, stop_count,
+                ((1000 * mx) // n_words)::BIGINT AS top_word_milli
+              FROM m)
+        SELECT doc_id, n_words, mean_len_milli, stop_count, top_word_milli,
+               (n_words BETWEEN $GopherMinWords AND $GopherMaxWords) AS r_words,
+               (mean_len_milli BETWEEN $GopherMinLenMilli AND $GopherMaxLenMilli) AS r_word_len,
+               (stop_count >= $GopherMinStops) AS r_stop,
+               (top_word_milli <= $GopherMaxTopMilli) AS r_rep,
+               ((n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+                AND (mean_len_milli BETWEEN $GopherMinLenMilli AND $GopherMaxLenMilli)
+                AND stop_count >= $GopherMinStops
+                AND top_word_milli <= $GopherMaxTopMilli) AS kept
+        FROM r"""
+    val keywordSearchSql = s"""
+        WITH hits AS (
+          SELECT doc_id,
+                 len(list_filter(w, t -> t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")}))) AS tf,
+                 len(list_distinct(list_filter(w, t -> t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})))) AS n_terms
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        SELECT doc_id, tf, n_terms,
+               row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+        FROM hits WHERE n_terms = ${SearchTerms.length}
+        QUALIFY rank <= 20"""
     base ++ Map(
       // r13: the WHICH-boilerplate face — materialized L-gram strings
       // grouped directly (the blowup form the Spark class ids avoid)
@@ -5739,16 +5853,7 @@ object DataOps {
               FROM t)
         SELECT doc_id, lang, shard, n_tokens,
                ((cum - n_tokens) // $PackBudget)::BIGINT AS bin FROM c""",
-      "keyword_search" -> s"""
-        WITH hits AS (
-          SELECT doc_id,
-                 len(list_filter(w, t -> t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")}))) AS tf,
-                 len(list_distinct(list_filter(w, t -> t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})))) AS n_terms
-          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-        SELECT doc_id, tf, n_terms,
-               row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
-        FROM hits WHERE n_terms = ${SearchTerms.length}
-        QUALIFY rank <= 20""",
+      "keyword_search" -> keywordSearchSql,
       "inverted_index" -> """
         WITH ex AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
                     FROM documents)
@@ -5954,28 +6059,7 @@ object DataOps {
         JOIN (${base("doc_quality")}) q ON q.doc_id = p.doc_id""",
       // r11: per-rule Gopher gate — the quadratic max-run mirror, the
       // same integer per-mille arithmetic as the Spark plan
-      "gopher_gates" -> s"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        m AS (SELECT doc_id, len(w)::BIGINT AS n_words,
-                list_aggregate(list_transform(w, t -> length(t)), 'sum')::BIGINT AS sl,
-                len(list_filter(w, x -> x IN (${GopherStopwords.map(s => s"'$s'").mkString(", ")})))::BIGINT AS stop_count,
-                list_max(list_transform(list_distinct(w),
-                  t -> len(list_filter(w, x -> x = t))))::BIGINT AS mx
-              FROM toks),
-        r AS (SELECT doc_id, n_words,
-                ((1000 * sl) // n_words)::BIGINT AS mean_len_milli, stop_count,
-                ((1000 * mx) // n_words)::BIGINT AS top_word_milli
-              FROM m)
-        SELECT doc_id, n_words, mean_len_milli, stop_count, top_word_milli,
-               (n_words BETWEEN $GopherMinWords AND $GopherMaxWords) AS r_words,
-               (mean_len_milli BETWEEN $GopherMinLenMilli AND $GopherMaxLenMilli) AS r_word_len,
-               (stop_count >= $GopherMinStops) AS r_stop,
-               (top_word_milli <= $GopherMaxTopMilli) AS r_rep,
-               ((n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
-                AND (mean_len_milli BETWEEN $GopherMinLenMilli AND $GopherMaxLenMilli)
-                AND stop_count >= $GopherMinStops
-                AND top_word_milli <= $GopherMaxTopMilli) AS kept
-        FROM r""",
+      "gopher_gates" -> gopherGatesSql,
       // r11: contamination per-mille — decontaminate's shingle dialect,
       // counts instead of a boolean
       "contamination_score" -> """
@@ -6133,6 +6217,58 @@ object DataOps {
         FROM (${base("doc_quality")}) q
         JOIN ($classifierSql) c ON c.doc_id = q.doc_id
         GROUP BY 1, 2""",
+      // r13: exact integer Mann-Whitney AUC — NESTS the graded quality
+      // score and the Gopher gate verbatim; 2*avg_rank = 2*base + cnt + 1
+      "quality_auc" -> s"""
+        WITH q AS (${base("doc_quality")}),
+        g AS ($gopherGatesSql),
+        j AS (SELECT q.doc_id, q.score_milli, g.kept AS label, d.lang
+              FROM q JOIN g ON g.doc_id = q.doc_id
+              JOIN documents d ON d.doc_id = q.doc_id
+              WHERE q.score_milli IS NOT NULL),
+        h AS (SELECT lang, score_milli, count(*)::BIGINT AS cnt,
+                sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS npos
+              FROM j GROUP BY 1, 2),
+        b AS (SELECT *, coalesce(sum(cnt) OVER (PARTITION BY lang
+                  ORDER BY score_milli
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+              FROM h),
+        a AS (SELECT lang, sum(npos)::BIGINT AS n_pos,
+                (sum(cnt) - sum(npos))::BIGINT AS n_neg,
+                sum(npos * (2 * base + cnt + 1))::BIGINT AS num2
+              FROM b GROUP BY 1)
+        SELECT lang, n_pos, n_neg,
+               (CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN ((num2 - n_pos * (n_pos + 1)) * 500000)
+                       // (n_pos * n_neg) END)::BIGINT AS auc_micro
+        FROM a""",
+      // r13: integer-quantized reciprocal-rank fusion of the graded
+      // lexical ranking (nested verbatim) and the q0 cosine ranking
+      // (the ann_cosine_topk dialect, top 20)
+      "rrf_fusion" -> s"""
+        WITH ks AS ($keywordSearchSql),
+        e AS (SELECT vec_id, embedding,
+                sqrt(${dot("embedding", "embedding")}) AS nrm
+              FROM embeddings),
+        q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+        s AS (SELECT vec_id AS doc_id,
+                round(${dot("qe", "embedding")} / (qn * nrm), 4) + 0.0 AS cos
+              FROM e, q WHERE vec_id != 0),
+        sem AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT
+                    AS sem_rank
+                FROM s QUALIFY sem_rank <= 20),
+        lex AS (SELECT doc_id, rank::BIGINT AS lex_rank FROM ks),
+        f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                lex_rank, sem_rank,
+                (coalesce(1000000 // (60 + lex_rank), 0)
+                 + coalesce(1000000 // (60 + sem_rank), 0))::BIGINT
+                  AS rrf_micro
+              FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+        SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+               row_number() OVER (ORDER BY rrf_micro DESC, doc_id)::BIGINT
+                 AS fused_rank
+        FROM f QUALIFY fused_rank <= 20""",
       // r11: integer-idf TF-IDF top terms
       "tfidf_topterms" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

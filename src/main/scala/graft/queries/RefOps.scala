@@ -448,6 +448,68 @@ object RefOps {
         countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), rsd).as("n_hll"))
 
+  /** Register-level HyperLogLog (Flajolet et al. 2007), ORACLE-graded —
+    * unlike [[approxDistinctHll]] (the built-in binding, engine-specific
+    * state), this one exposes the sketch's own mathematics so a DuckDB
+    * oracle reproduces it bit-for-bit: the shared 60-bit md5 hash (the
+    * KMV definition), p = 8 ⇒ 256 registers, register value ρ = leading
+    * zeros of the remaining 52 bits + 1 (computed INTEGER-exactly as
+    * 53 − length(bin(w)), no float log anywhere), and the raw estimate
+    * α·m²/Σ2^(−ρ_j) assembled from an exact BIGINT sum (each register
+    * contributes 2^(53−ρ) and empty registers 2^53, so the Σ is integer
+    * and the only float op is one constant division both engines perform
+    * on identical operands). v_zero ships alongside so a serving layer
+    * can apply the linear-counting small-range correction (ln is
+    * libm-dependent — deliberately NOT in the graded columns).
+    *
+    * Scale: register max is partial-aggregable onto the ≤ |types|·256
+    * cell key — the whole reason HLL wins at 100 TB: per-key state is
+    * 256 bytes regardless of cardinality, and the register frame IS the
+    * mergeable sketch (max is the merge).
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .join(hllDistinctOn(e), Seq("event_type"))
+  }
+
+  /** The sketch half on an explicit events frame — split out so the
+    * merge property (registers are duplicate- and order-invariant) is
+    * directly testable on a doubled input.
+    */
+  private[graft] def hllDistinctOn(e: DataFrame): DataFrame = {
+    val m = 256L
+    val rho = e.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hb"))
+      .select(col("event_type"), pmod(col("hb"), lit(m)).as("bucket"),
+        expr("hb div 256").as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w"))).cast("long")).as("rho"))
+    val regs = rho.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val perType = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - r as int))"))
+          .as("sum_used"))
+      .select(col("event_type"), (lit(m) - col("m_used")).as("v_zero"),
+        (col("sum_used") + (lit(m) - col("m_used")) * lit(1L << 53))
+          .as("sum_pow"))
+      .withColumn("est_raw",
+        round(lit(HllAlphaScaled) / col("sum_pow"), 2))
+    perType
+  }
+
+  /** α_256 · 256² · 2^53 as ONE Scala-computed double constant — the
+    * oracle SQL interpolates `HllAlphaScaled.toString` so both engines
+    * parse the identical IEEE value and the single float division in
+    * [[hllDistinct]] is deterministic cross-engine.
+    */
+  private[graft] val HllAlphaScaled: Double =
+    0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992.0
+
   /** Data-quality expectations — the validation gate a production
     * pipeline runs before promoting a batch: each check is one
     * aggregate (all partial-aggregable counts, no shuffle beyond the

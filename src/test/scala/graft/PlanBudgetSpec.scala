@@ -162,7 +162,16 @@ class PlanBudgetSpec extends SparkSpec {
     "q20_excess_suppliers" -> 5,
     // one orderkey family: per-(order,supp) agg + per-order frame +
     // join-back + strictness agg + per-supplier count + name join
-    "q21_waiting_suppliers" -> 7)
+    "q21_waiting_suppliers" -> 7,
+    // r13e: register cell agg + per-type fold + exact-side distinct
+    // expand + the type join
+    "hll_distinct" -> 4,
+    // (lang, score) histogram + ONE lang partitioning shared by the
+    // base window and the final agg
+    "quality_auc" -> 2,
+    // two salted top-k arms (local + global each) + the keyword postings
+    // agg + the bounded fused-frame window
+    "rrf_fusion" -> 7)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
