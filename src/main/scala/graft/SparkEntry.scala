@@ -114,6 +114,7 @@ object SparkEntry {
     "hll_distinct" -> (RefOps.hllDistinct _),
     "quality_auc" -> (DataOps.qualityAuc _),
     "rrf_fusion" -> (DataOps.rrfFusion _),
+    "substring_spans_keep_one" -> (DataOps.substringSpansKeepOne _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),

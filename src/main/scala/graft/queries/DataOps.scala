@@ -558,9 +558,15 @@ object DataOps {
       .filter(col("n") >= 2).select(col("r"))
     val cov = rk.join(dup, "r")
       .select(col("doc_id"), col("idx").as("s"), (col("idx") + L - 1).as("e"))
-    // merge overlapping/adjacent windows into maximal spans: classic
-    // islands — a window starts a new span iff it begins past every
-    // earlier window's running max end + 1
+    mergeCoveredWindows(cov)
+  }
+
+  /** Merge overlapping/adjacent covered windows into maximal spans:
+    * classic islands — a window starts a new span iff it begins past
+    * every earlier window's running max end + 1. Shared by the
+    * remove-all and keep-one span variants. One per-doc window sort.
+    */
+  private def mergeCoveredWindows(cov: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     cov
       .withColumn("maxe", max(col("e")).over(
@@ -572,6 +578,42 @@ object DataOps {
       .agg(min(col("s")).cast("long").as("span_start"),
         max(col("e")).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Lee et al. 2021's KEEP-ONE span rule — the future face
+    * [[removeDupSpans]]'s scaladoc promised, now cashed: per duplicated
+    * L-gram class the CANONICAL occurrence (the class's minimum
+    * (doc, idx) position — the same representative rule
+    * [[topDupSubstrings]] already uses) survives, and every OTHER
+    * occurrence marks its positions for removal, so one copy of each
+    * boilerplate run stays in the corpus. Gram-level keep-one: a
+    * canonical occurrence of one gram can still fall inside a span cut
+    * by an OVERLAPPING different gram's non-canonical occurrence — the
+    * interaction the paper's span semantics carries too (spans, not
+    * grams, are what get cut). Output is the same maximal-span report
+    * as [[substringDedup]]; the [[removeDupSpans]] cut composes on top
+    * unchanged.
+    *
+    * Cost: identical to the remove-all variant plus the per-class rep
+    * (computed inside the SAME dup aggregate — no extra shuffle) and the
+    * rep-exclusion filter (map-side on the covered join's output).
+    */
+  def substringSpansKeepOne(spark: SparkSession, dir: String): DataFrame =
+    substringSpansKeepOneOn(toks(spark, dir), SubstringL)
+
+  private[graft] def substringSpansKeepOneOn(t: DataFrame, L: Int): DataFrame = {
+    val rk = substringClasses(t, L)
+    val dup = rk.groupBy(col("r"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("idx"))).as("rep"))
+      .filter(col("n") >= 2)
+      .select(col("r"), col("rep.doc_id").as("rep_doc"),
+        col("rep.idx").as("rep_idx"))
+    val cov = rk.join(dup, "r")
+      .filter(!(col("doc_id") === col("rep_doc") &&
+        col("idx") === col("rep_idx")))
+      .select(col("doc_id"), col("idx").as("s"), (col("idx") + L - 1).as("e"))
+    mergeCoveredWindows(cov)
   }
 
   /** The "WHICH boilerplate" face of [[substringDedup]]: every
@@ -5193,6 +5235,35 @@ object DataOps {
         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
         cov AS (SELECT doc_id, s, e FROM g
                 WHERE gram IN (SELECT gram FROM dup)),
+        m AS (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+              FROM cov),
+        isl AS (SELECT doc_id, s, e,
+                sum(CASE WHEN maxe IS NULL OR s > maxe + 1
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m)
+        SELECT doc_id, min(s)::BIGINT AS span_start,
+               max(e)::BIGINT AS span_end
+        FROM isl GROUP BY doc_id, grp"""
+      },
+      // r13: keep-one — canonical occurrence per duplicated gram =
+      // first by (doc_id, position), mirrored by rn = 1 per gram
+      "substring_spans_keep_one" -> {
+        val L = SubstringL
+        s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, w,
+                unnest(generate_series(1, len(w) - ${L - 1})) AS i
+              FROM t WHERE len(w) >= $L),
+        g AS (SELECT doc_id, i AS s, i + ${L - 1} AS e,
+                array_to_string(w[i:i+${L - 1}], ' ') AS gram FROM p),
+        occ AS (SELECT doc_id, s, e,
+                  row_number() OVER (PARTITION BY gram ORDER BY doc_id, s)
+                    AS rn,
+                  count(*) OVER (PARTITION BY gram) AS n
+                FROM g),
+        cov AS (SELECT doc_id, s, e FROM occ WHERE n >= 2 AND rn > 1),
         m AS (SELECT doc_id, s, e,
                 max(e) OVER (PARTITION BY doc_id ORDER BY s
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe

@@ -171,7 +171,10 @@ class PlanBudgetSpec extends SparkSpec {
     "quality_auc" -> 2,
     // two salted top-k arms (local + global each) + the keyword postings
     // agg + the bounded fused-frame window
-    "rrf_fusion" -> 7)
+    "rrf_fusion" -> 7,
+    // the substring_dedup tail with the rep carried INSIDE the same dup
+    // aggregate — no extra shuffle over the remove-all variant
+    "substring_spans_keep_one" -> 7)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec

@@ -67,6 +67,30 @@ class Round13eOpsSpec extends SparkSpec {
     got.size should be > 0
   }
 
+  test("substring_spans_keep_one: the canonical copy survives, every other copy is cut") {
+    import spark.implicits._
+    val run = (1 to 16).map("d" + _).mkString(" ")
+    val fillA = (1 to 10).map("a" + _).mkString(" ")
+    val fillB = (1 to 10).map("b" + _).mkString(" ")
+    // doc 1 holds the first (canonical) occurrence; docs 2 and 3 repeat it
+    val t = Seq(1L -> s"$fillA $run", 2L -> s"$run $fillB",
+      3L -> s"$fillB $run").toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val spans = DataOps.substringSpansKeepOneOn(t, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spans shouldBe Set((2L, 1L, 16L), (3L, 11L, 26L))
+  }
+
+  test("substring_spans_keep_one: covered positions are a strict subset of the remove-all variant's") {
+    def covered(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .flatMap(r => (r.getLong(1) to r.getLong(2)).map((r.getLong(0), _))).toSet
+    val keepOne = covered(DataOps.substringSpansKeepOne(spark, sf))
+    val all = covered(DataOps.substringDedup(spark, sf))
+    keepOne.subsetOf(all) shouldBe true
+    // strict whenever any duplication exists (it does in this corpus)
+    all.size should be > keepOne.size
+  }
+
   test("rrf_fusion: fused set is the union of the arms' top-20s, ordered by the quantized score") {
     val out = DataOps.rrfFusion(spark, sf).collect()
     out.length should be > 0
