@@ -478,9 +478,18 @@ object RefOps {
     * merge property (registers are duplicate- and order-invariant) is
     * directly testable on a doubled input.
     */
-  private[graft] def hllDistinctOn(e: DataFrame): DataFrame = {
+  private[graft] def hllDistinctOn(e: DataFrame): DataFrame =
+    hllFromRegisters(hllRegistersOf(e))
+
+  /** The ADDITIVE half (the [[graft.streaming.StreamingMonitors]]
+    * factoring): per-(type, bucket) max ρ — partial registers. Registers
+    * computed over ANY slicing of the input merge by plain max, which is
+    * what makes this sketch maintainable per micro-batch and shippable
+    * between clusters.
+    */
+  private[graft] def hllRegistersOf(e: DataFrame): DataFrame = {
     val m = 256L
-    val rho = e.select(col("event_type"),
+    e.select(col("event_type"),
         conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
           .cast("long").as("hb"))
       .select(col("event_type"), pmod(col("hb"), lit(m)).as("bucket"),
@@ -488,8 +497,13 @@ object RefOps {
       .select(col("event_type"), col("bucket"),
         when(col("w") === 0L, lit(53L))
           .otherwise(lit(53L) - length(bin(col("w"))).cast("long")).as("rho"))
-    val regs = rho.groupBy(col("event_type"), col("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** The DERIVE half on a complete register frame. */
+  private[graft] def hllFromRegisters(regs: DataFrame): DataFrame = {
+    val m = 256L
     val perType = regs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("m_used"),
         sum(expr("shiftleft(cast(1 as bigint), cast(53 - r as int))"))

@@ -1,10 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, max, sum}
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.queries.{DataOps, Relational}
+import graft.queries.{DataOps, RefOps, Relational}
 
 /** Continuously-maintained monitoring aggregations (r12 verdict #5): the
   * streaming faces of the graded batch monitors `hourly_profile` (N151),
@@ -87,4 +87,22 @@ object StreamingMonitors {
   def langConfusion(spark: SparkSession, statePath: String): DataFrame =
     DataOps.langConfusionFrom(
       mergedCells(spark, statePath, Seq("lang", "pred_lang"), "n_docs"))
+
+  /** r13: the streaming face of the graded register-level HLL (N186) —
+    * the one monitor whose additive merge is MAX, not SUM: each
+    * micro-batch lands its own ≤ |types|·256 partial registers, and the
+    * read-side merge takes the per-(type, bucket) max before the shared
+    * derive half. The per-event hashing happens once at ingest; the
+    * sketch query itself never touches an event again.
+    */
+  def maintainHllRegisters(events: DataFrame, statePath: String,
+                           checkpointDir: String): Unit =
+    maintainCells(events, statePath, checkpointDir, RefOps.hllRegistersOf)
+
+  def hllSketch(spark: SparkSession, statePath: String): DataFrame =
+    RefOps.hllFromRegisters(
+      spark.read.parquet(statePath)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+        .localCheckpoint(true))
 }

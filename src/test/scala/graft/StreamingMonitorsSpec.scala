@@ -78,4 +78,14 @@ class StreamingMonitorsSpec extends SparkSpec {
       StreamingMonitors.langConfusion(spark, _),
       graft.queries.DataOps.langConfusion(spark, sf))
   }
+
+  test("streaming hll registers equal the graded batch sketch (max-merge)") {
+    // the one monitor whose additive merge is MAX: interleaved slices
+    // write overlapping registers, and the read-side max must land on
+    // exactly the batch sketch (sans the exact-count join)
+    drive(Tables(spark, sf, "events"), "event_id",
+      StreamingMonitors.maintainHllRegisters,
+      StreamingMonitors.hllSketch(spark, _),
+      graft.queries.RefOps.hllDistinctOn(Tables(spark, sf, "events")))
+  }
 }
