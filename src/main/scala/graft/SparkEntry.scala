@@ -115,6 +115,8 @@ object SparkEntry {
     "quality_auc" -> (DataOps.qualityAuc _),
     "rrf_fusion" -> (DataOps.rrfFusion _),
     "substring_spans_keep_one" -> (DataOps.substringSpansKeepOne _),
+    "split_leakage" -> (DataOps.splitLeakage _),
+    "rendezvous_shards" -> (DataOps.rendezvousShards _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),

@@ -3134,6 +3134,66 @@ object DataOps {
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val").otherwise("test"))
 
+  /** Cross-split near-dup LEAKAGE audit — the check a training-data
+    * release runs after [[splitAssign]]: every graded near-dup pair
+    * ([[dedupMinhashLsh]], exact Jaccard ≥ 0.8) bucketed by the split
+    * pair it straddles. A val/test doc with a train-side near-duplicate
+    * is contamination the split hash cannot see (hashing is per-doc;
+    * near-dups are cross-doc) — this is the operator that sees it. Pair
+    * keys are canonicalized (least, greatest) so (train, test) and
+    * (test, train) are one row; is_leak marks the off-diagonal. Oracle
+    * NESTS both graded inputs verbatim (pair-rule or split-rule drift
+    * fails all three entries).
+    *
+    * Scale: the pair set is the already-banded LSH output (linear), the
+    * split table is a map-side hash of the pair's two ids — two joins
+    * keyed on doc id, output bounded by the 3×3 split alphabet.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val s = splitAssign(spark, dir).select(col("doc_id"), col("split"))
+    dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the stateless
+    * router that places every document on one of [[RendezvousShards]]
+    * index shards: shard = argmax over s of md5("shard:doc:s"). The
+    * assignment is a MAP-ONLY expression (an array of 16 (score, shard)
+    * structs reduced by array_max — no shuffle, no lookup table, no
+    * coordination), which is the whole point at 100 TB: any worker
+    * routes any doc identically with zero state. HRW's defining
+    * property — adding a shard moves ONLY the docs whose new score wins,
+    * ~1/(n+1) of them, and never moves a doc BETWEEN existing shards —
+    * is spec-pinned on a 16→17 transition. Graded output is the
+    * per-shard occupancy report (one bounded shuffle onto 16 cells).
+    */
+  def rendezvousShards(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        rendezvousShardExpr(col("doc_id"), RendezvousShards).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  private[graft] val RendezvousShards = 16
+
+  /** The per-row HRW argmax: max (score, shard) struct over n shards. */
+  private[graft] def rendezvousShardExpr(docId: Column, n: Int): Column = {
+    val scored = (0 until n).map { sh =>
+      struct(
+        conv(substring(md5(concat(lit("shard:"), docId.cast("string"),
+          lit(s":$sh"))), 1, 15), 16, 10).cast("long").as("score"),
+        lit(sh.toLong).as("shard"))
+    }
+    array_max(array(scored: _*)).getField("shard")
+  }
+
   private val PackBudget = 2048
 
   /** Greedy token-budget sequence packing: docs stream in doc_id order
@@ -5191,6 +5251,34 @@ object DataOps {
         $steps"""
     }
 
+    // factored for nesting: split_leakage nests the graded pair set
+    // verbatim
+    val minhashLshSql = s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        sig AS (SELECT doc_id, $mh FROM shx),
+        bnd AS (SELECT doc_id, $bands FROM sig),
+        bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
+        gen AS (SELECT doc_id, u.b AS b, u.h AS h,
+                       row_number() OVER (PARTITION BY u.b, u.h ORDER BY doc_id) AS rk
+                FROM bl),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM gen a JOIN bl b ON a.b = b.u.b AND a.h = b.u.h
+                  AND a.doc_id < b.doc_id
+                 WHERE a.rk <= $BandBucketCap),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT i2.doc_a, i2.doc_b,
+               round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
+        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
+        JOIN sz sb ON sb.doc_id = i2.doc_b
+        WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8"""
     val base = Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
@@ -5294,32 +5382,7 @@ object DataOps {
       "pq_codes" -> s"""
         ${kmeansCtes(k = PqK, iters = PqIters, subDim = Some(PqSubDim))}
         SELECT vec_id, m::INT AS m, cluster::INT AS code FROM a1""",
-      "dedup_minhash_lsh" -> s"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-                FROM toks WHERE len(w) >= 3),
-        sig AS (SELECT doc_id, $mh FROM shx),
-        bnd AS (SELECT doc_id, $bands FROM sig),
-        bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
-        gen AS (SELECT doc_id, u.b AS b, u.h AS h,
-                       row_number() OVER (PARTITION BY u.b, u.h ORDER BY doc_id) AS rk
-                FROM bl),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM gen a JOIN bl b ON a.b = b.u.b AND a.h = b.u.h
-                  AND a.doc_id < b.doc_id
-                 WHERE a.rk <= $BandBucketCap),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
-        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
-                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
-                  GROUP BY 1, 2),
-        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
-        SELECT i2.doc_a, i2.doc_b,
-               round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) AS jaccard
-        FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
-        JOIN sz sb ON sb.doc_id = i2.doc_b
-        WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8""",
+      "dedup_minhash_lsh" -> minhashLshSql,
       "dedup_incremental" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -5728,6 +5791,13 @@ object DataOps {
                sum(weight * ((dim * 2654435761) % 1001 - 500))::BIGINT AS logit,
                sum(weight * ((dim * 2654435761) % 1001 - 500)) > 0 AS flagged
         FROM x GROUP BY 1"""
+    // factored for nesting: split_leakage nests the graded split rule
+    // verbatim (the pair set val lives before `base`)
+    val splitAssignSql = s"""
+        SELECT doc_id, lang, b AS bucket,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang, ($splitH) % 100 AS b FROM documents)"""
     // factored for nesting: quality_auc nests the gate verbatim and
     // rrf_fusion nests the lexical arm (the qualityCalibration rule:
     // rule drift fails both entries together)
@@ -5892,11 +5962,7 @@ object DataOps {
                  row_number() OVER (PARTITION BY lang
                                     ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
           FROM documents) WHERE rn <= $SampleK""",
-      "split_assign" -> s"""
-        SELECT doc_id, lang, b AS bucket,
-               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (SELECT doc_id, lang, ($splitH) % 100 AS b FROM documents)""",
+      "split_assign" -> splitAssignSql,
       // Priority sampling: same integer quantizations as the Spark side
       // (pkey = h1*1e6 div w, q_milli = w*2^32*1000 div h1), τ as a
       // null-safe aggregate over the (K+1)-th rank.
@@ -6313,6 +6379,37 @@ object DataOps {
                   THEN ((num2 - n_pos * (n_pos + 1)) * 500000)
                        // (n_pos * n_neg) END)::BIGINT AS auc_micro
         FROM a""",
+      // r13: cross-split leakage — NESTS the graded pair set and the
+      // graded split rule verbatim
+      "split_leakage" -> s"""
+        WITH pairs AS ($minhashLshSql),
+        sp AS ($splitAssignSql),
+        j AS (SELECT least(sa.split, sb.split) AS split_a,
+                greatest(sa.split, sb.split) AS split_b
+              FROM pairs p JOIN sp sa ON sa.doc_id = p.doc_a
+              JOIN sp sb ON sb.doc_id = p.doc_b)
+        SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+               (split_a <> split_b) AS is_leak
+        FROM j GROUP BY 1, 2""",
+      // r13: HRW argmax mirrored as a per-doc (score DESC, shard DESC)
+      // rank — DESC shard matches Spark's max-struct tie rule
+      "rendezvous_shards" -> {
+        val sh = (0 until RendezvousShards).map { k =>
+          val h = (1 to 15).map(i =>
+            s"(instr('0123456789abcdef', substr(md5('shard:' || doc_id::VARCHAR || ':$k'), $i, 1)) - 1)::BIGINT * ${java.lang.Long.parseLong("1" + "0" * (15 - i), 16)}")
+            .mkString(" + ")
+          s"struct_pack(score := ($h), shard := $k::BIGINT)"
+        }.mkString(", ")
+        s"""
+        WITH a AS (SELECT doc_id, unnest([$sh]) AS u FROM documents),
+        rk AS (SELECT doc_id, u.shard AS shard,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY u.score DESC, u.shard DESC) AS rn
+               FROM a)
+        SELECT shard, count(*)::BIGINT AS n_docs,
+               min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+        FROM rk WHERE rn = 1 GROUP BY 1"""
+      },
       // r13: integer-quantized reciprocal-rank fusion of the graded
       // lexical ranking (nested verbatim) and the q0 cosine ranking
       // (the ann_cosine_topk dialect, top 20)

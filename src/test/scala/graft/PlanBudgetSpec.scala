@@ -174,7 +174,13 @@ class PlanBudgetSpec extends SparkSpec {
     "rrf_fusion" -> 7,
     // the substring_dedup tail with the rep carried INSIDE the same dup
     // aggregate — no extra shuffle over the remove-all variant
-    "substring_spans_keep_one" -> 7)
+    "substring_spans_keep_one" -> 7,
+    // the banded LSH pair pipeline + two id-keyed split joins + the
+    // 3x3-bounded bucket agg
+    "split_leakage" -> 12,
+    // assignment is a MAP-ONLY argmax expression; the report is one
+    // bounded shuffle onto 16 cells
+    "rendezvous_shards" -> 1)
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec

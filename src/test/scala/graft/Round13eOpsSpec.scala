@@ -91,6 +91,49 @@ class Round13eOpsSpec extends SparkSpec {
     all.size should be > keepOne.size
   }
 
+  test("split_leakage: buckets partition the graded pair set and leaks re-derive row-level") {
+    val sfd = "/root/testdata/sf0.01" // sf0.001 has too few near-dup pairs
+    val out = DataOps.splitLeakage(spark, sfd).cache()
+    val pairs = DataOps.dedupMinhashLsh(spark, sfd)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val split = DataOps.splitAssign(spark, sfd)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe expect
+    out.filter(col("is_leak") =!= (col("split_a") =!= col("split_b")))
+      .count() shouldBe 0L
+    out.agg(sum(col("n_pairs"))).head.getLong(0) shouldBe pairs.length.toLong
+    out.unpersist()
+    ()
+  }
+
+  test("rendezvous_shards: adding a shard moves ~1/(n+1) of docs, all TO the new shard") {
+    import spark.implicits._
+    val ids = Tables(spark, sf, "documents").select(col("doc_id"))
+    val before = ids.select(col("doc_id"),
+        DataOps.rendezvousShardExpr(col("doc_id"), 16).as("s16"))
+    val both = before.withColumn("s17",
+        DataOps.rendezvousShardExpr(col("doc_id"), 17))
+      .select(col("doc_id"), col("s16"), col("s17")).collect()
+    val moved = both.filter(r => r.getLong(1) != r.getLong(2))
+    // HRW's defining property: a doc never moves BETWEEN existing shards
+    moved.foreach(_.getLong(2) shouldBe 16L)
+    // expected movement 1/17 ≈ 5.9%; binomial slack on the small corpus
+    val frac = moved.length.toDouble / both.length
+    frac should be > 0.01
+    frac should be < 0.15
+    // occupancy report accounts for every doc
+    DataOps.rendezvousShards(spark, sf)
+      .agg(sum(col("n_docs"))).head.getLong(0) shouldBe both.length.toLong
+  }
+
   test("rrf_fusion: fused set is the union of the arms' top-20s, ordered by the quantized score") {
     val out = DataOps.rrfFusion(spark, sf).collect()
     out.length should be > 0
