@@ -117,6 +117,12 @@ object SparkEntry {
     "substring_spans_keep_one" -> (DataOps.substringSpansKeepOne _),
     "split_leakage" -> (DataOps.splitLeakage _),
     "rendezvous_shards" -> (DataOps.rendezvousShards _),
+    // r13f: the additive sketch-register family completing the r13e HLL
+    // story — Count-Min token counters, Bloom join-pruning audit,
+    // one-permutation-hashing MinHash.
+    "cms_topk_est" -> (DataOps.cmsTopkEst _),
+    "oph_minhash" -> (DataOps.ophMinhash _),
+    "bloom_prune_audit" -> (RefOps.bloomPruneAudit _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -260,6 +266,14 @@ object SparkEntry {
   private val kmvHashSql: String = (1 to 15).map(i =>
     s"(instr('0123456789abcdef', substr(md5(user_id::VARCHAR), $i, 1)) - 1)::BIGINT * ${java.lang.Long.parseLong("1" + "0" * (15 - i), 16)}")
     .mkString(" + ")
+
+  /** 15 hex digits of md5(e) as a 60-bit BIGINT on an arbitrary
+    * pre-stringified expression — the same hash dialect as
+    * [[kmvHashSql]], shared by the Bloom-register oracle.
+    */
+  private def hex15Sql(e: String): String = (1 to 15).map(i =>
+    s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1)::BIGINT * ${java.lang.Long.parseLong("1" + "0" * (15 - i), 16)}")
+    .mkString("(", " + ", ")")
 
   /** sessionize oracle — factored to a val so session_stats NESTS it
     * verbatim (drift in the session rule fails both entries).
@@ -523,6 +537,30 @@ object SparkEntry {
          FROM est e JOIN (SELECT event_type,
                 count(DISTINCT user_id)::BIGINT AS n_exact
               FROM events GROUP BY 1) x USING (event_type)""",
+    // r13f: register-level Bloom on the KMV/HLL hash dialect — member
+    // set = the user_id % 8 blocklist cohort, k=3 positions in m=16384
+    // bits; probe counts per event type next to the exact membership
+    "bloom_prune_audit" -> {
+      val mpos = (1 to RefOps.BloomHashes).map(j =>
+        s"${hex15Sql(s"'bloom:$j:' || user_id::VARCHAR")} % ${RefOps.BloomBits}")
+        .mkString(", ")
+      s"""WITH members AS (SELECT DISTINCT user_id FROM events
+                        WHERE user_id % 8 = 0),
+         bits AS (SELECT DISTINCT unnest([$mpos]) AS pos FROM members),
+         probe AS (SELECT DISTINCT event_type, user_id FROM events),
+         pp AS (SELECT event_type, user_id, unnest([$mpos]) AS pos
+                FROM probe),
+         ph AS (SELECT p.event_type, p.user_id,
+                  count(b.pos) = ${RefOps.BloomHashes} AS bloom_pass
+                FROM pp p LEFT JOIN bits b USING (pos)
+                GROUP BY 1, 2)
+         SELECT ph.event_type, count(*)::BIGINT AS n_users,
+                count(*) FILTER (bloom_pass)::BIGINT AS n_bloom_pass,
+                count(*) FILTER (user_id IN (SELECT user_id FROM members))::BIGINT
+                  AS n_member,
+                (SELECT count(*)::BIGINT FROM bits) AS n_bits
+         FROM ph GROUP BY 1"""
+    },
     "sessionize" -> sessionizeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

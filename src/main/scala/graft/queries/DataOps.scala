@@ -3194,6 +3194,114 @@ object DataOps {
     array_max(array(scored: _*)).getField("shard")
   }
 
+  private[graft] val CmsRows = 4
+  private[graft] val CmsWidth = 512L
+  private[graft] val CmsTopK = 20
+
+  /** Count-Min sketch over the corpus token histogram (Cormode &
+    * Muthukrishnan 2005), register-level and oracle-graded like the
+    * r13e HLL: [[CmsRows]] hash rows × [[CmsWidth]] counters, every
+    * counter an exact BIGINT sum of the counts hashing into it, point
+    * estimate = min over rows — the sketch a 100 TB pipeline keeps when
+    * the full token histogram is too wide to ship between stages. The
+    * registers are ADDITIVE (cell-wise + is the merge, unlike HLL's
+    * max), so partial sketches from any input slicing — or per
+    * micro-batch — combine exactly; the graded face re-derives the
+    * estimates for the exact top-[[CmsTopK]] tokens next to their true
+    * counts, and `is_over` carries CMS's one-sided guarantee (the
+    * sketch never undercounts) into the graded values.
+    *
+    * Scale shape: the corpus pays the ONE partial-aggregable token
+    * histogram shuffle every frequency operator pays; the register
+    * build then aggregates that vocabulary-bounded frame onto 4×512
+    * cells, the top-k is a TakeOrdered, and the probe joins two
+    * bounded frames (registers broadcast).
+    */
+  def cmsTopkEst(spark: SparkSession, dir: String): DataFrame = {
+    val tc = cmsTokenCounts(spark, dir)
+    cachedScope(tc) { cmsTopkEstOn(tc) }
+  }
+
+  /** The corpus token histogram the sketch summarizes. */
+  private[graft] def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+  private def cmsBucketed(d: DataFrame): DataFrame =
+    d.withColumn("u", explode(array((0 until CmsRows).map { j =>
+      struct(lit(j.toLong).as("j"),
+        pmod(conv(substring(md5(concat(lit(s"cms:$j:"), col("tok"))),
+          1, 15), 16, 10).cast("long"), lit(CmsWidth)).as("b"))
+    }: _*)))
+
+  /** The ADDITIVE half: registers from a (tok, c) histogram — cell-wise
+    * `+` is the merge (registers over any input slicing sum to the
+    * whole; spec-pinned on a doubled input), which is what makes this
+    * sketch maintainable per micro-batch and shippable between
+    * clusters, the [[graft.queries.RefOps.hllRegistersOf]] factoring
+    * with `sum` where HLL has `max`.
+    */
+  private[graft] def cmsRegistersOf(tc: DataFrame): DataFrame =
+    cmsBucketed(tc)
+      .groupBy(col("u.j").as("rj"), col("u.b").as("rb"))
+      .agg(sum(col("c")).as("reg"))
+
+  /** The lazy body on an explicit histogram (pre-checkpoint plan pinned
+    * in Round13fOpsSpec; the public face checkpoints via cachedScope).
+    */
+  private[graft] def cmsTopkEstOn(tc: DataFrame): DataFrame = {
+    val regs = cmsRegistersOf(tc)
+    val top = tc.orderBy(col("c").desc, col("tok")).limit(CmsTopK)
+    cmsBucketed(top)
+      .join(broadcast(regs),
+        col("u.j") === col("rj") && col("u.b") === col("rb"))
+      .groupBy(col("tok"))
+      .agg(max(col("c")).as("n_exact"), min(col("reg")).as("est"))
+      .withColumn("is_over", col("est") >= col("n_exact"))
+  }
+
+  private[graft] val OphBuckets = 32L
+
+  /** One-permutation-hashing MinHash (Li, Owen & Zhang 2012): ONE hash
+    * pass over the shingles — each shingle lands in bucket `h mod k`
+    * and the signature keeps the per-bucket minimum — where classic
+    * k-hash MinHash pays k hashes per shingle. That factor-k scan-side
+    * saving is the whole point at 100 TB signature-building. The graded
+    * face re-estimates similarity for the graded LSH pair set
+    * ([[dedupMinhashLsh]], nested verbatim in the oracle): per pair,
+    * over the buckets non-empty in BOTH docs, the fraction whose minima
+    * agree — integer per-mille, next to the pairs' exact Jaccard so the
+    * estimator's fidelity is itself a graded value.
+    *
+    * Scale shape: signatures are one explode + ONE partial-aggregable
+    * (doc, bucket) min — ≤ [[OphBuckets]] rows per doc; the estimate
+    * joins the already-banded (linear) pair set against that bounded
+    * frame, keyed on the pair's doc ids.
+    */
+  def ophMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit("oph:"), col("s"))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .select(col("doc_id"), pmod(col("hv"), lit(OphBuckets)).as("b"),
+        col("hv"))
+      .groupBy(col("doc_id"), col("b")).agg(min(col("hv")).as("mh"))
+    cachedScope(sig) {
+      dedupMinhashLsh(spark, dir)
+        .join(sig.select(col("doc_id").as("doc_a"), col("b"),
+          col("mh").as("ma")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("b"),
+          col("mh").as("mb")), Seq("doc_b", "b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("jaccard")).as("jaccard"),
+          count(lit(1)).as("n_used"),
+          count(when(col("ma") === col("mb"), 1)).as("n_match"))
+        .withColumn("est_milli", expr("(1000 * n_match) div n_used"))
+    }
+  }
+
   private val PackBudget = 2048
 
   /** Greedy token-budget sequence packing: docs stream in doc_id order
@@ -5071,6 +5179,12 @@ object DataOps {
     def hex8(e: String): String = (0 until 8).map(i =>
       s"${hd(s"md5($e)", i + 1)}::BIGINT * ${1L << (4 * (7 - i))}")
       .mkString("(", " + ", ")")
+    // 15 hex digits of md5(e) as a 60-bit BIGINT — mirrors the Spark
+    // side's conv(substring(md5(e), 1, 15), 16, 10) (the KMV/HLL hash
+    // family dialect, on an arbitrary expression)
+    def hex15(e: String): String = (0 until 15).map(i =>
+      s"${hd(s"md5($e)", i + 1)}::BIGINT * ${1L << (4 * (14 - i))}")
+      .mkString("(", " + ", ")")
     // exact n-gram Jaccard pairs at any threshold (the naive all-postings
     // join — DuckDB needs no prefix filter, and the filter is lossless,
     // so the outputs coincide); shared by ngram_jaccard and lsh_recall
@@ -5834,6 +5948,48 @@ object DataOps {
         FROM hits WHERE n_terms = ${SearchTerms.length}
         QUALIFY rank <= 20"""
     base ++ Map(
+      // r13f: Count-Min registers on the token histogram — 4 rows x 512
+      // exact BIGINT counters, estimate = min over rows for the exact
+      // top-20 tokens (is_over carries the one-sided guarantee)
+      "cms_topk_est" -> s"""
+        WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        tk AS (SELECT unnest(w) AS tok FROM t),
+        tc AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+        br AS (SELECT tok, c, j,
+                 ${hex15("'cms:' || j::VARCHAR || ':' || tok")} % $CmsWidth AS b
+               FROM tc CROSS JOIN range(0, $CmsRows) AS r(j)),
+        regs AS (SELECT j, b, sum(c)::BIGINT AS reg FROM br GROUP BY 1, 2),
+        top AS (SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT $CmsTopK),
+        pr AS (SELECT top.tok, top.c, r.j,
+                 ${hex15("'cms:' || r.j::VARCHAR || ':' || top.tok")} % $CmsWidth AS b
+               FROM top CROSS JOIN range(0, $CmsRows) AS r(j))
+        SELECT pr.tok, max(pr.c) AS n_exact, min(regs.reg) AS est,
+               min(regs.reg) >= max(pr.c) AS is_over
+        FROM pr JOIN regs ON pr.j = regs.j AND pr.b = regs.b
+        GROUP BY 1""",
+      // r13f: one-permutation-hashing estimates for the graded LSH pair
+      // set (nested verbatim) — per-bucket minima of ONE hash, match
+      // fraction over jointly-non-empty buckets, integer per-mille
+      "oph_minhash" -> s"""
+        WITH pairs AS ($minhashLshSql),
+        toks2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx2 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks2 WHERE len(w) >= 3),
+        hv AS (SELECT doc_id, ${hex15("'oph:' || s")} AS hv
+               FROM (SELECT doc_id, unnest(sh) AS s FROM shx2)),
+        sig AS (SELECT doc_id, hv % $OphBuckets AS b, min(hv) AS mh
+                FROM hv GROUP BY 1, 2),
+        m AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+                count(*)::BIGINT AS n_used,
+                count(*) FILTER (sa.mh = sb.mh)::BIGINT AS n_match
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.doc_a
+              JOIN sig sb ON sb.doc_id = p.doc_b AND sb.b = sa.b
+              GROUP BY 1, 2, 3)
+        SELECT doc_a, doc_b, jaccard, n_used, n_match,
+               (1000 * n_match) // n_used AS est_milli
+        FROM m""",
       // r13: the WHICH-boilerplate face — materialized L-gram strings
       // grouped directly (the blowup form the Spark class ids avoid)
       "top_dup_substrings" -> s"""

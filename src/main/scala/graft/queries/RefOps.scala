@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -523,6 +523,57 @@ object RefOps {
     */
   private[graft] val HllAlphaScaled: Double =
     0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992.0
+
+  private[graft] val BloomBits = 16384L
+  private[graft] val BloomHashes = 3
+
+  /** Register-level Bloom filter, oracle-graded (Bloom 1970) — the
+    * sketch mathematics behind the N66 broadcast-Bloom binding, graded
+    * the way r13e graded HLL's registers: the blocklist cohort
+    * (user_id ≡ 0 mod 8 — the deterministic stand-in for an external
+    * abuse list, a scale-free ~12% of users at every SF) sets
+    * [[BloomHashes]] md5-derived positions each in an m = [[BloomBits]]
+    * bit space; the filter IS the distinct-position frame. The probe
+    * side asks, per event type, how many of its distinct users the
+    * filter would pass (all k probe positions set) next to the exact
+    * member count — `n_bloom_pass >= n_member` is the no-false-negative
+    * guarantee carried into the graded values, and the pass/member gap
+    * over `n_bits` is the filter's realized false-positive behavior
+    * (formula-checked in the spec). m is sized so the sf1 cohort
+    * (~1.9k members) loads the filter to ~30% — real FP behavior at
+    * scale, near-zero FP at sf0.01, never saturated.
+    *
+    * Scale shape: this is the join-pruning pattern at 100 TB — the bit
+    * frame is bounded (≤ m rows) and broadcasts everywhere, so probing
+    * is k broadcast-hash lookups per row with NO shuffle of the big
+    * side; only the per-(type, user) distinct and the final per-type
+    * counts shuffle, both keyed aggregations the audit itself needs.
+    */
+  def bloomPruneAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    def positions(user: Column): Column = array((1 to BloomHashes).map { j =>
+      pmod(conv(substring(md5(concat(lit(s"bloom:$j:"),
+        user.cast("string"))), 1, 15), 16, 10).cast("long"), lit(BloomBits))
+    }: _*)
+    val members = e.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(8)) === 0)
+    val bits = members
+      .select(explode(positions(col("user_id"))).as("pos")).distinct()
+    val nBits = bits.agg(count(lit(1)).as("n_bits"))
+    val probe = e.select(col("event_type"), col("user_id")).distinct()
+    val passed = probe
+      .withColumn("pos", explode(positions(col("user_id"))))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((count(col("hit")) === BloomHashes).as("bloom_pass"))
+    passed
+      .join(members.withColumn("is_member", lit(true)), Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("bloom_pass"), 1)).as("n_bloom_pass"),
+        count(col("is_member")).as("n_member"))
+      .crossJoin(broadcast(nBits))
+  }
 
   /** Data-quality expectations — the validation gate a production
     * pipeline runs before promoting a batch: each check is one

@@ -180,7 +180,14 @@ class PlanBudgetSpec extends SparkSpec {
     "split_leakage" -> 12,
     // assignment is a MAP-ONLY argmax expression; the report is one
     // bounded shuffle onto 16 cells
-    "rendezvous_shards" -> 1)
+    "rendezvous_shards" -> 1,
+    // r13f: member + probe distincts, the per-(type, user) probe agg,
+    // the final per-type counts, the 1-row bit count — the bit frame
+    // itself rides broadcasts only
+    "bloom_prune_audit" -> 8)
+  // cms_topk_est / oph_minhash are eagerly checkpointed (cachedScope) —
+  // cms's pre-checkpoint shape is pinned in Round13fOpsSpec; oph's tail
+  // is two id-keyed joins + one pair agg over the nested graded pair set
   // corpus_drift is eagerly checkpointed (cachedScope) — its public plan
   // collapses to an RDD scan; its pre-checkpoint shape (one cell shuffle
   // + the 1-row totals broadcast) is pinned in EventAnalyticsSpec
