@@ -73,6 +73,8 @@ object GraftExtensions {
         { case Seq(a, b) => DotProduct(a, b); case _ => arity("dot_product", "2") }),
       (FunctionIdentifier("int8_dot"), info(classOf[Int8Dot], "int8_dot"),
         { case Seq(a, b) => Int8Dot(a, b); case _ => arity("int8_dot", "2") }),
+      (FunctionIdentifier("morton"), info(classOf[MortonInterleave], "morton"),
+        { case Seq(a, b) => MortonInterleave(a, b); case _ => arity("morton", "2") }),
       (FunctionIdentifier("tag_scope"), info(classOf[TagScope], "tag_scope"),
         { case Seq(c, open, tag) =>
             TagScope(c, strLit(open, "tag_scope", "openTag"), strLit(tag, "tag_scope", "tag"))

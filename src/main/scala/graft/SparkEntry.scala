@@ -123,6 +123,10 @@ object SparkEntry {
     "cms_topk_est" -> (DataOps.cmsTopkEst _),
     "oph_minhash" -> (DataOps.ophMinhash _),
     "bloom_prune_audit" -> (RefOps.bloomPruneAudit _),
+    // r13g: physical-layout family — Morton zone-map audit on the native
+    // codegen interleave, deterministic universe-sample estimator.
+    "zorder_audit" -> (Relational.zorderAudit _),
+    "hash_sample_est" -> (Relational.hashSampleEst _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -561,6 +565,43 @@ object SparkEntry {
                 (SELECT count(*)::BIGINT FROM bits) AS n_bits
          FROM ph GROUP BY 1"""
     },
+    // r13g: Morton layout audit — the bit interleave unrolled as integer
+    // shift/mask arithmetic (the native expression's exact semantics on
+    // 12-bit quantized inputs), 64 z-range tiles, zone maps + box prune
+    "zorder_audit" -> {
+      val zbits = (0 until 12).flatMap(i => Seq(
+        s"((x >> $i) & 1) * ${1L << (2 * i)}",
+        s"((y >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      val (x1, x2, y1, y2) = Relational.ZBox
+      s"""WITH q AS (SELECT
+             least(date_diff('day', DATE '${Relational.ZEpoch}',
+               o_orderdate::DATE), 4095)::BIGINT AS x,
+             least(floor(o_totalprice / ${Relational.ZPriceQuantum})::BIGINT,
+               4095) AS y
+           FROM orders),
+         z AS (SELECT x, y, ($zbits)::BIGINT AS z FROM q)
+         SELECT z >> ${Relational.ZFileShift} AS file_id,
+                count(*)::BIGINT AS n_rows,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y,
+                (max(x) < $x1 OR min(x) >= $x2
+                 OR max(y) < $y1 OR min(y) >= $y2) AS can_prune
+         FROM z GROUP BY 1"""
+    },
+    // r13g: deterministic 1/16 universe sample (KMV/HLL hash dialect on
+    // the event key), x16 extrapolation next to the exact answers
+    "hash_sample_est" -> s"""
+       WITH e AS (SELECT event_type,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              ${hex15Sql("'samp:' || event_id::VARCHAR")} % 16 = 0 AS in_samp
+            FROM events)
+       SELECT event_type, count(*)::BIGINT AS n_exact,
+              sum(cents)::BIGINT AS cents_exact,
+              count(*) FILTER (in_samp)::BIGINT AS n_sample,
+              (count(*) FILTER (in_samp) * 16)::BIGINT AS n_est,
+              (coalesce(sum(cents) FILTER (in_samp), 0) * 16)::BIGINT
+                AS cents_est
+       FROM e GROUP BY 1""",
     "sessionize" -> sessionizeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

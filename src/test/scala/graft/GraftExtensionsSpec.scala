@@ -61,7 +61,8 @@ class GraftExtensionsSpec extends SparkSpec {
                 minhash_sig(array('a b c', 'b c d'), 4) AS mh,
                 tag_scope('<div class="x"><p>in</p></div><p>out</p>',
                           '<div class="x">', 'div') AS scoped,
-                first_groups('<a href="u">t</a>', 'href="([^"]+)"') AS g
+                first_groups('<a href="u">t</a>', 'href="([^"]+)"') AS g,
+                morton(5L, 3L) AS mz
       """).head()
     dots.getDouble(0) shouldBe 32.0
     dots.getLong(1) shouldBe (4 - 10 - 18).toLong
@@ -69,6 +70,8 @@ class GraftExtensionsSpec extends SparkSpec {
     dots.getString(3) should include("in")
     dots.getString(3) should not include "out"
     dots.getSeq[String](4) shouldBe Seq("u")
+    // x=101b on even bits (1, 16), y=011b on odd bits (2, 8) -> 27
+    dots.getLong(5) shouldBe 27L
   }
 
   test("misra_gries resolves in SQL as an aggregate and matches exact counts") {

@@ -184,7 +184,13 @@ class PlanBudgetSpec extends SparkSpec {
     // r13f: member + probe distincts, the per-(type, user) probe agg,
     // the final per-type counts, the 1-row bit count — the bit frame
     // itself rides broadcasts only
-    "bloom_prune_audit" -> 8)
+    "bloom_prune_audit" -> 8,
+    // r13g: map-only codegen assignment + ONE bounded shuffle onto
+    // <= 64 file cells
+    "zorder_audit" -> 1,
+    // one partial-aggregable per-type shuffle; the sample flag is
+    // per-row scan-side work
+    "hash_sample_est" -> 1)
   // cms_topk_est / oph_minhash are eagerly checkpointed (cachedScope) —
   // cms's pre-checkpoint shape is pinned in Round13fOpsSpec; oph's tail
   // is two id-keyed joins + one pair agg over the nested graded pair set
