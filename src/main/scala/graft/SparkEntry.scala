@@ -127,6 +127,14 @@ object SparkEntry {
     // codegen interleave, deterministic universe-sample estimator.
     "zorder_audit" -> (Relational.zorderAudit _),
     "hash_sample_est" -> (Relational.hashSampleEst _),
+    // r13h: evaluation/privacy/candidate-generation faces — PR operating
+    // points, l-diversity, sorted-neighborhood dedup, sorted batching,
+    // source-concentration HHI.
+    "pr_curve" -> (DataOps.prCurve _),
+    "l_diversity" -> (DataOps.lDiversity _),
+    "snm_dedup" -> (DataOps.snmDedup _),
+    "bucketed_batching" -> (DataOps.bucketedBatching _),
+    "source_hhi" -> (DataOps.sourceHhi _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),

@@ -3302,6 +3302,173 @@ object DataOps {
     }
   }
 
+  private[graft] val PrThresholdStep = 50L
+  private[graft] val PrThresholds = 20
+
+  /** Precision–recall curve of the quality score against the Gopher
+    * gate — the operating-point table [[qualityAuc]]'s single scalar
+    * summarizes: at each of [[PrThresholds]] integer score thresholds
+    * (step [[PrThresholdStep]] per-mille), the predicted-positive
+    * count, true positives, and precision/recall in integer ppm
+    * (`NULL` precision where the threshold predicts nothing — both
+    * engines agree on the empty case). The pipeline use: pick the
+    * score cut for a target precision before a [[corpusSelect]] run.
+    *
+    * Scale shape: the corpus collapses to the ≤ 1001-row score
+    * histogram first (the quality_deciles discipline); thresholds ×
+    * histogram is a bounded broadcast join. Oracle NESTS both graded
+    * inputs verbatim (score- or gate-rule drift fails three entries).
+    */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val s = docQuality(spark, dir)
+      .filter(col("score_milli").isNotNull)
+      .select(col("doc_id"), col("score_milli"))
+    val g = gopherGates(spark, dir).select(col("doc_id"), col("kept").as("label"))
+    val h = s.join(g, "doc_id")
+      .groupBy(col("score_milli"))
+      .agg(count(lit(1)).as("cnt"), count(when(col("label"), 1)).as("npos"))
+    cachedScope(h) {
+      val tot = h.agg(sum(col("npos")).as("n_pos_tot"))
+      val thr = spark.range(0, PrThresholds)
+        .select((col("id") * PrThresholdStep).as("thr"))
+      thr.join(broadcast(h), col("score_milli") >= col("thr"), "left")
+        .groupBy(col("thr"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pred"),
+          coalesce(sum(col("npos")), lit(0L)).as("tp"))
+        .crossJoin(broadcast(tot))
+        .select(col("thr"), col("n_pred"), col("tp"),
+          expr("CASE WHEN n_pred > 0 THEN (1000000 * tp) div n_pred END")
+            .as("precision_ppm"),
+          expr("CASE WHEN n_pos_tot > 0 THEN (1000000 * tp) div n_pos_tot END")
+            .as("recall_ppm"))
+    }
+  }
+
+  private[graft] val LDiversityL = 3
+  private[graft] val LDivLenBucket = 256L
+
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2006) — the
+    * homogeneity-attack check [[kAnonymity]] cannot make: a
+    * quasi-identifier group can be large (k-anonymous) yet have every
+    * member share ONE sensitive value, so group membership reveals it.
+    * QI here is the (lang, length-bucket) release slice; the sensitive
+    * attribute is `source` (which crawl a doc came from — the mixture
+    * information a release may not want linkable). `l_distinct` is the
+    * group's distinct sensitive values; groups under [[LDiversityL]]
+    * are flagged. One partial-distinct aggregation on the QI tuple —
+    * the k_anonymity scale shape with a countDistinct.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"), expr(s"n_chars div $LDivLenBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("l_distinct"))
+      .withColumn("diverse", col("l_distinct") >= LDiversityL)
+
+  private[graft] val SnmKeyLen = 24
+  private[graft] val SnmWindow = 4
+
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1998)
+    * — the third candidate-generation family next to banded LSH
+    * ([[dedupMinhashLsh]]) and prefix-filtered postings
+    * ([[ngramJaccard]]): sort by a discriminating key (first
+    * [[SnmKeyLen]] chars), compare only docs within [[SnmWindow]]
+    * positions, verify exact Jaccard ≥ 0.8 on those candidates. SNM
+    * trades recall (a near-dup pair whose edit falls inside the key
+    * sorts apart — the documented multi-pass-key fix) for a candidate
+    * count LINEAR in the corpus with zero hashing: n·(w−1) pairs, full
+    * stop, under any skew — the property banded LSH cannot promise on
+    * a boilerplate-heavy corpus.
+    *
+    * Scale shape: ranks are windowed per key-prefix CELL (first 2 key
+    * chars), not globally — each cell sorts independently (cross-cell
+    * neighbors missed: the same boundary trade every blocked SNM
+    * makes); the window join is [[SnmWindow]]−1 rank-offset EQUI-joins,
+    * and verification touches candidates only.
+    */
+  def snmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val big = shingled(spark, dir)
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, SnmKeyLen).as("k"))
+      .withColumn("cell", substring(col("k"), 1, 2))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("cell"), col("rn"))
+    big.cache(); keyed.cache()
+    try {
+      val cand = (1 until SnmWindow).map { o =>
+        keyed.select(col("cell"), col("rn"), col("doc_id").as("doc_a"))
+          .join(keyed.select(col("cell"), (col("rn") - o).as("rn"),
+            col("doc_id").as("doc_b")), Seq("cell", "rn"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      }.reduce(_ unionByName _).distinct()
+      jaccardOnPairs(cand, big, threshold = 0.8).localCheckpoint(true)
+    } finally { big.unpersist(blocking = false); keyed.unpersist(blocking = false) }
+  }
+
+  private[graft] val BatchSize = 8
+
+  /** Length-bucketed training batches (sorted batching): within each
+    * (lang, shard) cell docs are ordered by token length DESC and
+    * grouped into fixed [[BatchSize]] batches; each batch reports its
+    * padding waste `n_docs·max − Σ` — the tokens a fixed-shape training
+    * step pads and throws away. Sorting by length first is the
+    * standard loader trick this measures: near-equal lengths per batch
+    * ⇒ near-zero padding (spec-pinned ≤ the doc_id-ordered baseline).
+    * The shard key (doc_id mod 32, the [[packSequences]] cell
+    * discipline) keeps every sort cell-local — no global corpus sort.
+    */
+  def bucketedBatching(spark: SparkSession, dir: String): DataFrame =
+    batchPadding(toks(spark, dir)
+      .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(32)).cast("long").as("shard")),
+      sortByLength = true)
+
+  /** The batching window on an explicit (doc_id, lang, n_tokens, shard)
+    * frame — ONE definition shared by the graded sorted form and the
+    * spec's natural-order baseline so the padding comparison cannot
+    * drift.
+    */
+  private[graft] def batchPadding(d: DataFrame, sortByLength: Boolean): DataFrame = {
+    val ord = if (sortByLength)
+      Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+    else
+      Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    d.withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("batch", expr(s"(rn - 1) div $BatchSize"))
+      .groupBy(col("lang"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
+  /** Source-concentration report (Herfindahl–Hirschman index): per
+    * language, how concentrated the corpus is over its sources — the
+    * mixture-diversity number a release dashboard tracks next to
+    * [[langSourceLift]]. Shares are ppm-QUANTIZED before squaring
+    * (`(10⁶·c) div N` — integer end to end, cross-engine exact, and
+    * immune to the BIGINT overflow a raw Σc² hits near 3·10⁹ docs);
+    * `eff_sources_milli` is the inverse-Simpson "effective number of
+    * sources" in milli-units. Two bounded aggregations: per-(lang,
+    * source) counts, then per-lang cells.
+    */
+  def sourceHhi(spark: SparkSession, dir: String): DataFrame = {
+    val c = docs(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val n = c.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_sources"))
+    c.join(broadcast(n), "lang")
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("(1000000 * c) div n_docs").as("share_ppm"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("n_sources")).as("n_sources"),
+        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+      .withColumn("eff_sources_milli",
+        expr("CASE WHEN hhi_ppm > 0 THEN 1000000000 div hhi_ppm END"))
+  }
+
   private val PackBudget = 2048
 
   /** Greedy token-budget sequence packing: docs stream in doc_id order
@@ -5990,6 +6157,90 @@ object DataOps {
         SELECT doc_a, doc_b, jaccard, n_used, n_match,
                (1000 * n_match) // n_used AS est_milli
         FROM m""",
+      // r13h: PR operating points — NESTS the graded score and gate
+      // rules; the corpus collapses to the score histogram first
+      "pr_curve" -> s"""
+        WITH q AS (${base("doc_quality")}),
+        g AS ($gopherGatesSql),
+        j AS (SELECT q.doc_id, q.score_milli, g.kept AS label
+              FROM q JOIN g ON g.doc_id = q.doc_id
+              WHERE q.score_milli IS NOT NULL),
+        h AS (SELECT score_milli, count(*)::BIGINT AS cnt,
+                count(*) FILTER (label)::BIGINT AS npos
+              FROM j GROUP BY 1),
+        tot AS (SELECT sum(npos)::BIGINT AS n_pos_tot FROM h),
+        t AS (SELECT (j * $PrThresholdStep)::BIGINT AS thr
+              FROM range(0, $PrThresholds) AS r(j)),
+        p AS (SELECT t.thr, coalesce(sum(h.cnt), 0)::BIGINT AS n_pred,
+                coalesce(sum(h.npos), 0)::BIGINT AS tp
+              FROM t LEFT JOIN h ON h.score_milli >= t.thr GROUP BY 1)
+        SELECT thr, n_pred, tp,
+               (CASE WHEN n_pred > 0
+                  THEN (1000000 * tp) // n_pred END)::BIGINT AS precision_ppm,
+               (CASE WHEN n_pos_tot > 0
+                  THEN (1000000 * tp) // n_pos_tot END)::BIGINT AS recall_ppm
+        FROM p CROSS JOIN tot""",
+      // r13h: distinct l-diversity over the (lang, len-bucket) QI with
+      // source as the sensitive attribute
+      "l_diversity" -> s"""
+        SELECT lang, n_chars // $LDivLenBucket AS len_bucket,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS l_distinct,
+               count(DISTINCT source) >= $LDiversityL AS diverse
+        FROM documents GROUP BY 1, 2""",
+      // r13h: sorted-neighborhood candidates (cell-local rank windows,
+      // the blocked-SNM rule) + the shared exact-Jaccard verification
+      "snm_dedup" -> s"""
+        WITH k AS (SELECT doc_id, substr(text, 1, $SnmKeyLen) AS k,
+                     substr(text, 1, 2) AS cell FROM documents),
+        r AS (SELECT doc_id, cell,
+                row_number() OVER (PARTITION BY cell ORDER BY k, doc_id) AS rn
+              FROM k),
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b
+                 FROM r a JOIN r b ON a.cell = b.cell
+                   AND b.rn > a.rn AND b.rn <= a.rn + ${SnmWindow - 1}),
+        toks3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx3 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                 FROM toks3 WHERE len(w) >= 3),
+        j AS (SELECT c.doc_a, c.doc_b,
+                len(list_intersect(sa.sh, sb.sh))::DOUBLE AS i,
+                (len(sa.sh) + len(sb.sh)) AS nn
+              FROM cand c JOIN shx3 sa ON sa.doc_id = c.doc_a
+              JOIN shx3 sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, round(i / (nn - i), 3) AS jaccard
+        FROM j WHERE round(i / (nn - i), 3) >= 0.8""",
+      // r13h: sorted batching — per-(lang, shard) length-DESC rank,
+      // fixed batches of $BatchSize, padding = n*max - sum
+      "bucketed_batching" -> s"""
+        WITH t AS (SELECT doc_id, lang,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     (doc_id % 32)::BIGINT AS shard FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang, shard
+                ORDER BY n_tokens DESC, doc_id) AS rn FROM t)
+        SELECT lang, shard, ((rn - 1) // $BatchSize)::BIGINT AS batch,
+               count(*)::BIGINT AS n_docs, max(n_tokens) AS max_tokens,
+               sum(n_tokens)::BIGINT AS sum_tokens,
+               (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS padding
+        FROM r GROUP BY 1, 2, 3""",
+      // r13h: HHI source concentration, ppm-quantized shares
+      "source_hhi" -> s"""
+        WITH c AS (SELECT lang, source, count(*)::BIGINT AS c
+                   FROM documents GROUP BY 1, 2),
+        n AS (SELECT lang, sum(c)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_sources FROM c GROUP BY 1),
+        s AS (SELECT c.lang, n.n_docs, n.n_sources,
+                (1000000 * c.c) // n.n_docs AS share_ppm
+              FROM c JOIN n ON n.lang = c.lang),
+        h AS (SELECT lang, max(n_docs) AS n_docs,
+                max(n_sources) AS n_sources,
+                (sum(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm
+              FROM s GROUP BY 1)
+        SELECT lang, n_docs, n_sources, hhi_ppm,
+               (CASE WHEN hhi_ppm > 0
+                  THEN 1000000000 // hhi_ppm END)::BIGINT AS eff_sources_milli
+        FROM h""",
       // r13: the WHICH-boilerplate face — materialized L-gram strings
       // grouped directly (the blowup form the Spark class ids avoid)
       "top_dup_substrings" -> s"""

@@ -190,7 +190,20 @@ class PlanBudgetSpec extends SparkSpec {
     "zorder_audit" -> 1,
     // one partial-aggregable per-type shuffle; the sample flag is
     // per-row scan-side work
-    "hash_sample_est" -> 1)
+    "hash_sample_est" -> 1,
+    // r13h: ONE partial-distinct aggregation on the QI tuple
+    "l_diversity" -> 2,
+    // the ONE corpus shuffle is the (lang, source) cell count; the
+    // per-lang totals, share join and final fold all move the bounded
+    // cell frame (alphabet x sources rows)
+    "source_hhi" -> 4,
+    // per-(lang, shard) rank window + the batch agg share one keying
+    "bucketed_batching" -> 2)
+  // pr_curve / snm_dedup are eagerly checkpointed (cachedScope /
+  // explicit localCheckpoint): pr_curve collapses the corpus to the
+  // score histogram then joins two bounded frames; snm_dedup's tail is
+  // the cell rank window + 3 rank-offset equi-joins + the candidate
+  // verification joins
   // cms_topk_est / oph_minhash are eagerly checkpointed (cachedScope) —
   // cms's pre-checkpoint shape is pinned in Round13fOpsSpec; oph's tail
   // is two id-keyed joins + one pair agg over the nested graded pair set
