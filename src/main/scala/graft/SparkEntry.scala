@@ -135,6 +135,11 @@ object SparkEntry {
     "snm_dedup" -> (DataOps.snmDedup _),
     "bucketed_batching" -> (DataOps.bucketedBatching _),
     "source_hhi" -> (DataOps.sourceHhi _),
+    // r13i: sketch-warehouse faces — the HLL cube's graded merge law,
+    // AMS join-size estimation from CMS registers, FD discovery audit.
+    "hll_sketch_cube" -> (RefOps.hllSketchCube _),
+    "cms_join_est" -> (RefOps.cmsJoinEst _),
+    "fd_audit" -> (Relational.fdAudit _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -610,6 +615,77 @@ object SparkEntry {
               (coalesce(sum(cents) FILTER (in_samp), 0) * 16)::BIGINT
                 AS cents_est
        FROM e GROUP BY 1""",
+    // r13i: the HLL cube — per-(day, type) registers max-merged across
+    // days; associativity makes this equal the direct sketch, and the
+    // oracle recomputes the partitioned path from scratch
+    "hll_sketch_cube" ->
+      s"""WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                  ($kmvHashSql) AS hb FROM events),
+         r AS (SELECT day, event_type, hb % 256 AS bucket,
+                 CASE WHEN hb // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(hb // 256)) END AS rho
+               FROM h),
+         daily AS (SELECT day, event_type, bucket, max(rho) AS r
+                   FROM r GROUP BY 1, 2, 3),
+         m AS (SELECT event_type, bucket, max(r)::BIGINT AS r
+               FROM daily GROUP BY 1, 2),
+         agg AS (SELECT event_type, count(*)::BIGINT AS m_used,
+                   sum(1::BIGINT << (53 - r))::BIGINT AS sum_used
+                 FROM m GROUP BY 1),
+         est AS (SELECT event_type, (256 - m_used)::BIGINT AS v_zero,
+                   (sum_used + (256 - m_used) * (1::BIGINT << 53))::BIGINT
+                     AS sum_pow
+                 FROM agg),
+         d AS (SELECT event_type,
+                 count(DISTINCT strftime(ts, '%Y-%m-%d'))::BIGINT AS n_days
+               FROM events GROUP BY 1)
+         SELECT d.event_type, d.n_days, e.v_zero, e.sum_pow,
+                round(${RefOps.HllAlphaScaled} / e.sum_pow, 2) AS est_raw
+         FROM est e JOIN d USING (event_type)""",
+    // r13i: join-size estimation, both classic sketches — Count-Min
+    // inner product (min over rows, one-sided) and the AMS Tug-of-War
+    // signed median (unbiased) — from one (type, user) histogram
+    "cms_join_est" -> {
+      val cmRows = (0 until RefOps.CmsJRows).map(j =>
+        s"""SELECT event_type, $j AS j,
+              ${hex15Sql(s"'cmsj:$j:' || user_id::VARCHAR")} % ${RefOps.CmsJWidth} AS b,
+              c FROM hist""").mkString(" UNION ALL ")
+      val amsRows = (0 until RefOps.AmsRows).map(j =>
+        s"""SELECT event_type, $j AS j,
+              ${hex15Sql(s"'amsb:$j:' || user_id::VARCHAR")} % ${RefOps.CmsJWidth} AS b,
+              ((${hex15Sql(s"'amss:$j:' || user_id::VARCHAR")} % 2) * 2 - 1) AS s,
+              c FROM hist""").mkString(" UNION ALL ")
+      s"""WITH hist AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+                     FROM events GROUP BY 1, 2),
+         cmbr AS ($cmRows),
+         cmregs AS (SELECT event_type, j, b, sum(c)::BIGINT AS reg
+                    FROM cmbr GROUP BY 1, 2, 3),
+         estcm AS (SELECT event_type, min(e)::BIGINT AS est_cm FROM
+                     (SELECT event_type, j, sum(reg * reg) AS e
+                      FROM cmregs GROUP BY 1, 2) GROUP BY 1),
+         amsbr AS ($amsRows),
+         amsregs AS (SELECT event_type, j, b, sum(c * s)::BIGINT AS reg
+                     FROM amsbr GROUP BY 1, 2, 3),
+         amse AS (SELECT event_type, j, sum(reg * reg)::BIGINT AS e
+                  FROM amsregs GROUP BY 1, 2),
+         amsm AS (SELECT event_type, e AS est_ams FROM
+                    (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY e, j) AS rn FROM amse)
+                  WHERE rn = ${(RefOps.AmsRows + 1) / 2}),
+         ex AS (SELECT event_type, sum(c * c)::BIGINT AS f2_exact
+                FROM hist GROUP BY 1)
+         SELECT ex.event_type, ex.f2_exact, estcm.est_cm, amsm.est_ams,
+                estcm.est_cm >= ex.f2_exact AS is_over
+         FROM ex JOIN estcm USING (event_type) JOIN amsm USING (event_type)"""
+    },
+    // r13i: FD audit — one partial-distinct aggregation per candidate
+    "fd_audit" -> Seq(("event_id", "user_id"), ("event_id", "event_type"),
+      ("user_id", "event_type")).map { case (l, r) =>
+      s"""SELECT '$l' AS lhs, '$r' AS rhs, count(*)::BIGINT AS n_groups,
+             count(*) FILTER (d > 1)::BIGINT AS n_violating,
+             count(*) FILTER (d > 1) = 0 AS holds
+          FROM (SELECT $l, count(DISTINCT $r) AS d FROM events GROUP BY 1)"""
+    }.mkString(" UNION ALL "),
     "sessionize" -> sessionizeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -3224,7 +3224,11 @@ object DataOps {
 
   /** The corpus token histogram the sketch summarizes. */
   private[graft] def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+    cmsTokenCountsOn(docs(spark, dir))
+
+  /** The histogram on an explicit documents frame (streaming face). */
+  private[graft] def cmsTokenCountsOn(docsDf: DataFrame): DataFrame =
+    toksOn(docsDf)
       .select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
 

@@ -487,17 +487,28 @@ object RefOps {
     * what makes this sketch maintainable per micro-batch and shippable
     * between clusters.
     */
-  private[graft] def hllRegistersOf(e: DataFrame): DataFrame = {
+  private[graft] def hllRegistersOf(e: DataFrame): DataFrame =
+    hllRegistersKeyed(e, Seq("event_type"))
+
+  /** The register build under arbitrary partition keys — the sketch-cube
+    * generalization ([[hllSketchCube]] adds a day key; max-merging the
+    * extra key away MUST reproduce the direct registers, which is the
+    * associativity law the cube grades).
+    */
+  private[graft] def hllRegistersKeyed(e: DataFrame,
+                                       keys: Seq[String]): DataFrame = {
     val m = 256L
-    e.select(col("event_type"),
+    val k = keys.map(col)
+    e.select(k :+
         conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("hb"))
-      .select(col("event_type"), pmod(col("hb"), lit(m)).as("bucket"),
-        expr("hb div 256").as("w"))
-      .select(col("event_type"), col("bucket"),
+          .cast("long").as("hb"): _*)
+      .select(k :+ pmod(col("hb"), lit(m)).as("bucket") :+
+        expr("hb div 256").as("w"): _*)
+      .select(k :+ col("bucket") :+
         when(col("w") === 0L, lit(53L))
-          .otherwise(lit(53L) - length(bin(col("w"))).cast("long")).as("rho"))
-      .groupBy(col("event_type"), col("bucket"))
+          .otherwise(lit(53L) - length(bin(col("w"))).cast("long"))
+          .as("rho"): _*)
+      .groupBy(k :+ col("bucket"): _*)
       .agg(max(col("rho")).as("r"))
   }
 
@@ -573,6 +584,106 @@ object RefOps {
         count(when(col("bloom_pass"), 1)).as("n_bloom_pass"),
         count(col("is_member")).as("n_member"))
       .crossJoin(broadcast(nBits))
+  }
+
+  /** HLL sketch cube: registers maintained per (day, event_type)
+    * partition — the layout a sketch warehouse stores so ANY day range
+    * can be estimated without touching events — then max-merged across
+    * days and derived with the shared [[hllFromRegisters]] half. Max is
+    * associative, commutative and idempotent, so the merged estimate
+    * MUST equal the direct whole-input sketch ([[hllDistinct]]): the
+    * oracle recomputes the partitioned+merged path from scratch and the
+    * spec pins cube = direct equality — the merge law graded
+    * cross-engine, not just asserted. `n_days` carries how many
+    * partitions the merge folded.
+    *
+    * Scale shape: one keyed register shuffle (now onto (day, type)
+    * cells), a merge over the bounded register frame, and the
+    * day-count distinct — events are scanned once per path.
+    */
+  def hllSketchCube(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val merged = hllRegistersKeyed(e, Seq("day", "event_type"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val days = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_days"))
+    days.join(hllFromRegisters(merged), Seq("event_type"))
+  }
+
+  private[graft] val CmsJRows = 4
+  private[graft] val CmsJWidth = 512L
+  private[graft] val AmsRows = 5
+
+  /** Join-size (self-join F2) estimation, the cardinality number a
+    * cost-based optimizer needs before shuffling a user-keyed join —
+    * BOTH classic sketches, graded side by side from the same (type,
+    * user) histogram:
+    *
+    *  - `est_cm`: Count-Min register inner product, min over
+    *    [[CmsJRows]] rows (Cormode & Muthukrishnan 2005 §4). ONE-SIDED
+    *    (collisions only ADD cross terms — `is_over` carries the
+    *    guarantee) but with additive error ~ F1²/w: on a FLAT histogram
+    *    (F1² ≫ w·F2 — exactly this corpus at sf1, where it lands ~20×
+    *    high) the bias dominates. Graded because the one-sidedness and
+    *    the bias are both definitional — this is the honest face of the
+    *    cheap sketch.
+    *  - `est_ams`: the AMS Tug-of-War estimate (Alon, Matias & Szegedy
+    *    1996) as a signed count-sketch: per row a ±1 md5 sign per user,
+    *    register = Σ s·c, estimate = Σ reg², MEDIAN over [[AmsRows]]
+    *    rows (odd, so the median is the 3rd order statistic — integer
+    *    and engine-exact). Unbiased with std ≈ F2·√(2/w) (~6% at
+    *    w = 512; ±25% spec-pinned), which is why the variance-optimal
+    *    estimator every CBO paper cites is the SIGNED one.
+    *
+    * At 100 TB the registers are the only thing two sides of a
+    * cross-cluster join exchange to size it. Scale shape: ONE corpus
+    * shuffle onto the (type, user) histogram; both sketch builds, the
+    * estimates and the exact fold all aggregate that keyed frame.
+    */
+  def cmsJoinEst(spark: SparkSession, dir: String): DataFrame = {
+    val hist = events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    def h60(salt: String): Column =
+      conv(substring(md5(concat(lit(salt),
+        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    hist.cache()
+    try {
+      val cmRegs = hist
+        .withColumn("u", explode(array((0 until CmsJRows).map { j =>
+          struct(lit(j.toLong).as("j"),
+            pmod(h60(s"cmsj:$j:"), lit(CmsJWidth)).as("b"))
+        }: _*)))
+        .groupBy(col("event_type"), col("u.j").as("j"), col("u.b").as("b"))
+        .agg(sum(col("c")).as("reg"))
+      val estCm = cmRegs
+        .groupBy(col("event_type"), col("j"))
+        .agg(sum(col("reg") * col("reg")).as("e"))
+        .groupBy(col("event_type")).agg(min(col("e")).as("est_cm"))
+      val amsRegs = hist
+        .withColumn("u", explode(array((0 until AmsRows).map { j =>
+          struct(lit(j.toLong).as("j"),
+            pmod(h60(s"amsb:$j:"), lit(CmsJWidth)).as("b"),
+            (pmod(h60(s"amss:$j:"), lit(2)) * 2 - 1).as("s"))
+        }: _*)))
+        .groupBy(col("event_type"), col("u.j").as("j"), col("u.b").as("b"))
+        .agg(sum(col("c") * col("u.s")).as("reg"))
+      val estAms = amsRegs
+        .groupBy(col("event_type"), col("j"))
+        .agg(sum(col("reg") * col("reg")).as("e"))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("event_type")).orderBy(col("e"), col("j"))))
+        .filter(col("rn") === (AmsRows + 1) / 2)
+        .select(col("event_type"), col("e").as("est_ams"))
+      hist.groupBy(col("event_type"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+        .join(estCm, Seq("event_type"))
+        .join(estAms, Seq("event_type"))
+        .withColumn("is_over", col("est_cm") >= col("f2_exact"))
+        .localCheckpoint(true)
+    } finally { hist.unpersist(blocking = false); () }
   }
 
   /** Data-quality expectations — the validation gate a production

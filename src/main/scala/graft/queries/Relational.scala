@@ -1798,6 +1798,31 @@ object Relational {
           col("max_y") < y1 || col("min_y") >= y2)
   }
 
+  /** Candidate functional-dependency audit — the data-profiling family
+    * (Papenbrock et al. 2015's FD-discovery benchmark suite) as a
+    * graded query: for each candidate `lhs → rhs`, the lhs group count
+    * and how many groups see MORE than one distinct rhs (violations);
+    * `holds` = zero violations. The candidates exercise both outcomes:
+    * the PK laws event_id → user_id / event_type (must hold — this IS
+    * the uniqueness check a pipeline runs before trusting a merge key)
+    * and the expected-to-fail control user_id → event_type. Each
+    * candidate is one partial-distinct aggregation collapsing to a
+    * single row; the union is 3 rows.
+    */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    def cand(lhs: String, rhs: String): DataFrame =
+      e.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("d"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("d") > 1, 1)).as("n_violating"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("n_violating"))
+        .withColumn("holds", col("n_violating") === 0L)
+    Seq(("event_id", "user_id"), ("event_id", "event_type"),
+      ("user_id", "event_type"))
+      .map { case (l, r) => cand(l, r) }.reduce(_ unionByName _)
+  }
+
   /** Hash-sample group estimator (the AQP/BlinkDB pattern): per event
     * type, exact count + exact integer-cents value sum next to ×16
     * extrapolations from the deterministic 1/16 universe sample

@@ -105,4 +105,22 @@ object StreamingMonitors {
         .groupBy(col("event_type"), col("bucket"))
         .agg(max(col("r")).as("r"))
         .localCheckpoint(true))
+
+  /** r13f: the streaming face of the graded Count-Min registers (N192)
+    * — the SUM-merge sibling of [[maintainHllRegisters]]: each
+    * micro-batch of documents lands its own ≤ 4×512 partial counters
+    * (the per-token hashing happens once at ingest), and the read-side
+    * merge adds cells — CMS's additive law, the same one the batch spec
+    * pins on a doubled input.
+    */
+  def maintainCmsRegisters(docsStream: DataFrame, statePath: String,
+                           checkpointDir: String): Unit =
+    maintainCells(docsStream, statePath, checkpointDir,
+      b => DataOps.cmsRegistersOf(DataOps.cmsTokenCountsOn(b)))
+
+  def cmsRegisters(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(col("rj"), col("rb"))
+      .agg(sum(col("reg")).as("reg"))
+      .localCheckpoint(true)
 }

@@ -198,7 +198,12 @@ class PlanBudgetSpec extends SparkSpec {
     // cell frame (alphabet x sources rows)
     "source_hhi" -> 4,
     // per-(lang, shard) rank window + the batch agg share one keying
-    "bucketed_batching" -> 2)
+    "bucketed_batching" -> 2,
+    // r13i: (day, type) register cells + the bounded max-merge + the
+    // derive fold + the day-count distinct pass + the type join
+    "hll_sketch_cube" -> 7,
+    // 3 candidates x (per-lhs distinct agg + the single-row fold)
+    "fd_audit" -> 12)
   // pr_curve / snm_dedup are eagerly checkpointed (cachedScope /
   // explicit localCheckpoint): pr_curve collapses the corpus to the
   // score histogram then joins two bounded frames; snm_dedup's tail is

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Relational, Tables}
+import graft.queries.{DataOps, Relational, Tables}
 import graft.streaming.StreamingMonitors
 
 /** The streaming faces of the r12 monitoring family (hourly_profile,
@@ -87,5 +87,15 @@ class StreamingMonitorsSpec extends SparkSpec {
       StreamingMonitors.maintainHllRegisters,
       StreamingMonitors.hllSketch(spark, _),
       graft.queries.RefOps.hllDistinctOn(Tables(spark, sf, "events")))
+  }
+
+  test("streaming cms registers equal the graded batch sketch (sum-merge)") {
+    // the SUM-merge sibling: interleaved document slices each count
+    // their own tokens into partial 4x512 counters; the re-summed cells
+    // must equal the whole-corpus registers exactly
+    drive(Tables(spark, sf, "documents"), "doc_id",
+      StreamingMonitors.maintainCmsRegisters,
+      StreamingMonitors.cmsRegisters(spark, _),
+      DataOps.cmsRegistersOf(DataOps.cmsTokenCounts(spark, sf)))
   }
 }
