@@ -140,6 +140,9 @@ object SparkEntry {
     "hll_sketch_cube" -> (RefOps.hllSketchCube _),
     "cms_join_est" -> (RefOps.cmsJoinEst _),
     "fd_audit" -> (Relational.fdAudit _),
+    // r13j: graph BFS over the shared host graph; Theil-Sen robust trend.
+    "bfs_hosts" -> (DataOps.bfsHosts _),
+    "theil_sen" -> (Relational.theilSen _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -686,6 +689,37 @@ object SparkEntry {
              count(*) FILTER (d > 1) = 0 AS holds
           FROM (SELECT $l, count(DISTINCT $r) AS d FROM events GROUP BY 1)"""
     }.mkString(" UNION ALL "),
+    // r13j: Theil-Sen — micro-quantized pairwise slopes over the
+    // bounded daily frame, lower-median order statistic, intercept as
+    // the median residual at the chosen slope
+    "theil_sen" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       p AS (SELECT a.event_type,
+               (1000000 * (b.n - a.n)) // (b.d - a.d) AS sm
+             FROM daily a JOIN daily b
+               ON b.event_type = a.event_type AND b.d > a.d),
+       m AS (SELECT event_type, sm AS slope_micro FROM
+               (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY sm) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS cnt FROM p)
+             WHERE rn = (cnt + 1) // 2),
+       ic AS (SELECT d.event_type,
+                (1000000 * d.n - m.slope_micro * d.d) AS b0
+              FROM daily d JOIN m ON m.event_type = d.event_type),
+       icm AS (SELECT event_type, b0 AS intercept_micro FROM
+                 (SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY b0) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS cnt FROM ic)
+               WHERE rn = (cnt + 1) // 2),
+       nd AS (SELECT event_type, count(*)::BIGINT AS n_days
+              FROM daily GROUP BY 1)
+       SELECT nd.event_type, nd.n_days,
+              ((nd.n_days * (nd.n_days - 1)) // 2)::BIGINT AS n_pairs,
+              m.slope_micro, icm.intercept_micro
+       FROM nd JOIN m USING (event_type) JOIN icm USING (event_type)""",
     "sessionize" -> sessionizeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

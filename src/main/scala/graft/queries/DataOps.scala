@@ -2133,7 +2133,13 @@ object DataOps {
     * feeding the integer seed is one driver-side scalar (bounded by the
     * host alphabet, the per-lang-totals justification).
     */
-  def hostRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic host graph shared by [[hostRank]] and [[bfsHosts]]:
+    * (nodes, edges) from the [[synthUrl]] ∘ canonicalize ∘ host chain —
+    * ONE construction (mirrored by the factored `hostGraphCtes` oracle
+    * SQL) so the PageRank and BFS faces cannot drift.
+    */
+  private[graft] def hostGraph(spark: SparkSession,
+                               dir: String): (DataFrame, DataFrame) = {
     val hx = docs(spark, dir).select(col("doc_id"),
       UrlOps.host(UrlOps.canonicalize(synthUrl(col("doc_id"), col("source"))))
         .as("host"))
@@ -2148,6 +2154,11 @@ object DataOps {
           === col("sidx"))
       .filter(col("host") =!= col("dst"))
       .select(col("host").as("src"), col("dst")).distinct()
+    (nodes, edges)
+  }
+
+  def hostRank(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = hostGraph(spark, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     cachedScope(edges, deg, nodes) {
       val n = nodes.count() // driver-side scalar, host-alphabet-bounded
@@ -2166,6 +2177,36 @@ object DataOps {
           .localCheckpoint(true)
       }
       ranks.select(col("host"), col("rank").as("rank_scaled"))
+    }
+  }
+
+  private[graft] val BfsRounds = 3
+
+  /** BFS hop distances over the host graph — the third graph face next
+    * to connected components (large/small-star) and PageRank: distance
+    * from the lexicographically-least host (a deterministic seed rule)
+    * within [[BfsRounds]] hops, NULL for hosts the frontier has not
+    * reached. Each round is one edges⋈frontier join + a min-fold —
+    * Pregel's message round as two shuffles over the HOST table (never
+    * corpus-sized) — and, like every iterative operator here, each
+    * round is eagerly checkpointed so the plan does not double per
+    * level. Oracle unrolls the rounds as CTEs over the SHARED factored
+    * host-graph SQL.
+    */
+  def bfsHosts(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = hostGraph(spark, dir)
+    cachedScope(nodes, edges) {
+      val seed = nodes.agg(min(col("host")).as("host"))
+        .withColumn("dist", lit(0L))
+      var dist = seed.localCheckpoint(true)
+      for (_ <- 1 to BfsRounds) {
+        dist = dist
+          .unionByName(dist.join(edges, col("host") === col("src"))
+            .select(col("dst").as("host"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("host")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      nodes.join(dist, Seq("host"), "left")
     }
   }
 
@@ -5451,6 +5492,21 @@ object DataOps {
     // [[hostRank]]'s full CTE chain (graph synthesis + unrolled integer
     // PageRank iterations), ending at r<iters> — shared verbatim by the
     // host_rank oracle and the host_cap_ranked composition.
+    // factored for nesting: bfs_hosts walks the SAME graph (graph-rule
+    // drift fails both entries)
+    val hostGraphCtes = s"""
+        WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
+        c AS (SELECT doc_id, $urlCanonSql AS url_canon FROM u),
+        hx AS (SELECT doc_id,
+                 regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
+               FROM c),
+        hmap AS (SELECT DISTINCT (doc_id % 20) AS sidx, host FROM hx),
+        nodes AS (SELECT DISTINCT host FROM hmap),
+        edges AS (SELECT DISTINCT a.host AS src, t.host AS dst
+                  FROM hx a JOIN hmap t
+                    ON t.sidx = ((a.doc_id % 20) * 3 + 1
+                      + ((a.doc_id // 20) % (1 + ((a.doc_id % 20) % 5)))) % 20
+                  WHERE a.host != t.host)"""
     val hostRankCtes = {
       val seed = s"($HostRankScale // (SELECT count(*) FROM nodes))"
       val reseed =
@@ -5465,19 +5521,7 @@ object DataOps {
              JOIN edges e ON e.src = r.host
              GROUP BY 1) c ON c.host = n.host)"""
       }.mkString(",\n")
-      s"""
-        WITH u AS (SELECT doc_id, $urlSynthSql AS url_raw FROM documents),
-        c AS (SELECT doc_id, $urlCanonSql AS url_canon FROM u),
-        hx AS (SELECT doc_id,
-                 regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
-               FROM c),
-        hmap AS (SELECT DISTINCT (doc_id % 20) AS sidx, host FROM hx),
-        nodes AS (SELECT DISTINCT host FROM hmap),
-        edges AS (SELECT DISTINCT a.host AS src, t.host AS dst
-                  FROM hx a JOIN hmap t
-                    ON t.sidx = ((a.doc_id % 20) * 3 + 1
-                      + ((a.doc_id // 20) % (1 + ((a.doc_id % 20) % 5)))) % 20
-                  WHERE a.host != t.host),
+      s"""$hostGraphCtes,
         deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
         r0 AS (SELECT host, ($seed)::BIGINT AS rank FROM nodes),
         $iters"""
@@ -6245,6 +6289,22 @@ object DataOps {
                (CASE WHEN hhi_ppm > 0
                   THEN 1000000000 // hhi_ppm END)::BIGINT AS eff_sources_milli
         FROM h""",
+      // r13j: BFS over the SHARED factored host graph, rounds unrolled
+      "bfs_hosts" -> {
+        val rounds = (1 to BfsRounds).map { k =>
+          s"""d$k AS (SELECT host, min(dist)::BIGINT AS dist FROM (
+               SELECT host, dist FROM d${k - 1}
+               UNION ALL
+               SELECT e.dst AS host, d.dist + 1 AS dist
+               FROM d${k - 1} d JOIN edges e ON e.src = d.host) GROUP BY 1)"""
+        }.mkString(",\n")
+        s"""$hostGraphCtes,
+           d0 AS (SELECT (SELECT min(host) FROM nodes) AS host,
+                    0::BIGINT AS dist),
+           $rounds
+           SELECT n.host, d.dist
+           FROM nodes n LEFT JOIN d$BfsRounds d ON d.host = n.host"""
+      },
       // r13: the WHICH-boilerplate face — materialized L-gram strings
       // grouped directly (the blowup form the Spark class ids avoid)
       "top_dup_substrings" -> s"""

@@ -1798,6 +1798,60 @@ object Relational {
           col("max_y") < y1 || col("min_y") >= y2)
   }
 
+  /** Theil–Sen robust trend of daily event volume per type — the
+    * median-of-pairwise-slopes estimator (Theil 1950, Sen 1968), the
+    * robust sibling of [[trendSlope]]'s exact-rational OLS: slopes are
+    * micro-quantized integers (`(10⁶·Δn) div Δd` — Spark `div` and
+    * DuckDB `//` both truncate toward zero, verified on negatives, so
+    * the quantization is engine-exact), the median is the
+    * `(cnt+1) div 2` order statistic, and the intercept is the median
+    * of `10⁶·n − slope·d` over days. Up to ~29% outlier days cannot
+    * move it — the property the spec pins by planting one.
+    *
+    * Scale shape: the corpus collapses to the bounded (type, day)
+    * frame first; the pairwise self-join and both median windows run
+    * over days² per type (~435 pairs for a month) regardless of corpus
+    * size.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOn(t(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The estimator on an explicit (event_type, d, n) daily frame — the
+    * spec's outlier-robustness test injects a corrupted day here.
+    */
+  private[graft] def theilSenOn(daily: DataFrame): DataFrame = {
+    daily.cache()
+    try {
+      val p = daily.as("a")
+        .join(daily.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+        .select(col("a.event_type").as("event_type"),
+          (col("b.n") - col("a.n")).as("dy"), (col("b.d") - col("a.d")).as("dx"))
+        .withColumn("sm", expr("(1000000 * dy) div dx"))
+      val byType = Window.partitionBy(col("event_type"))
+      def medianOf(d: DataFrame, c: String, as: String): DataFrame =
+        d.withColumn("rn", row_number().over(byType.orderBy(col(c))))
+          .withColumn("cnt", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col(c).as(as))
+      val slope = medianOf(p, "sm", "slope_micro")
+      val ic = medianOf(
+        daily.join(slope, "event_type")
+          .select(col("event_type"),
+            (lit(1000000L) * col("n") - col("slope_micro") * col("d")).as("b0")),
+        "b0", "intercept_micro")
+      daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+        .withColumn("n_pairs", expr("(n_days * (n_days - 1)) div 2"))
+        .join(slope, "event_type").join(ic, "event_type")
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
   /** Candidate functional-dependency audit — the data-profiling family
     * (Papenbrock et al. 2015's FD-discovery benchmark suite) as a
     * graded query: for each candidate `lhs → rhs`, the lhs group count

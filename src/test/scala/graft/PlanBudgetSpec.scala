@@ -204,6 +204,10 @@ class PlanBudgetSpec extends SparkSpec {
     "hll_sketch_cube" -> 7,
     // 3 candidates x (per-lhs distinct agg + the single-row fold)
     "fd_audit" -> 12)
+  // r13j: bfs_hosts / theil_sen are eagerly checkpointed — BFS is 2
+  // host-table shuffles per round (join + min-fold), checkpointed per
+  // round like every iterative operator; theil_sen's tail runs entirely
+  // over the bounded (type, day) frame (pair join + two median windows)
   // pr_curve / snm_dedup are eagerly checkpointed (cachedScope /
   // explicit localCheckpoint): pr_curve collapses the corpus to the
   // score histogram then joins two bounded frames; snm_dedup's tail is
