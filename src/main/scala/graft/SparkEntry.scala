@@ -143,6 +143,7 @@ object SparkEntry {
     // r13j: graph BFS over the shared host graph; Theil-Sen robust trend.
     "bfs_hosts" -> (DataOps.bfsHosts _),
     "theil_sen" -> (Relational.theilSen _),
+    "cusum_days" -> (Relational.cusumDays _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),
@@ -720,6 +721,25 @@ object SparkEntry {
               ((nd.n_days * (nd.n_days - 1)) // 2)::BIGINT AS n_pairs,
               m.slope_micro, icm.intercept_micro
        FROM nd JOIN m USING (event_type) JOIN icm USING (event_type)""",
+    // r13k: CUSUM — micro-quantized mean, exact BIGINT running sum,
+    // deterministic (|S| DESC, day) peak rank
+    "cusum_days" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       mu AS (SELECT event_type,
+                (1000000 * sum(n)) // count(*) AS mu_micro
+              FROM daily GROUP BY 1),
+       s AS (SELECT d.event_type, d.d, d.n,
+               sum(1000000 * d.n - m.mu_micro) OVER (
+                 PARTITION BY d.event_type ORDER BY d.d
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS s_micro
+             FROM daily d JOIN mu m ON m.event_type = d.event_type)
+       SELECT event_type, d, n, s_micro,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(s_micro) DESC, d) = 1 AS is_peak
+       FROM s""",
     "sessionize" -> sessionizeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

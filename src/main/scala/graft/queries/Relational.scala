@@ -1852,6 +1852,47 @@ object Relational {
     } finally { daily.unpersist(blocking = false); () }
   }
 
+  /** CUSUM change-point scan (Page 1954) over daily event volume — the
+    * drift detector next to [[anomalousDays]]' point-outlier MAD gate:
+    * a level SHIFT spreads small deviations over many days (no single
+    * day trips a MAD fence), but their running sum drifts, and the day
+    * where |S_d| peaks is the classic change-point estimate. All
+    * integer: the per-type mean is micro-quantized
+    * (`(10⁶·total) div n_days`), S_d = Σ (10⁶·n − μ) is an exact
+    * BIGINT, and the peak row is a deterministic (|S| DESC, day) rank.
+    * Output is the full bounded series with `is_peak` marking the
+    * estimated change day.
+    *
+    * Scale shape: the corpus collapses to the (type, day) frame first;
+    * the cumsum window, the 1-row-per-type mean broadcast, and the
+    * peak rank all ride one event_type partitioning.
+    */
+  def cusumDays(spark: SparkSession, dir: String): DataFrame =
+    cusumDaysOn(t(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The scan on an explicit (event_type, d, n) daily frame — the
+    * spec's planted-level-shift test drives it directly.
+    */
+  private[graft] def cusumDaysOn(daily: DataFrame): DataFrame = {
+    val mu = daily.groupBy(col("event_type"))
+      .agg(expr("(1000000 * sum(n)) div count(*)").as("mu_micro"))
+    val byType = Window.partitionBy(col("event_type"))
+    daily.join(broadcast(mu), "event_type")
+      .withColumn("s_micro",
+        sum(lit(1000000L) * col("n") - col("mu_micro"))
+          .over(byType.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("is_peak",
+        row_number().over(byType.orderBy(abs(col("s_micro")).desc, col("d"))) === 1)
+      .select(col("event_type"), col("d"), col("n"), col("s_micro"),
+        col("is_peak"))
+  }
+
   /** Candidate functional-dependency audit — the data-profiling family
     * (Papenbrock et al. 2015's FD-discovery benchmark suite) as a
     * graded query: for each candidate `lhs → rhs`, the lhs group count

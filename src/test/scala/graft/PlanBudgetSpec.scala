@@ -203,7 +203,10 @@ class PlanBudgetSpec extends SparkSpec {
     // derive fold + the day-count distinct pass + the type join
     "hll_sketch_cube" -> 7,
     // 3 candidates x (per-lhs distinct agg + the single-row fold)
-    "fd_audit" -> 12)
+    "fd_audit" -> 12,
+    // r13k: the (type, day) collapse + the mean broadcast; cumsum and
+    // peak windows ride the one event_type partitioning
+    "cusum_days" -> 4)
   // r13j: bfs_hosts / theil_sen are eagerly checkpointed — BFS is 2
   // host-table shuffles per round (join + min-fold), checkpointed per
   // round like every iterative operator; theil_sen's tail runs entirely
