@@ -144,6 +144,10 @@ object SparkEntry {
     "bfs_hosts" -> (DataOps.bfsHosts _),
     "theil_sen" -> (Relational.theilSen _),
     "cusum_days" -> (Relational.cusumDays _),
+    // r13l: the second stateless router (consistent-hash ring) and the
+    // integer ±1 random projection over the quantized embeddings.
+    "ring_shards" -> (DataOps.ringShards _),
+    "rand_projection" -> (DataOps.randProjection _),
     "edit_distance_block" -> (DataOps.editDistanceBlock _),
     "k_anonymity" -> (DataOps.kAnonymity _),
     "corpus_manifest" -> (DataOps.corpusManifest _),

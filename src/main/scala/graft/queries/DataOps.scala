@@ -3514,6 +3514,88 @@ object DataOps {
         expr("CASE WHEN hhi_ppm > 0 THEN 1000000000 div hhi_ppm END"))
   }
 
+  private def md5hex60(s: String): Long =
+    java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+
+  private[graft] val RingShardsN = 16
+  private[graft] val RingVnodes = 8
+
+  /** The ring: [[RingVnodes]] md5 points per shard, ascending. Computed
+    * ONCE in Scala and shared verbatim by the Spark literal array and
+    * the interpolated oracle VALUES — one definition, no drift.
+    */
+  private[graft] def ringPoints(n: Int): Seq[(Long, Int)] =
+    (for (s <- 0 until n; v <- 0 until RingVnodes)
+      yield (md5hex60(s"ring:$s:$v"), s)).sortBy(_._1)
+
+  /** Consistent-hash ring router (Karger et al. 1997) — the OTHER
+    * stateless placement next to [[rendezvousShards]]' HRW argmax:
+    * each shard owns [[RingVnodes]] md5 points on a 2⁶⁰ ring and a doc
+    * goes to the first point at or clockwise of its own hash. Like HRW
+    * the assignment is MAP-ONLY (a filter+min over a 128-literal
+    * array — no shuffle, no lookup service), but the ring adds the
+    * knob HRW lacks: per-shard WEIGHT via vnode count, at the price of
+    * vnode-granular balance (HRW is per-doc uniform). The defining
+    * minimal-movement property — adding shard 17's vnodes moves ONLY
+    * docs whose arc those points split, all of them TO the new shard —
+    * is spec-pinned on the 16→17 transition. Graded occupancy report =
+    * one bounded shuffle onto ≤ 16 cells.
+    */
+  def ringShards(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        ringAssignExpr(col("doc_id"), RingShardsN).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  private[graft] def ringAssignExpr(docId: Column, n: Int): Column = {
+    val ringArr = array(ringPoints(n).map { case (p, s) =>
+      struct(lit(p).as("pos"), lit(s.toLong).as("shard"))
+    }: _*)
+    val h = conv(substring(md5(concat(lit("ringdoc:"),
+      docId.cast("string"))), 1, 15), 16, 10).cast("long")
+    coalesce(
+      array_min(filter(ringArr, p => p.getField("pos") >= h)),
+      array_min(ringArr)).getField("shard")
+  }
+
+  private[graft] val ProjK = 16
+  private[graft] val ProjDims = 64
+
+  /** The ±1 projection matrix (database-friendly random projections,
+    * Achlioptas 2003), md5-derived once in Scala and shared verbatim
+    * by the Spark literal sign vectors and the oracle's VALUES table.
+    */
+  private[graft] val ProjSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until ProjK).map { k =>
+      (0 until ProjDims).map { d =>
+        (md5hex60(s"proj:$k:$d") % 2).toInt * 2 - 1
+      }
+    }
+
+  /** Random projection of the int8-quantized embeddings onto
+    * [[ProjK]] ±1 directions — dimensionality reduction with EXACT
+    * integer arithmetic: each coordinate is an [[graft.funcs.Int8Dot]]
+    * of the stored codes against a CONSTANT sign vector, so the whole
+    * 64→16 reduction is map-only native codegen (zero shuffles before
+    * the output explode) and the graded values are exact BIGINTs —
+    * no float matrix anywhere. This is the JL-sketch a 100 TB vector
+    * store uses to cut ANN index memory 4×; E[‖proj‖²] = k·‖x‖²
+    * (sign variance 1) is spec-pinned as the norm-preservation law.
+    */
+  def randProjection(spark: SparkSession, dir: String): DataFrame = {
+    val projs = (0 until ProjK).map { k =>
+      val signs = array(ProjSigns(k).map(s => lit(s.toByte)): _*)
+      struct(lit(k.toLong).as("k"),
+        graft.funcs.Int8Dot(col("q8"), signs).as("proj"))
+    }
+    quantizeEmbeddings(spark, dir).select(col("vec_id"), col("q8"))
+      .select(col("vec_id"), explode(array(projs: _*)).as("u"))
+      .select(col("vec_id"), col("u.k").as("k"), col("u.proj").as("proj"))
+  }
+
   private val PackBudget = 2048
 
   /** Greedy token-budget sequence packing: docs stream in doc_id order
@@ -6289,6 +6371,38 @@ object DataOps {
                (CASE WHEN hhi_ppm > 0
                   THEN 1000000000 // hhi_ppm END)::BIGINT AS eff_sources_milli
         FROM h""",
+      // r13l: consistent-hash ring — the Scala-computed ring points
+      // interpolated as ONE shared VALUES table
+      "ring_shards" -> {
+        val vals = ringPoints(RingShardsN)
+          .map { case (p, s) => s"($p, $s)" }.mkString(", ")
+        s"""WITH ring(pos, shard) AS (SELECT * FROM (VALUES $vals)),
+           a AS (SELECT doc_id,
+                   ${hex15("'ringdoc:' || doc_id::VARCHAR")} AS h
+                 FROM documents),
+           sel AS (SELECT a.doc_id,
+                     coalesce(min(r.pos) FILTER (r.pos >= a.h),
+                       (SELECT min(pos) FROM ring)) AS tp
+                   FROM a CROSS JOIN ring r GROUP BY a.doc_id, a.h),
+           asg AS (SELECT s.doc_id, r.shard FROM sel s
+                   JOIN ring r ON r.pos = s.tp)
+           SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+                  min(doc_id)::BIGINT AS min_doc,
+                  max(doc_id)::BIGINT AS max_doc
+           FROM asg GROUP BY 1"""
+      },
+      // r13l: ±1 random projection — the Scala-computed sign matrix as
+      // a shared VALUES table over the NESTED graded int8 codes
+      "rand_projection" -> {
+        val signVals = (for (k <- 0 until ProjK; d <- 0 until ProjDims)
+          yield s"($k, $d, ${ProjSigns(k)(d)})").mkString(", ")
+        s"""WITH codes AS (${base("int8_codes")}),
+           signs(k, pos, s) AS (SELECT * FROM (VALUES $signVals))
+           SELECT c.vec_id, s.k::BIGINT AS k,
+                  sum(c.code * s.s)::BIGINT AS proj
+           FROM codes c JOIN signs s ON s.pos = c.pos
+           GROUP BY 1, 2"""
+      },
       // r13j: BFS over the SHARED factored host graph, rounds unrolled
       "bfs_hosts" -> {
         val rounds = (1 to BfsRounds).map { k =>

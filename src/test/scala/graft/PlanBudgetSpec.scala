@@ -206,7 +206,13 @@ class PlanBudgetSpec extends SparkSpec {
     "fd_audit" -> 12,
     // r13k: the (type, day) collapse + the mean broadcast; cumsum and
     // peak windows ride the one event_type partitioning
-    "cusum_days" -> 4)
+    "cusum_days" -> 4,
+    // r13l: assignment is a MAP-ONLY filter+min over the 128-literal
+    // ring; the report is one bounded shuffle onto <= 16 cells
+    "ring_shards" -> 1,
+    // map-only native Int8Dot against 16 constant sign vectors — the
+    // explode is scan-side, NO shuffle at all
+    "rand_projection" -> 0)
   // r13j: bfs_hosts / theil_sen are eagerly checkpointed — BFS is 2
   // host-table shuffles per round (join + min-fold), checkpointed per
   // round like every iterative operator; theil_sen's tail runs entirely
