@@ -144,6 +144,12 @@ object SparkEntry {
     "bfs_hosts" -> (DataOps.bfsHosts _),
     "theil_sen" -> (Relational.theilSen _),
     "cusum_days" -> (Relational.cusumDays _),
+    "mann_kendall" -> (Relational.mannKendall _),
+    "equi_depth_hist" -> (Relational.equiDepthHist _),
+    "source_gini" -> (DataOps.sourceGini _),
+    "rank_sum" -> (DataOps.rankSumLengths _),
+    "kn_continuation" -> (DataOps.knContinuation _),
+    "exact_allocation" -> (DataOps.exactAllocation _),
     // r13l: the second stateless router (consistent-hash ring) and the
     // integer ±1 random projection over the quantized embeddings.
     "ring_shards" -> (DataOps.ringShards _),
@@ -725,6 +731,40 @@ object SparkEntry {
               ((nd.n_days * (nd.n_days - 1)) // 2)::BIGINT AS n_pairs,
               m.slope_micro, icm.intercept_micro
        FROM nd JOIN m USING (event_type) JOIN icm USING (event_type)""",
+    // r13m: Mann-Kendall — integer sign pairs over the bounded daily
+    // frame, the significance companion to theil_sen's slope
+    "mann_kendall" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       p AS (SELECT a.event_type,
+               CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+                    ELSE 0 END AS sgn
+             FROM daily a JOIN daily b
+               ON b.event_type = a.event_type AND b.d > a.d)
+       SELECT event_type, count(*)::BIGINT AS n_pairs,
+              sum(sgn)::BIGINT AS s_stat,
+              (count(*) FILTER (sgn = 1))::BIGINT AS n_concordant,
+              (count(*) FILTER (sgn = -1))::BIGINT AS n_discordant,
+              (count(*) FILTER (sgn = 0))::BIGINT AS n_tied,
+              CASE WHEN sum(sgn) > 0 THEN 'inc'
+                   WHEN sum(sgn) < 0 THEN 'dec' ELSE 'none' END AS trend
+       FROM p GROUP BY 1""",
+    // r13m: equi-depth histogram — value-granular bucket assignment
+    // over the domain-bounded whole-dollar histogram
+    "equi_depth_hist" -> """
+       WITH h AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS dollar,
+                    count(*)::BIGINT AS c
+                  FROM orders GROUP BY 1),
+       cum AS (SELECT dollar, c,
+                 (sum(c) OVER (ORDER BY dollar))::BIGINT AS cm,
+                 (SELECT sum(c) FROM h)::BIGINT AS n FROM h),
+       b AS (SELECT ((cm - 1)*16) // n + 1 AS bucket, dollar, c FROM cum)
+       SELECT bucket::BIGINT AS bucket, sum(c)::BIGINT AS n_rows,
+              min(dollar) AS lo_dollar, max(dollar) AS hi_dollar,
+              count(*)::BIGINT AS n_distinct
+       FROM b GROUP BY 1""",
     // r13k: CUSUM — micro-quantized mean, exact BIGINT running sum,
     // deterministic (|S| DESC, day) peak rank
     "cusum_days" -> """

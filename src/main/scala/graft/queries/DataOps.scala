@@ -3514,6 +3514,139 @@ object DataOps {
         expr("CASE WHEN hhi_ppm > 0 THEN 1000000000 div hhi_ppm END"))
   }
 
+  /** Gini coefficient of per-source doc-count concentration per
+    * language — the Lorenz-curve face next to [[sourceHhi]]'s
+    * sum-of-squares (the two disagree exactly when the tail shape
+    * matters: HHI is dominated by the largest shares, Gini weighs the
+    * whole ranking). Computed by the sorted-cumulative identity
+    * G = (2·Σ i·cᵢ − (n+1)·T) / (n·T) over counts ranked ascending,
+    * ppm-quantized with integer `div` — engine-exact, and invariant to
+    * the tie-break order (equal counts contribute c·Σi over a fixed
+    * position set regardless of which gets which rank; the
+    * (c, source) ordering pins determinism anyway).
+    *
+    * Scale shape: one corpus shuffle onto (lang, source) cells;
+    * ranking and the fold move only the bounded cell frame.
+    */
+  def sourceGini(spark: SparkSession, dir: String): DataFrame =
+    sourceGiniOn(docs(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c")))
+
+  /** The coefficient on an explicit (lang, source, c) cell frame — the
+    * spec's single-source and uniform extremes drive it directly.
+    */
+  private[graft] def sourceGiniOn(cells: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("i", row_number().over(
+        byLang.orderBy(col("c"), col("source"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("t", sum(col("c")).over(byLang))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_sources"), max(col("t")).as("n_docs"),
+        expr("(1000000 * (2 * sum(i * c) - (max(n) + 1) * max(t)))" +
+          " div (max(n) * max(t))").as("gini_ppm"))
+  }
+
+  /** Mann–Whitney rank-sum statistic of document length per language
+    * against the pooled corpus — the distribution-shift test an eval
+    * pipeline runs before blaming a sampler ("are de docs LONGER than
+    * the corpus, or just different?"). Ranks are kept integer by the
+    * DOUBLED-rank trick: a tie group of size g starting at min-rank r
+    * has average rank r + (g−1)/2, so twice it — 2r + g − 1 — is an
+    * exact BIGINT; `r2x` is the doubled rank sum and
+    * `u2x = r2x − n(n+1)` the doubled Mann–Whitney U, both
+    * engine-exact.
+    *
+    * Scale shape: NO global sort — the pooled ranking folds the
+    * (n_chars → count) histogram (bounded by the length domain, not
+    * the corpus) with a cumulative window, and per-language sums come
+    * from broadcasting that histogram onto the (lang, n_chars) cells.
+    * The oracle's window-rank form is the same statistic.
+    */
+  def rankSumLengths(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("lang"), col("n_chars"))
+    val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("g"))
+      .withColumn("below", coalesce(sum(col("g")).over(
+        Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_chars"),
+        (lit(2L) * col("below") + col("g") + lit(1L)).as("dr"))
+    d.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cl"))
+      .join(broadcast(hist), "n_chars")
+      .groupBy(col("lang"))
+      .agg(sum(col("cl")).as("n"), sum(col("cl") * col("dr")).as("r2x"))
+      .withColumn("u2x", col("r2x") - col("n") * (col("n") + 1))
+  }
+
+  /** Kneser–Ney continuation counts (Kneser & Ney 1995) — the trained
+    * state the KN-smoothed LM family uses where [[sbNgramCounts]]
+    * stores raw occurrence counts: per word, the number of DISTINCT
+    * left contexts it follows (`left_cont` = N₁₊(·w) — "how many ways
+    * can this word continue a phrase", the quantity that famously
+    * demotes "Francisco") and distinct right contexts (N₁₊(w·), the
+    * lower-order normalizer), plus the KN unigram probability
+    * ppm-quantized against the total distinct-bigram count.
+    *
+    * Scale shape: one distinct-aggregation collapses the corpus to the
+    * distinct-bigram frame — bounded by language, not corpus (the
+    * Brants et al. broadcast argument shared with [[docRarity]]) — and
+    * both folds plus the word-level join move only that frame.
+    */
+  def knContinuation(spark: SparkSession, dir: String): DataFrame = {
+    val sp = toks(spark, dir).select(explode(expr(
+        """CASE WHEN size(w) >= 2
+           THEN transform(sequence(0, size(w) - 2),
+                  i -> named_struct('w1', element_at(w, i + 1),
+                                    'w2', element_at(w, i + 2)))
+           ELSE array() END""")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")).distinct()
+    cachedScope(sp) {
+      val tot = sp.agg(count(lit(1)).as("nd"))
+      val l = sp.groupBy(col("w2")).agg(count(lit(1)).as("left_cont"))
+        .withColumnRenamed("w2", "word")
+      val r = sp.groupBy(col("w1")).agg(count(lit(1)).as("right_cont"))
+        .withColumnRenamed("w1", "word")
+      l.join(broadcast(r), Seq("word"), "left")
+        .na.fill(0L, Seq("right_cont"))
+        .crossJoin(broadcast(tot))
+        .select(col("word"), col("left_cont"), col("right_cont"),
+          expr("(1000000 * left_cont) div nd").as("p_cont_ppm"))
+    }
+  }
+
+  private[graft] val AllocK = 997
+
+  /** Largest-remainder (Hamilton) exact sample allocation — the
+    * deterministic-COUNT face of stratified sampling: where
+    * [[stratifiedSample]] draws each doc independently (per-stratum
+    * counts are only correct in expectation), this apportions EXACTLY
+    * [[AllocK]] slots across languages proportional to their doc
+    * counts: base = ⌊K·n/T⌋ per stratum, and the K − Σbase leftover
+    * seats go to the largest remainders (ties by lang). Every stratum
+    * lands within one slot of its exact quota and the total is exactly
+    * K — the property the spec pins. K is prime so the remainder path
+    * is exercised even on round corpus sizes.
+    *
+    * Scale shape: one partial-aggregable count shuffle; everything
+    * after moves the ≤ |langs| cell frame.
+    */
+  def exactAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val c = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("tot"))
+    val b = c.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($AllocK * n) div tot"))
+      .withColumn("rem", expr(s"($AllocK * n) % tot"))
+    val sb = b.agg(sum(col("base")).as("sb"))
+    b.crossJoin(broadcast(sb))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("extra",
+        when(col("rk") <= lit(AllocK.toLong) - col("sb"), 1L).otherwise(0L))
+      .select(col("lang"), col("n").as("n_docs"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("alloc"))
+  }
+
   private def md5hex60(s: String): Long =
     java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
@@ -6115,6 +6248,63 @@ object DataOps {
                    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram
           FROM (SELECT string_split(text, ' ') AS w FROM documents))
         GROUP BY 2""").mkString(" UNION ALL "),
+      // Kneser-Ney continuation counts: distinct-bigram frame, per-word
+      // distinct left/right context counts, ppm-quantized KN unigram
+      "kn_continuation" -> """
+        WITH sp AS (SELECT DISTINCT string_split(gram, ' ')[1] AS w1,
+                      string_split(gram, ' ')[2] AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])) AS gram
+            FROM (SELECT string_split(text, ' ') AS w FROM documents))),
+        tot AS (SELECT count(*)::BIGINT AS nd FROM sp),
+        l AS (SELECT w2 AS word, count(*)::BIGINT AS left_cont
+              FROM sp GROUP BY 1),
+        r AS (SELECT w1 AS word, count(*)::BIGINT AS right_cont
+              FROM sp GROUP BY 1)
+        SELECT l.word, l.left_cont,
+               coalesce(r.right_cont, 0)::BIGINT AS right_cont,
+               ((1000000 * l.left_cont) // tot.nd)::BIGINT AS p_cont_ppm
+        FROM l LEFT JOIN r ON r.word = l.word CROSS JOIN tot""",
+      // Gini concentration: sorted-cumulative identity over (lang,
+      // source) cells, ppm-quantized integer div
+      "source_gini" -> """
+        WITH c AS (SELECT lang, source, count(*)::BIGINT AS c
+                   FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, c,
+                row_number() OVER (PARTITION BY lang ORDER BY c, source) AS i,
+                count(*) OVER (PARTITION BY lang) AS n,
+                sum(c) OVER (PARTITION BY lang) AS t FROM c)
+        SELECT lang, max(n)::BIGINT AS n_sources, max(t)::BIGINT AS n_docs,
+               ((1000000 * (2*sum(i*c) - (max(n)+1)*max(t)))
+                 // (max(n)*max(t)))::BIGINT AS gini_ppm
+        FROM r GROUP BY 1""",
+      // Mann-Whitney rank-sum: doubled ranks (2*min_rank + tie_size - 1)
+      // keep tie-averaged ranks integer; u2x = r2x - n(n+1)
+      "rank_sum" -> """
+        WITH rk AS (SELECT lang,
+               2*rank() OVER (ORDER BY n_chars)
+                 + count(*) OVER (PARTITION BY n_chars) - 1 AS dr
+             FROM documents)
+        SELECT lang, count(*)::BIGINT AS n, sum(dr)::BIGINT AS r2x,
+               (sum(dr) - count(*)*(count(*)+1))::BIGINT AS u2x
+        FROM rk GROUP BY 1""",
+      // Largest-remainder allocation: base floor quotas + remainder-ranked
+      // extra seats summing to exactly AllocK
+      "exact_allocation" -> s"""
+        WITH c AS (SELECT lang, count(*)::BIGINT AS n
+                   FROM documents GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+        b AS (SELECT lang, n, ($AllocK*n) // tot AS base,
+                ($AllocK*n) % tot AS rem FROM c CROSS JOIN t),
+        s AS (SELECT sum(base)::BIGINT AS sb FROM b),
+        r AS (SELECT lang, n, base, rem,
+                row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b)
+        SELECT r.lang, r.n AS n_docs, r.base::BIGINT AS base,
+               (CASE WHEN r.rk <= ($AllocK - s.sb) THEN 1 ELSE 0 END)::BIGINT
+                 AS extra,
+               (r.base + CASE WHEN r.rk <= ($AllocK - s.sb) THEN 1 ELSE 0 END)
+                 ::BIGINT AS alloc
+        FROM r CROSS JOIN s""",
       // host-graph PageRank: the same fixed iterations the Spark loop
       // runs, unrolled as chained CTEs (rK from rK-1); pure BIGINT mass
       // so both engines agree bit-for-bit. The CTE chain is shared with

@@ -1946,4 +1946,84 @@ object Relational {
         (count(when(col("in_samp"), 1)) * 16).as("n_est"),
         (coalesce(sum(when(col("in_samp"), col("cents"))), lit(0L)) * 16)
           .as("cents_est"))
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) over daily event
+    * volume per type — the nonparametric significance companion to
+    * [[theilSen]]'s slope estimate (the two are the classic pairing:
+    * M-K says WHETHER a monotone trend exists, Theil–Sen says how
+    * steep): S = Σ_{i<j} sign(n_j − n_i) over day pairs, with the
+    * concordant/discordant/tied split that S summarizes. All integer —
+    * sign, counts and S are exact BIGINTs, so the cross-engine hash is
+    * definitionally stable; `trend` is the sign of S.
+    *
+    * Scale shape: identical to [[theilSen]] — the corpus collapses to
+    * the bounded (type, day) frame before the days²/2 pair join, so
+    * the pair count is ~435 for a month of days regardless of corpus
+    * size, and the two operators can share one daily materialization
+    * in a composed pipeline.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOn(t(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The test on an explicit (event_type, d, n) daily frame — the
+    * spec's planted-monotone-series law drives it directly.
+    */
+  private[graft] def mannKendallOn(daily: DataFrame): DataFrame = {
+    daily.cache()
+    try {
+      daily.as("a")
+        .join(daily.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+        .select(col("a.event_type").as("event_type"),
+          signum(col("b.n") - col("a.n")).cast("long").as("sgn"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("sgn")).as("s_stat"),
+          count(when(col("sgn") === 1, 1)).as("n_concordant"),
+          count(when(col("sgn") === -1, 1)).as("n_discordant"),
+          count(when(col("sgn") === 0, 1)).as("n_tied"))
+        .withColumn("trend",
+          when(col("s_stat") > 0, "inc").when(col("s_stat") < 0, "dec")
+            .otherwise("none"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
+  /** Equi-depth histogram of order totals — the CBO statistics face
+    * next to [[fdAudit]] and the sketch join-size estimators: 16
+    * buckets of (count, lo, hi, ndv) over whole-dollar order totals,
+    * the structure an optimizer consults for selectivity. Depth is
+    * assigned at VALUE granularity (a tied value never splits across
+    * buckets): with cum(v) the running count through value v, the
+    * whole group lands in bucket `((cum−1)·16) div N + 1` — all
+    * integer, so bucket membership is engine-exact with no ntile
+    * order-dependence on ties.
+    *
+    * Scale shape: the corpus collapses to the (dollar → count)
+    * histogram first — bounded by the VALUE DOMAIN (~450k cells for
+    * TPC-H totals), not the row count, the [[graft.queries.DataOps]]
+    * quality-deciles argument — and the single-partition cumulative
+    * window plus the final 16-cell fold run on that bounded frame.
+    * At 100 TB the histogram is the same ~450k cells.
+    */
+  def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val h = t(spark, dir, "orders")
+      .select(floor(col("o_totalprice")).cast("long").as("dollar"))
+      .groupBy(col("dollar")).agg(count(lit(1)).as("c"))
+    val tot = h.agg(sum(col("c")).as("n"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("cm", sum(col("c")).over(Window.orderBy(col("dollar"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bucket", expr("((cm - 1) * 16) div n + 1"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("dollar")).as("lo_dollar"),
+        max(col("dollar")).as("hi_dollar"),
+        count(lit(1)).as("n_distinct"))
+  }
 }
