@@ -146,6 +146,10 @@ object SparkEntry {
     "cusum_days" -> (Relational.cusumDays _),
     "mann_kendall" -> (Relational.mannKendall _),
     "equi_depth_hist" -> (Relational.equiDepthHist _),
+    "benford_audit" -> (Relational.benfordAudit _),
+    "jaccard_days" -> (Relational.jaccardDays _),
+    "ks_test" -> (DataOps.ksTest _),
+    "host_triangles" -> (DataOps.hostTriangles _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),
@@ -731,6 +735,41 @@ object SparkEntry {
               ((nd.n_days * (nd.n_days - 1)) // 2)::BIGINT AS n_pairs,
               m.slope_micro, icm.intercept_micro
        FROM nd JOIN m USING (event_type) JOIN icm USING (event_type)""",
+    // r13n: Benford audit — expected ppm table interpolated from the
+    // ONE Scala definition (Relational.BenfordPpm)
+    "benford_audit" -> s"""
+       WITH e(digit, exp_ppm) AS (VALUES ${Relational.BenfordPpm
+         .map { case (d, p) => s"($d, $p)" }.mkString(", ")}),
+       o AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                AS VARCHAR), 1, 1)::BIGINT AS digit,
+              count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY 1),
+       t AS (SELECT sum(n_orders)::BIGINT AS n FROM o)
+       SELECT e.digit::BIGINT AS digit,
+              coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+              ((1000000 * coalesce(o.n_orders, 0)) // t.n)::BIGINT AS obs_ppm,
+              e.exp_ppm::BIGINT AS exp_ppm,
+              (((1000000 * coalesce(o.n_orders, 0)) // t.n - e.exp_ppm)
+               * ((1000000 * coalesce(o.n_orders, 0)) // t.n - e.exp_ppm)
+               // e.exp_ppm)::BIGINT AS dev_nano
+       FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN t""",
+    // r13n: day-over-day active-user Jaccard on the distinct
+    // (day, user) frame
+    "jaccard_days" -> """
+       WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+       n AS (SELECT day, count(*)::BIGINT AS nu FROM du GROUP BY 1),
+       i AS (SELECT a.day AS day, count(*)::BIGINT AS n_common
+             FROM du a JOIN du b ON b.user_id = a.user_id
+               AND b.day = a.day + INTERVAL 1 DAY
+             GROUP BY 1)
+       SELECT strftime(n1.day, '%Y-%m-%d') AS day, n1.nu AS n_today,
+              n2.nu AS n_next, coalesce(i.n_common, 0)::BIGINT AS n_common,
+              (n1.nu + n2.nu - coalesce(i.n_common, 0))::BIGINT AS n_union,
+              ((1000000 * coalesce(i.n_common, 0))
+               // (n1.nu + n2.nu - coalesce(i.n_common, 0)))::BIGINT
+                AS jaccard_ppm
+       FROM n n1 JOIN n n2 ON n2.day = n1.day + INTERVAL 1 DAY
+       LEFT JOIN i ON i.day = n1.day""",
     // r13m: Mann-Kendall — integer sign pairs over the bounded daily
     // frame, the significance companion to theil_sen's slope
     "mann_kendall" -> """

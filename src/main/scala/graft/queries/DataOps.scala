@@ -3615,6 +3615,74 @@ object DataOps {
     }
   }
 
+  /** Kolmogorov–Smirnov two-sample statistic of document length per
+    * language against the pooled corpus — the distribution-SHAPE test
+    * next to [[rankSumLengths]]' location shift (rank-sum misses a
+    * variance change that leaves the median alone; KS does not):
+    * D = max over the length domain of |F_lang − F_pool|, with both
+    * CDFs ppm-quantized by integer `div` BEFORE the max so the
+    * statistic is engine-exact. Step functions change only at observed
+    * values, so evaluating on the distinct-value grid is the exact
+    * supremum.
+    *
+    * Scale shape: the one corpus shuffle builds the (lang, n_chars)
+    * histogram; the |langs|×|values| CDF grid, both cumulative windows
+    * and the max-fold move only domain-bounded frames.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val h = docs(spark, dir)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+    cachedScope(h) {
+      val vals = h.select(col("n_chars")).distinct()
+      val langs = h.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+      val tot = h.agg(sum(col("c")).as("n"))
+      val cl = broadcast(langs).crossJoin(vals)
+        .join(h, Seq("lang", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cp = h.groupBy(col("n_chars")).agg(sum(col("c")).as("cg"))
+        .withColumn("cump", sum(col("cg")).over(Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cl.join(broadcast(cp.select(col("n_chars"), col("cump"))), "n_chars")
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", abs(expr("(1000000 * cum) div nl")
+          - expr("(1000000 * cump) div n")))
+        .groupBy(col("lang"))
+        .agg(max(col("nl")).as("n_docs"), max(col("dev")).as("d_ppm"))
+    }
+  }
+
+  /** Exact triangle enumeration over the host graph — the fourth graph
+    * face next to connected components (N24), PageRank (N86) and BFS
+    * (N205), and the standard clustering-coefficient numerator: every
+    * unordered host triple pairwise-connected in the UNDIRECTED
+    * factored graph, emitted once as h1 < h2 < h3. The orientation
+    * trick (join only low→high edges) is what keeps this linear-ish in
+    * edges instead of Σdeg² — each triangle is found exactly once, no
+    * post-hoc dedup.
+    *
+    * Scale shape: the graph lives on the HOST alphabet (the shared
+    * [[hostGraph]] bound), so both joins move host-bounded frames; the
+    * corpus is touched once to factor the graph.
+    */
+  def hostTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = hostGraph(spark, dir)
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    und.cache()
+    try {
+      und.as("e1")
+        .join(und.as("e2"), col("e2.a") === col("e1.b"))
+        .join(und.as("e3"), col("e3.a") === col("e1.a") &&
+          col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("h1"), col("e1.b").as("h2"),
+          col("e2.b").as("h3"))
+        .localCheckpoint(true)
+    } finally { und.unpersist(blocking = false); () }
+  }
+
   private[graft] val AllocK = 997
 
   /** Largest-remainder (Hamilton) exact sample allocation — the
@@ -6312,6 +6380,37 @@ object DataOps {
       "host_rank" ->
         s"""$hostRankCtes
         SELECT host, rank AS rank_scaled FROM r$HostRankIters""",
+      // triangle enumeration on the shared factored host graph:
+      // orient low->high, then the two-hop closure join
+      "host_triangles" -> s"""$hostGraphCtes,
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges),
+        tri AS (SELECT e1.a AS h1, e1.b AS h2, e2.b AS h3
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT h1, h2, h3 FROM tri""",
+      // KS two-sample: ppm-quantized CDFs on the distinct-value grid,
+      // max deviation per language vs the pooled corpus
+      "ks_test" -> """
+        WITH h AS (SELECT lang, n_chars, count(*)::BIGINT AS c
+                   FROM documents GROUP BY 1, 2),
+        vals AS (SELECT DISTINCT n_chars FROM documents),
+        langs AS (SELECT lang, sum(c)::BIGINT AS nl FROM h GROUP BY 1),
+        tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+        g2 AS (SELECT g.lang, g.nl, g.n_chars, coalesce(h.c, 0) AS c
+               FROM (SELECT l.lang, l.nl, v.n_chars
+                     FROM langs l CROSS JOIN vals v) g
+               LEFT JOIN h ON h.lang = g.lang AND h.n_chars = g.n_chars),
+        cl AS (SELECT lang, nl, n_chars,
+                 (sum(c) OVER (PARTITION BY lang ORDER BY n_chars))::BIGINT
+                   AS cum FROM g2),
+        cp AS (SELECT n_chars, (sum(cg) OVER (ORDER BY n_chars))::BIGINT
+                 AS cump FROM
+                 (SELECT n_chars, sum(c) AS cg FROM h GROUP BY 1))
+        SELECT cl.lang, max(cl.nl)::BIGINT AS n_docs,
+               max(abs((1000000*cl.cum) // cl.nl
+                 - (1000000*cp.cump) // t.n))::BIGINT AS d_ppm
+        FROM cl JOIN cp USING (n_chars) CROSS JOIN tot t GROUP BY 1""",
       "dedup_embedding" -> s"""
         WITH n AS (SELECT vec_id, embedding,
                      sqrt(${dot("embedding", "embedding")}) AS nrm

@@ -1814,12 +1814,22 @@ object Relational {
     * size.
     */
   def theilSen(spark: SparkSession, dir: String): DataFrame =
-    theilSenOn(t(spark, dir, "events")
+    theilSenOn(dailyByTypeOf(t(spark, dir, "events")))
+
+  /** The (event_type, d, n) daily collapse shared by the whole
+    * drift/trend family ([[theilSen]], [[cusumDays]], [[mannKendall]])
+    * and its streaming face ([[graft.streaming.StreamingMonitors]]) —
+    * ONE definition, so the batch operators and the maintained cell
+    * state cannot drift. Additive: cells from any slicing of the input
+    * sum to the full frame (the StreamingMonitors contract).
+    */
+  private[graft] def dailyByTypeOf(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
           .cast("long").as("d"))
       .groupBy(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("n")))
+      .agg(count(lit(1)).as("n"))
 
   /** The estimator on an explicit (event_type, d, n) daily frame — the
     * spec's outlier-robustness test injects a corrupted day here.
@@ -1868,12 +1878,7 @@ object Relational {
     * peak rank all ride one event_type partitioning.
     */
   def cusumDays(spark: SparkSession, dir: String): DataFrame =
-    cusumDaysOn(t(spark, dir, "events")
-      .select(col("event_type"),
-        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-          .cast("long").as("d"))
-      .groupBy(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("n")))
+    cusumDaysOn(dailyByTypeOf(t(spark, dir, "events")))
 
   /** The scan on an explicit (event_type, d, n) daily frame — the
     * spec's planted-level-shift test drives it directly.
@@ -1963,12 +1968,7 @@ object Relational {
     * in a composed pipeline.
     */
   def mannKendall(spark: SparkSession, dir: String): DataFrame =
-    mannKendallOn(t(spark, dir, "events")
-      .select(col("event_type"),
-        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-          .cast("long").as("d"))
-      .groupBy(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("n")))
+    mannKendallOn(dailyByTypeOf(t(spark, dir, "events")))
 
   /** The test on an explicit (event_type, d, n) daily frame — the
     * spec's planted-monotone-series law drives it directly.
@@ -1992,6 +1992,81 @@ object Relational {
             .otherwise("none"))
         .localCheckpoint(true)
     } finally { daily.unpersist(blocking = false); () }
+  }
+
+  /** Benford expected first-digit frequencies, ppm-quantized — computed
+    * ONCE in Scala and shared verbatim between the Spark literal frame
+    * and the oracle's interpolated VALUES (the ringPoints one-definition
+    * discipline), so the float log10 never runs in either engine's
+    * query.
+    */
+  private[graft] val BenfordPpm: Seq[(Long, Long)] =
+    (1 to 9).map(d => d.toLong -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** Benford first-digit audit of order totals — the fraud/data-entry
+    * screen (Benford 1938; Nigrini's audit practice) as a graded query:
+    * observed first-digit counts of the whole-dollar totals against the
+    * log10(1+1/d) law, with a per-digit integer divergence term
+    * ((obs_ppm − exp_ppm)² div exp_ppm, the χ²/n summand in nano
+    * units). The synthetic totals are uniform, NOT Benford — the audit
+    * correctly reports the big digit-1..4 excess, which is exactly what
+    * it is for.
+    *
+    * Scale shape: one partial-aggregable shuffle onto ≤ 9 digit cells;
+    * the expected table is a 9-row literal broadcast.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exp = spark.createDataFrame(BenfordPpm).toDF("digit", "exp_ppm")
+    val o = t(spark, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = o.agg(sum(col("n_orders")).as("n"))
+    broadcast(exp).join(o, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_orders"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("(1000000 * n_orders) div n"))
+      .withColumn("dev_nano",
+        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"))
+      .select(col("digit"), col("n_orders"), col("obs_ppm"),
+        col("exp_ppm"), col("dev_nano"))
+  }
+
+  /** Day-over-day active-user Jaccard — the churn monitor next to
+    * [[retentionCohorts]]' first-seen framing: for each consecutive day
+    * pair, the exact overlap, union and ppm-quantized Jaccard of the
+    * two days' distinct user sets. A stable product sits near 0.8; a
+    * bot wave or an outage drops it from both sides.
+    *
+    * Scale shape: one distinct collapse to the (day, user) frame, then
+    * a co-partitioned equi-join on (user_id, day+1) — the same one
+    * shuffle family — folding straight onto ≤ |days| cells; the day
+    * totals broadcast back.
+    */
+  def jaccardDays(spark: SparkSession, dir: String): DataFrame = {
+    val du = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    du.cache()
+    try {
+      val n = du.groupBy(col("day")).agg(count(lit(1)).as("nu"))
+      val i = du.as("a")
+        .join(du.as("b"), col("a.user_id") === col("b.user_id") &&
+          date_add(col("a.day"), 1) === col("b.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).as("n_common"))
+      n.withColumnRenamed("nu", "n_today")
+        .join(n.select(date_sub(col("day"), 1).as("day"),
+          col("nu").as("n_next")), "day")
+        .join(i, Seq("day"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .withColumn("n_union",
+          col("n_today") + col("n_next") - col("n_common"))
+        .withColumn("jaccard_ppm", expr("(1000000 * n_common) div n_union"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_today"), col("n_next"), col("n_common"), col("n_union"),
+          col("jaccard_ppm"))
+        .localCheckpoint(true)
+    } finally { du.unpersist(blocking = false); () }
   }
 
   /** Equi-depth histogram of order totals — the CBO statistics face

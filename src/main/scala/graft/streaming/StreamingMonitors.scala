@@ -123,4 +123,29 @@ object StreamingMonitors {
       .groupBy(col("rj"), col("rb"))
       .agg(sum(col("reg")).as("reg"))
       .localCheckpoint(true)
+
+  /** r13n: the streaming face of the drift/trend family — ONE
+    * maintained (event_type, d, n) daily cell state (the additive half
+    * shared via [[Relational.dailyByTypeOf]]) serves all three graded
+    * derive halves: CUSUM change-point (N207), Theil–Sen robust trend
+    * (N206) and the Mann–Kendall trend test (N210). The batch queries
+    * and these faces literally call the same `*On` code over the same
+    * cell definition, so they cannot drift — the spec still pins the
+    * equivalence across interleaved micro-batches.
+    */
+  def maintainDailyByType(events: DataFrame, statePath: String,
+                          checkpointDir: String): Unit =
+    maintainCells(events, statePath, checkpointDir, Relational.dailyByTypeOf)
+
+  private def dailyCells(spark: SparkSession, statePath: String): DataFrame =
+    mergedCells(spark, statePath, Seq("event_type", "d"), "n")
+
+  def cusumDays(spark: SparkSession, statePath: String): DataFrame =
+    Relational.cusumDaysOn(dailyCells(spark, statePath))
+
+  def theilSen(spark: SparkSession, statePath: String): DataFrame =
+    Relational.theilSenOn(dailyCells(spark, statePath))
+
+  def mannKendall(spark: SparkSession, statePath: String): DataFrame =
+    Relational.mannKendallOn(dailyCells(spark, statePath))
 }

@@ -98,4 +98,22 @@ class StreamingMonitorsSpec extends SparkSpec {
       StreamingMonitors.cmsRegisters(spark, _),
       DataOps.cmsRegistersOf(DataOps.cmsTokenCounts(spark, sf)))
   }
+
+  test("streaming drift/trend family equals the graded batch queries off one daily state") {
+    // r13n: ONE maintained (event_type, d, n) cell state serves all
+    // three derive halves — cusum peak, Theil-Sen slope, Mann-Kendall
+    // sign test — each equal to its graded batch query
+    drive(Tables(spark, sf, "events"), "event_id",
+      StreamingMonitors.maintainDailyByType,
+      StreamingMonitors.cusumDays(spark, _),
+      Relational.cusumDays(spark, sf))
+    drive(Tables(spark, sf, "events"), "event_id",
+      StreamingMonitors.maintainDailyByType,
+      StreamingMonitors.theilSen(spark, _),
+      Relational.theilSen(spark, sf))
+    drive(Tables(spark, sf, "events"), "event_id",
+      StreamingMonitors.maintainDailyByType,
+      StreamingMonitors.mannKendall(spark, _),
+      Relational.mannKendall(spark, sf))
+  }
 }
