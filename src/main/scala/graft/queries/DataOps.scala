@@ -3565,18 +3565,22 @@ object DataOps {
     * The oracle's window-rank form is the same statistic.
     */
   def rankSumLengths(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("lang"), col("n_chars"))
-    val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("g"))
-      .withColumn("below", coalesce(sum(col("g")).over(
-        Window.orderBy(col("n_chars"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("n_chars"),
-        (lit(2L) * col("below") + col("g") + lit(1L)).as("dr"))
-    d.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cl"))
-      .join(broadcast(hist), "n_chars")
-      .groupBy(col("lang"))
-      .agg(sum(col("cl")).as("n"), sum(col("cl") * col("dr")).as("r2x"))
-      .withColumn("u2x", col("r2x") - col("n") * (col("n") + 1))
+    // ONE corpus shuffle onto (lang, n_chars) cells; the pooled
+    // histogram is derived from the cached cells, not a second scan
+    val cells = docs(spark, dir)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cl"))
+    cachedScope(cells) {
+      val hist = cells.groupBy(col("n_chars")).agg(sum(col("cl")).as("g"))
+        .withColumn("below", coalesce(sum(col("g")).over(
+          Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("n_chars"),
+          (lit(2L) * col("below") + col("g") + lit(1L)).as("dr"))
+      cells.join(broadcast(hist), "n_chars")
+        .groupBy(col("lang"))
+        .agg(sum(col("cl")).as("n"), sum(col("cl") * col("dr")).as("r2x"))
+        .withColumn("u2x", col("r2x") - col("n") * (col("n") + 1))
+    }
   }
 
   /** Kneser–Ney continuation counts (Kneser & Ney 1995) — the trained
@@ -3700,19 +3704,24 @@ object DataOps {
     * after moves the ≤ |langs| cell frame.
     */
   def exactAllocation(spark: SparkSession, dir: String): DataFrame = {
+    // the per-stratum counts are the ONE corpus shuffle; cached so the
+    // total, the base sum and the final frame all reuse it instead of
+    // re-scanning (uncached, the shared subtree quadrupled the scan)
     val c = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val tot = c.agg(sum(col("n")).as("tot"))
-    val b = c.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($AllocK * n) div tot"))
-      .withColumn("rem", expr(s"($AllocK * n) % tot"))
-    val sb = b.agg(sum(col("base")).as("sb"))
-    b.crossJoin(broadcast(sb))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
-      .withColumn("extra",
-        when(col("rk") <= lit(AllocK.toLong) - col("sb"), 1L).otherwise(0L))
-      .select(col("lang"), col("n").as("n_docs"), col("base"), col("extra"),
-        (col("base") + col("extra")).as("alloc"))
+    cachedScope(c) {
+      val tot = c.agg(sum(col("n")).as("tot"))
+      val b = c.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($AllocK * n) div tot"))
+        .withColumn("rem", expr(s"($AllocK * n) % tot"))
+      val sb = b.agg(sum(col("base")).as("sb"))
+      b.crossJoin(broadcast(sb))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("extra",
+          when(col("rk") <= lit(AllocK.toLong) - col("sb"), 1L).otherwise(0L))
+        .select(col("lang"), col("n").as("n_docs"), col("base"), col("extra"),
+          (col("base") + col("extra")).as("alloc"))
+    }
   }
 
   private def md5hex60(s: String): Long =

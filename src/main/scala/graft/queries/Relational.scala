@@ -2017,19 +2017,25 @@ object Relational {
     */
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
     val exp = spark.createDataFrame(BenfordPpm).toDF("digit", "exp_ppm")
+    // the 9-cell digit collapse is the ONE corpus shuffle — cached so
+    // the total does not re-run the scan
     val o = t(spark, dir, "orders")
       .select(substring(floor(col("o_totalprice")).cast("long")
         .cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
-    val tot = o.agg(sum(col("n_orders")).as("n"))
-    broadcast(exp).join(o, Seq("digit"), "left")
-      .na.fill(0L, Seq("n_orders"))
-      .crossJoin(broadcast(tot))
-      .withColumn("obs_ppm", expr("(1000000 * n_orders) div n"))
-      .withColumn("dev_nano",
-        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"))
-      .select(col("digit"), col("n_orders"), col("obs_ppm"),
-        col("exp_ppm"), col("dev_nano"))
+    o.cache()
+    try {
+      val tot = o.agg(sum(col("n_orders")).as("n"))
+      broadcast(exp).join(o, Seq("digit"), "left")
+        .na.fill(0L, Seq("n_orders"))
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("(1000000 * n_orders) div n"))
+        .withColumn("dev_nano",
+          expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"))
+        .select(col("digit"), col("n_orders"), col("obs_ppm"),
+          col("exp_ppm"), col("dev_nano"))
+        .localCheckpoint(true)
+    } finally { o.unpersist(blocking = false); () }
   }
 
   /** Day-over-day active-user Jaccard — the churn monitor next to
@@ -2087,18 +2093,24 @@ object Relational {
     * At 100 TB the histogram is the same ~450k cells.
     */
   def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    // the dollar histogram is the ONE corpus shuffle — cached so the
+    // total and the bucketing pass reuse it instead of re-scanning
     val h = t(spark, dir, "orders")
       .select(floor(col("o_totalprice")).cast("long").as("dollar"))
       .groupBy(col("dollar")).agg(count(lit(1)).as("c"))
-    val tot = h.agg(sum(col("c")).as("n"))
-    h.crossJoin(broadcast(tot))
-      .withColumn("cm", sum(col("c")).over(Window.orderBy(col("dollar"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("bucket", expr("((cm - 1) * 16) div n + 1"))
-      .groupBy(col("bucket"))
-      .agg(sum(col("c")).as("n_rows"),
-        min(col("dollar")).as("lo_dollar"),
-        max(col("dollar")).as("hi_dollar"),
-        count(lit(1)).as("n_distinct"))
+    h.cache()
+    try {
+      val tot = h.agg(sum(col("c")).as("n"))
+      h.crossJoin(broadcast(tot))
+        .withColumn("cm", sum(col("c")).over(Window.orderBy(col("dollar"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("bucket", expr("((cm - 1) * 16) div n + 1"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("c")).as("n_rows"),
+          min(col("dollar")).as("lo_dollar"),
+          max(col("dollar")).as("hi_dollar"),
+          count(lit(1)).as("n_distinct"))
+        .localCheckpoint(true)
+    } finally { h.unpersist(blocking = false); () }
   }
 }

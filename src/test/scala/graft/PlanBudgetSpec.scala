@@ -212,7 +212,21 @@ class PlanBudgetSpec extends SparkSpec {
     "ring_shards" -> 1,
     // map-only native Int8Dot against 16 constant sign vectors — the
     // explode is scan-side, NO shuffle at all
-    "rand_projection" -> 0)
+    "rand_projection" -> 0,
+    // r13m/n: the histogram/cell-frame family — each collapses the
+    // corpus to a bounded frame in ONE shuffle and checkpoints the
+    // result, so the public plan is flat (0); source_gini exposes its
+    // cell shuffle + the lang re-fold
+    "source_gini" -> 2,
+    "mann_kendall" -> 0,
+    "equi_depth_hist" -> 0,
+    "rank_sum" -> 0,
+    "kn_continuation" -> 0,
+    "exact_allocation" -> 0,
+    "benford_audit" -> 0,
+    "jaccard_days" -> 0,
+    "ks_test" -> 0,
+    "host_triangles" -> 0)
   // r13j: bfs_hosts / theil_sen are eagerly checkpointed — BFS is 2
   // host-table shuffles per round (join + min-fold), checkpointed per
   // round like every iterative operator; theil_sen's tail runs entirely
