@@ -150,6 +150,10 @@ object SparkEntry {
     "jaccard_days" -> (Relational.jaccardDays _),
     "ks_test" -> (DataOps.ksTest _),
     "host_triangles" -> (DataOps.hostTriangles _),
+    "hll_sliding_7d" -> (RefOps.hllSliding _),
+    "type_cosine" -> (Relational.typeCosine _),
+    "l_moments" -> (Relational.lMoments _),
+    "ks_matrix" -> (DataOps.ksMatrix _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),
@@ -735,6 +739,86 @@ object SparkEntry {
               ((nd.n_days * (nd.n_days - 1)) // 2)::BIGINT AS n_pairs,
               m.slope_micro, icm.intercept_micro
        FROM nd JOIN m USING (event_type) JOIN icm USING (event_type)""",
+    // r13o: trailing-7d HLL serving face — daily registers scattered to
+    // the <=7 window-end days they serve, max-merged, shared derive
+    // half; exact trailing distinct graded alongside
+    "hll_sliding_7d" -> s"""
+       WITH h AS (SELECT date_diff('day', DATE '1970-01-01',
+                    ts::DATE)::BIGINT AS d, event_type,
+                    ($kmvHashSql) AS hb FROM events),
+       r AS (SELECT d, event_type, hb % 256 AS bucket,
+               CASE WHEN hb // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(hb // 256)) END AS rho FROM h),
+       daily AS (SELECT d, event_type, bucket, max(rho) AS r
+                 FROM r GROUP BY 1, 2, 3),
+       spine AS (SELECT DISTINCT d FROM h),
+       tgt AS (SELECT t.u AS day, daily.event_type, daily.bucket,
+                 max(daily.r)::BIGINT AS r
+               FROM daily, unnest(range(daily.d, daily.d + 7)) AS t(u)
+               WHERE t.u IN (SELECT d FROM spine)
+               GROUP BY 1, 2, 3),
+       agg AS (SELECT day, event_type, count(*)::BIGINT AS m_used,
+                 sum(1::BIGINT << (53 - r))::BIGINT AS sum_used
+               FROM tgt GROUP BY 1, 2),
+       est AS (SELECT day, event_type, (256 - m_used)::BIGINT AS v_zero,
+                 (sum_used + (256 - m_used) * (1::BIGINT << 53))::BIGINT
+                   AS sum_pow FROM agg),
+       ex AS (SELECT t.u AS day, du.event_type,
+                count(DISTINCT du.user_id)::BIGINT AS n_exact
+              FROM (SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+                      ts::DATE)::BIGINT AS d, event_type, user_id
+                    FROM events) du,
+                unnest(range(du.d, du.d + 7)) AS t(u)
+              WHERE t.u IN (SELECT d FROM spine)
+              GROUP BY 1, 2),
+       est2 AS (SELECT day, event_type, v_zero, sum_pow,
+                  round(${RefOps.HllAlphaScaled} / sum_pow, 2) AS est_raw
+                FROM est)
+       SELECT e.day, e.event_type, e.v_zero, e.sum_pow, e.est_raw,
+              CASE WHEN e.est_raw <= 640.0 AND e.v_zero > 0
+                   THEN round(256.0 * ln(256.0 / e.v_zero), 2)
+                   ELSE e.est_raw END AS est,
+              ex.n_exact
+       FROM est2 e JOIN ex USING (day, event_type)""",
+    // r13o: type-pair set cosine^2 + Jaccard over distinct-user sets
+    "type_cosine" -> """
+       WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       n AS (SELECT event_type, count(*)::BIGINT AS nu FROM du GROUP BY 1),
+       p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+               count(*)::BIGINT AS n_common
+             FROM du a JOIN du b ON b.user_id = a.user_id
+               AND b.event_type > a.event_type
+             GROUP BY 1, 2)
+       SELECT p.t1, p.t2, n1.nu AS n1, n2.nu AS n2, p.n_common,
+              ((1000000 * p.n_common * p.n_common)
+                // (n1.nu * n2.nu))::BIGINT AS cos2_ppm,
+              ((1000000 * p.n_common)
+                // (n1.nu + n2.nu - p.n_common))::BIGINT AS jaccard_ppm
+       FROM p JOIN n n1 ON n1.event_type = p.t1
+       JOIN n n2 ON n2.event_type = p.t2""",
+    // r13o: L-moments — probability-weighted sums over the (n, d)-ranked
+    // daily frame, exact integer rationals micro/ppm-quantized
+    "l_moments" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       r AS (SELECT event_type, n, row_number() OVER (
+               PARTITION BY event_type ORDER BY n, d) AS i FROM daily),
+       s AS (SELECT event_type, count(*)::BIGINT AS nd,
+               sum(n)::BIGINT AS s0, sum((i-1)*n)::BIGINT AS s1,
+               sum((i-1)*(i-2)*n)::BIGINT AS s2
+             FROM r GROUP BY 1)
+       SELECT event_type, nd AS n_days,
+              ((1000000 * s0) // nd)::BIGINT AS l1_micro,
+              (CASE WHEN nd >= 2 THEN (1000000 * (2*s1 - (nd-1)*s0))
+                 // (nd * (nd-1)) END)::BIGINT AS l2_micro,
+              (CASE WHEN nd >= 2 THEN (1000000 * (2*s1 - (nd-1)*s0))
+                 // ((nd-1) * s0) END)::BIGINT AS t2_ppm,
+              (CASE WHEN nd >= 3 AND (2*s1 - (nd-1)*s0) != 0 THEN
+                 (1000000 * (6*s2 - 6*(nd-2)*s1 + (nd-1)*(nd-2)*s0))
+                 // ((nd-2) * (2*s1 - (nd-1)*s0)) END)::BIGINT AS t3_ppm
+       FROM s""",
     // r13n: Benford audit — expected ppm table interpolated from the
     // ONE Scala definition (Relational.BenfordPpm)
     "benford_audit" -> s"""

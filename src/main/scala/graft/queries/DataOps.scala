@@ -3658,6 +3658,41 @@ object DataOps {
     }
   }
 
+  /** All-pairs KS distance matrix between language length
+    * distributions — [[ksTest]] generalized from lang-vs-pool to every
+    * language PAIR (the pool mixes the strata, so two shifted
+    * languages can both sit near the pool yet far from each other;
+    * the matrix is what a mixture designer actually reads). Same
+    * engine-exact construction: ppm-quantized CDFs on the shared
+    * distinct-value grid, max absolute deviation per pair, emitted
+    * once as l1 < l2.
+    *
+    * Scale shape: identical to ksTest — one corpus shuffle to the
+    * (lang, n_chars) histogram; the pair join runs over the
+    * |langs|²·|values| grid, domain-bounded on both axes.
+    */
+  def ksMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val h = docs(spark, dir)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+    cachedScope(h) {
+      val vals = h.select(col("n_chars")).distinct()
+      val langs = h.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+      val cl = broadcast(langs).crossJoin(vals)
+        .join(h, Seq("lang", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("f_ppm", expr("(1000000 * cum) div nl"))
+      cl.as("x")
+        .join(cl.as("y"), col("y.n_chars") === col("x.n_chars") &&
+          col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("l1"), col("y.lang").as("l2"))
+        .agg(max(col("x.nl")).as("n1"), max(col("y.nl")).as("n2"),
+          max(abs(col("x.f_ppm") - col("y.f_ppm"))).as("d_ppm"))
+    }
+  }
+
   /** Exact triangle enumeration over the host graph — the fourth graph
     * face next to connected components (N24), PageRank (N86) and BFS
     * (N205), and the standard clustering-coefficient numerator: every
@@ -6398,6 +6433,25 @@ object DataOps {
                 FROM und e1 JOIN und e2 ON e2.a = e1.b
                 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
         SELECT h1, h2, h3 FROM tri""",
+      // all-pairs KS matrix: same quantized-CDF grid, pair join l1 < l2
+      "ks_matrix" -> """
+        WITH h AS (SELECT lang, n_chars, count(*)::BIGINT AS c
+                   FROM documents GROUP BY 1, 2),
+        vals AS (SELECT DISTINCT n_chars FROM documents),
+        langs AS (SELECT lang, sum(c)::BIGINT AS nl FROM h GROUP BY 1),
+        g2 AS (SELECT g.lang, g.nl, g.n_chars, coalesce(h.c, 0) AS c
+               FROM (SELECT l.lang, l.nl, v.n_chars
+                     FROM langs l CROSS JOIN vals v) g
+               LEFT JOIN h ON h.lang = g.lang AND h.n_chars = g.n_chars),
+        cl AS (SELECT lang, nl, n_chars,
+                 ((1000000 * sum(c) OVER (PARTITION BY lang
+                    ORDER BY n_chars)) // nl)::BIGINT AS f_ppm FROM g2)
+        SELECT x.lang AS l1, y.lang AS l2, max(x.nl)::BIGINT AS n1,
+               max(y.nl)::BIGINT AS n2,
+               max(abs(x.f_ppm - y.f_ppm))::BIGINT AS d_ppm
+        FROM cl x JOIN cl y
+          ON y.n_chars = x.n_chars AND y.lang > x.lang
+        GROUP BY 1, 2""",
       // KS two-sample: ppm-quantized CDFs on the distinct-value grid,
       // max deviation per language vs the pooled corpus
       "ks_test" -> """

@@ -513,18 +513,79 @@ object RefOps {
   }
 
   /** The DERIVE half on a complete register frame. */
-  private[graft] def hllFromRegisters(regs: DataFrame): DataFrame = {
+  private[graft] def hllFromRegisters(regs: DataFrame): DataFrame =
+    hllFromRegistersKeyed(regs, Seq("event_type"))
+
+  /** The derive half under arbitrary grouping keys — the sliding-window
+    * face groups by (day, event_type); the sketch arithmetic is
+    * identical.
+    */
+  private[graft] def hllFromRegistersKeyed(regs: DataFrame,
+                                           keys: Seq[String]): DataFrame = {
     val m = 256L
-    val perType = regs.groupBy(col("event_type"))
+    regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("m_used"),
         sum(expr("shiftleft(cast(1 as bigint), cast(53 - r as int))"))
           .as("sum_used"))
-      .select(col("event_type"), (lit(m) - col("m_used")).as("v_zero"),
+      .select(keys.map(col) :+ (lit(m) - col("m_used")).as("v_zero") :+
         (col("sum_used") + (lit(m) - col("m_used")) * lit(1L << 53))
-          .as("sum_pow"))
+          .as("sum_pow"): _*)
       .withColumn("est_raw",
         round(lit(HllAlphaScaled) / col("sum_pow"), 2))
-    perType
+  }
+
+  /** Trailing-7-day distinct-user estimate per (day, type) from the HLL
+    * register warehouse — the SERVING face of [[hllSketchCube]]'s
+    * associativity law: the same per-(day, type) registers the cube
+    * maintains answer ANY trailing window by max-merging ≤ 7 daily
+    * register sets, never touching an event again. Each daily register
+    * row is exploded to the ≤ 7 window-end days it serves (an
+    * equi-grouped scatter, not a range join), capped to observed days.
+    * The exact trailing distinct count is graded alongside — the
+    * estimator's fidelity is itself a graded value (the hash_sample_est
+    * discipline); a deployment drops that side and the window query
+    * moves register rows only.
+    *
+    * Scale shape: one corpus shuffle builds the daily registers
+    * (bounded: days × types × 256); the scatter multiplies that bounded
+    * frame by 7. The exact side pays the (day, type, user) distinct —
+    * the cost whose removal is this operator's entire point.
+    */
+  def hllSliding(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("d",
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    // the daily register frame is bounded (days × types × 256) —
+    // cached so the day spine and the scatter reuse ONE register build
+    val daily = hllRegistersKeyed(e, Seq("d", "event_type"))
+    daily.cache()
+    try {
+      val spine = daily.select(col("d")).distinct()
+        .withColumnRenamed("d", "day")
+      val tgt = daily
+        .withColumn("day", explode(sequence(col("d"), col("d") + 6)))
+        .join(broadcast(spine), "day")
+        .groupBy(col("day"), col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val exact = e.select(col("d"), col("event_type"), col("user_id"))
+        .distinct()
+        .withColumn("day", explode(sequence(col("d"), col("d") + 6)))
+        .join(broadcast(spine), "day")
+        .groupBy(col("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      // small-range (linear counting) correction — the piece the raw
+      // full-corpus sketches (hll_distinct/hll_sketch_cube) never need
+      // but a 7-day window at low traffic does: with v zero registers,
+      // est = m·ln(m/v) (Flajolet et al. 2007 §4). The branch compares
+      // the ROUNDED raw estimate so both engines pick the same side.
+      hllFromRegistersKeyed(tgt, Seq("day", "event_type"))
+        .withColumn("est",
+          when(col("est_raw") <= 640.0 && col("v_zero") > 0L,
+            round(lit(256.0) * log(lit(256.0) / col("v_zero")), 2))
+            .otherwise(col("est_raw")))
+        .join(exact, Seq("day", "event_type"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
   }
 
   /** α_256 · 256² · 2^53 as ONE Scala-computed double constant — the

@@ -1994,6 +1994,86 @@ object Relational {
     } finally { daily.unpersist(blocking = false); () }
   }
 
+  /** Event-type affinity as set-vector geometry — per type pair, the
+    * cosine² and Jaccard of the two types' distinct-user sets, both
+    * ppm-quantized integers (cos² = n₁₂²/(n₁·n₂) avoids the square
+    * root): the co-occurrence-similarity face next to
+    * [[basketAffinity]]'s probabilistic lift. Cosine normalizes away
+    * the popularity imbalance lift keeps; the two disagree exactly when
+    * one type is rare.
+    *
+    * Scale shape: one distinct collapse to (type, user), then the
+    * pair join rides the same user_id keying; output is ≤ types²/2
+    * cells. (At extreme user counts n₁₂²·10⁶ wants DECIMAL headroom;
+    * BIGINT holds to ~10⁸ co-users.)
+    */
+  def typeCosine(spark: SparkSession, dir: String): DataFrame = {
+    val du = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    du.cache()
+    try {
+      val n = du.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      du.as("a")
+        .join(du.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(n.select(col("event_type").as("t1"),
+          col("nu").as("n1"))), "t1")
+        .join(broadcast(n.select(col("event_type").as("t2"),
+          col("nu").as("n2"))), "t2")
+        .withColumn("cos2_ppm",
+          expr("(1000000 * n_common * n_common) div (n1 * n2)"))
+        .withColumn("jaccard_ppm",
+          expr("(1000000 * n_common) div (n1 + n2 - n_common)"))
+        .select(col("t1"), col("t2"), col("n1"), col("n2"),
+          col("n_common"), col("cos2_ppm"), col("jaccard_ppm"))
+        .localCheckpoint(true)
+    } finally { du.unpersist(blocking = false); () }
+  }
+
+  /** L-moments of daily event volume per type (Hosking 1990) — the
+    * order-statistics moment family next to [[trimmedStats]] and the
+    * MAD fence: L-scale (l2) and the L-CV/L-skewness ratios (t2, t3)
+    * are what hydrology and robust-stats practice fit distributions
+    * with, because unlike conventional moments every L-moment exists
+    * whenever the mean does and a single outlier moves them linearly,
+    * not cubically. Everything is EXACT integer arithmetic: the
+    * probability-weighted sums S₀ = Σx, S₁ = Σ(i−1)x, S₂ = Σ(i−1)(i−2)x
+    * over the (n, d)-ranked daily frame give l1 = S₀/nd,
+    * l2 = (2S₁−(nd−1)S₀)/(nd(nd−1)), t3 = (6S₂−6(nd−2)S₁+(nd−1)(nd−2)S₀)
+    * / ((nd−2)(2S₁−(nd−1)S₀)) — micro/ppm-quantized by integer `div`
+    * (truncation toward zero verified cross-engine on negatives, the
+    * theilSen discipline; t3 CAN be negative).
+    *
+    * Scale shape: the corpus collapses to the bounded daily frame; the
+    * rank window and one fold ride a single event_type partitioning.
+    */
+  def lMoments(spark: SparkSession, dir: String): DataFrame =
+    lMomentsOn(dailyByTypeOf(t(spark, dir, "events")))
+
+  /** The moments on an explicit (event_type, d, n) daily frame. */
+  private[graft] def lMomentsOn(daily: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("i", row_number().over(byType.orderBy(col("n"), col("d"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s0"),
+        sum((col("i") - 1) * col("n")).as("s1"),
+        sum((col("i") - 1) * (col("i") - 2) * col("n")).as("s2"))
+      .select(col("event_type"), col("nd").as("n_days"),
+        expr("(1000000 * s0) div nd").as("l1_micro"),
+        expr("CASE WHEN nd >= 2 THEN " +
+          "(1000000 * (2*s1 - (nd-1)*s0)) div (nd * (nd-1)) END")
+          .as("l2_micro"),
+        expr("CASE WHEN nd >= 2 THEN " +
+          "(1000000 * (2*s1 - (nd-1)*s0)) div ((nd-1) * s0) END")
+          .as("t2_ppm"),
+        expr("CASE WHEN nd >= 3 AND (2*s1 - (nd-1)*s0) != 0 THEN " +
+          "(1000000 * (6*s2 - 6*(nd-2)*s1 + (nd-1)*(nd-2)*s0)) " +
+          "div ((nd-2) * (2*s1 - (nd-1)*s0)) END").as("t3_ppm"))
+  }
+
   /** Benford expected first-digit frequencies, ppm-quantized — computed
     * ONCE in Scala and shared verbatim between the Spark literal frame
     * and the oracle's interpolated VALUES (the ringPoints one-definition

@@ -226,7 +226,13 @@ class PlanBudgetSpec extends SparkSpec {
     "benford_audit" -> 0,
     "jaccard_days" -> 0,
     "ks_test" -> 0,
-    "host_triangles" -> 0)
+    "host_triangles" -> 0,
+    // r13o: l_moments rides one event_type keying (rank window + fold);
+    // the other three checkpoint their bounded tails
+    "l_moments" -> 2,
+    "type_cosine" -> 0,
+    "ks_matrix" -> 0,
+    "hll_sliding_7d" -> 0)
   // r13j: bfs_hosts / theil_sen are eagerly checkpointed — BFS is 2
   // host-table shuffles per round (join + min-fold), checkpointed per
   // round like every iterative operator; theil_sen's tail runs entirely
