@@ -154,6 +154,9 @@ object SparkEntry {
     "type_cosine" -> (Relational.typeCosine _),
     "l_moments" -> (Relational.lMoments _),
     "ks_matrix" -> (DataOps.ksMatrix _),
+    "session_funnel" -> (RefOps.sessionFunnel _),
+    "revenue_lorenz" -> (Relational.revenueLorenz _),
+    "minhash_estimate" -> (DataOps.minhashEstimate _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),
@@ -317,15 +320,22 @@ object SparkEntry {
   /** sessionize oracle — factored to a val so session_stats NESTS it
     * verbatim (drift in the session rule fails both entries).
     */
-  private val sessionizeOracle: String =
-    """WITH o AS (SELECT user_id, ts, event_id,
+  /** The per-event assignment half of the session rule — factored so
+    * session_funnel NESTS it verbatim (drift in the gap rule fails
+    * sessionize, session_stats AND session_funnel together).
+    */
+  private val sessionAssignCtes: String =
+    """WITH o AS (SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       s AS (SELECT user_id, ts,
+       s AS (SELECT user_id, ts, event_type,
                (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
-             FROM o)
+             FROM o)"""
+
+  private val sessionizeOracle: String =
+    s"""$sessionAssignCtes
        SELECT user_id, session_id,
               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
@@ -739,6 +749,45 @@ object SparkEntry {
               ((nd.n_days * (nd.n_days - 1)) // 2)::BIGINT AS n_pairs,
               m.slope_micro, icm.intercept_micro
        FROM nd JOIN m USING (event_type) JOIN icm USING (event_type)""",
+    // r13p: within-session funnel — nests the factored session rule;
+    // a session converts when first view strictly precedes first
+    // purchase (exact micros)
+    "session_funnel" -> s"""
+       $sessionAssignCtes,
+       f AS (SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view'
+                     THEN epoch_us(ts) END) AS v_tu,
+               min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END) AS p_tu
+             FROM s GROUP BY 1, 2)
+       SELECT count(*)::BIGINT AS n_sessions,
+              count(v_tu)::BIGINT AS n_view,
+              count(p_tu)::BIGINT AS n_purchase,
+              (count(*) FILTER (v_tu < p_tu))::BIGINT AS n_converted,
+              ((1000000 * count(*) FILTER (v_tu < p_tu))
+                // count(*))::BIGINT AS conv_ppm
+       FROM f""",
+    // r13p: revenue Lorenz curve over thousand-dollar lifetime-spend
+    // buckets, integer cents + div-quantized cumulative shares
+    "revenue_lorenz" -> """
+       WITH spend AS (SELECT o_custkey,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+            FROM orders GROUP BY 1),
+       cells AS (SELECT cents // 100000 AS spend_k,
+                   count(*)::BIGINT AS n_customers,
+                   sum(cents)::BIGINT AS cents_sum
+                 FROM spend GROUP BY 1),
+       t AS (SELECT sum(n_customers)::BIGINT AS tc,
+               sum(cents_sum)::BIGINT AS tv FROM cells),
+       c AS (SELECT spend_k, n_customers, cents_sum,
+               (sum(n_customers) OVER (ORDER BY spend_k))::BIGINT AS cum_cust,
+               (sum(cents_sum) OVER (ORDER BY spend_k))::BIGINT AS cum_cents
+             FROM cells)
+       SELECT c.spend_k, c.n_customers, c.cents_sum,
+              ((1000000 * c.cum_cust) // t.tc)::BIGINT AS cum_cust_ppm,
+              ((1000000 * (c.cum_cents // 100))
+                // (t.tv // 100))::BIGINT AS cum_cents_ppm
+       FROM c CROSS JOIN t""",
     // r13o: trailing-7d HLL serving face — daily registers scattered to
     // the <=7 window-end days they serve, max-merged, shared derive
     // half; exact trailing distinct graded alongside

@@ -218,6 +218,43 @@ object DataOps {
     cachedScope(sh) { dedupOnShingles(sh, BandBucketCap) }
   }
 
+  /** MinHash Jaccard ESTIMATES graded against exact Jaccard on the LSH
+    * candidate pairs — the estimator-fidelity face of the near-dup
+    * family (the hash_sample_est discipline applied to [[TextOps
+    * .minhashSig]]): per candidate pair, the count of agreeing
+    * signature components — E[matches/k] = J, the identity MinHash IS —
+    * ppm-quantized next to the exact verified Jaccard. This is the
+    * number a 100 TB deployment reads when it asks whether k = 12 is
+    * enough signature to SKIP exact verification on the low band, and
+    * the reason the answer is no (k = 12 gives ±28% at J ≈ 0.5).
+    *
+    * Scale shape: identical to [[dedupMinhashLsh]] — signatures are
+    * per-row codegen work, candidates are the banded join, and both the
+    * match count and the exact verification touch candidate pairs only.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    cachedScope(sh) {
+      val cand = lshCandidates(sh, BandBucketCap)
+      val sigArr = sh
+        .select(col("doc_id") +: TextOps.minhashSig(col("sh"), MinhashK): _*)
+        .select(col("doc_id"),
+          array((0 until MinhashK).map(j => col(s"mh$j")): _*).as("sig"))
+      val m = cand
+        .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          "doc_a")
+        .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          "doc_b")
+        .withColumn("matches", expr(
+          "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("long"))
+        .withColumn("est_ppm", expr(s"(1000000 * matches) div $MinhashK"))
+        .select(col("doc_a"), col("doc_b"), col("matches"), col("est_ppm"))
+      m.join(jaccardOnPairs(cand, sh, threshold = 0.0),
+        Seq("doc_a", "doc_b"))
+    }
+  }
+
   /** INCREMENTAL near-dup dedup: check a new batch against a persisted
     * [[graft.sink.SignatureIndex]] — the daily operation a production
     * 100 TB pipeline actually runs (full-corpus re-dedup being a one-time
@@ -6039,6 +6076,44 @@ object DataOps {
         ${kmeansCtes(k = PqK, iters = PqIters, subDim = Some(PqSubDim))}
         SELECT vec_id, m::INT AS m, cluster::INT AS code FROM a1""",
       "dedup_minhash_lsh" -> minhashLshSql,
+      // estimator-fidelity face: per LSH candidate pair, agreeing
+      // signature components next to the exact verified Jaccard
+      "minhash_estimate" -> {
+        val matchSum = (0 until MinhashK)
+          .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        sig AS (SELECT doc_id, $mh FROM shx),
+        bnd AS (SELECT doc_id, $bands FROM sig),
+        bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
+        gen AS (SELECT doc_id, u.b AS b, u.h AS h,
+                       row_number() OVER (PARTITION BY u.b, u.h ORDER BY doc_id) AS rk
+                FROM bl),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM gen a JOIN bl b ON a.b = b.u.b AND a.h = b.u.h
+                  AND a.doc_id < b.doc_id
+                 WHERE a.rk <= $BandBucketCap),
+        m AS (SELECT c.doc_a, c.doc_b, ($matchSum)::BIGINT AS matches
+              FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(sh) AS n FROM shx)
+        SELECT m.doc_a, m.doc_b, m.matches,
+               ((1000000 * m.matches) // $MinhashK)::BIGINT AS est_ppm,
+               round(coalesce(i.i, 0)::DOUBLE
+                 / (sa.n + sb.n - coalesce(i.i, 0)), 3) AS jaccard
+        FROM m LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+        JOIN sz sa ON sa.doc_id = m.doc_a
+        JOIN sz sb ON sb.doc_id = m.doc_b"""
+      },
       "dedup_incremental" -> s"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

@@ -814,23 +814,56 @@ object RefOps {
     * [[graft.streaming.Sessionizer]] and is equivalence-tested against
     * this query.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-event session assignment — the pre-rollup half of
+    * [[sessionize]], factored so [[sessionFunnel]] shares the EXACT
+    * session rule (gap compared in exact MICROSECONDS: the earlier
+    * whole-second form disagreed with DuckDB's fractional epoch() on
+    * gaps inside [1800 s, 1801 s) — invisible at sf0.01, 17 flipped
+    * sessions at sf1; both engines now compare the same integer micros
+    * quantity).
+    */
+  private def sessionAssign(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("ts"), 1).over(w)
-    // gap compared in exact MICROSECONDS: the earlier whole-second form
-    // (unix_timestamp truncates) disagreed with DuckDB's fractional
-    // epoch() on gaps inside [1800 s, 1801 s) — invisible at sf0.01,
-    // 17 flipped sessions at sf1. Both engines now compare the same
-    // integer micros quantity.
-    val o = events(spark, dir).withColumn("new_s",
-      when(prev.isNull ||
-        unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1).otherwise(0))
-    val s = o.withColumn("session_id",
-      sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    s.groupBy(col("user_id"), col("session_id"))
+    e.withColumn("new_s",
+        when(prev.isNull ||
+          unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionAssign(events(spark, dir))
+      .groupBy(col("user_id"), col("session_id"))
       .agg(tsStr(min(col("ts"))).as("start_s"), tsStr(max(col("ts"))).as("end_s"),
         count(lit(1)).as("n_events"))
-  }
+
+  /** Within-session conversion funnel — [[sessionize]] composed with
+    * the funnel question the way a product pipeline actually asks it:
+    * a session CONVERTS when its first view strictly precedes its first
+    * purchase (exact micros; same-instant does not convert — the rule
+    * both engines encode identically). The cross-session funnel (N34)
+    * answers "did this user ever"; this answers "did the visit" — the
+    * difference IS the session boundary, so the graded value exercises
+    * the session rule end-to-end.
+    *
+    * Scale shape: the assignment window and the per-session fold ride
+    * ONE user_id partitioning; the final one-row report is a broadcast
+    * fold.
+    */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame =
+    sessionAssign(events(spark, dir))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("v_tu"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("p_tu"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("v_tu")).as("n_view"),
+        count(col("p_tu")).as("n_purchase"),
+        count(when(col("v_tu") < col("p_tu"), 1)).as("n_converted"))
+      .withColumn("conv_ppm", expr("(1000000 * n_converted) div n_sessions"))
 
   /** Corpus-level session statistics — the one-row report on top of
     * [[sessionize]]: session count, exact lower-median / ceil-rank-p95 /

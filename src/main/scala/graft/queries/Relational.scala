@@ -2074,6 +2074,49 @@ object Relational {
           "div ((nd-2) * (2*s1 - (nd-1)*s0)) END").as("t3_ppm"))
   }
 
+  /** Customer revenue Lorenz curve — the money-side concentration
+    * report next to the doc-count Gini/HHI: per thousand-dollar
+    * lifetime-spend bucket, the customer count, exact cents mass, and
+    * the cumulative customer/revenue shares in ppm (the two Lorenz
+    * coordinates — "the top X% of customers carry Y% of revenue" reads
+    * straight off consecutive rows). All integer: cents are per-row
+    * rounded BIGINTs (the q7 discipline), shares are `div`-quantized
+    * cumulative sums.
+    *
+    * Scale shape: one corpus shuffle onto per-customer totals, a second
+    * partial-aggregable collapse onto the value-domain-bounded spend
+    * buckets; the cumulative window and the share projection move only
+    * that bounded frame.
+    */
+  def revenueLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      .select(expr("cents div 100000").as("spend_k"), col("cents"))
+      .groupBy(col("spend_k"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents_sum"))
+    cells.cache()
+    try {
+      val tot = cells.agg(sum(col("n_customers")).as("tc"),
+        sum(col("cents_sum")).as("tv"))
+      val w = Window.orderBy(col("spend_k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.crossJoin(broadcast(tot))
+        .withColumn("cum_cust", sum(col("n_customers")).over(w))
+        .withColumn("cum_cents", sum(col("cents_sum")).over(w))
+        // revenue share folds cents → whole dollars before the ppm
+        // multiply: 10⁶ × total CENTS overflows BIGINT already at sf1
+        // (3.4e19); dollars buy 100× headroom and the quantization is
+        // identical in both engines, so the hash still matches
+        .select(col("spend_k"), col("n_customers"), col("cents_sum"),
+          expr("(1000000 * cum_cust) div tc").as("cum_cust_ppm"),
+          expr("(1000000 * (cum_cents div 100)) div (tv div 100)")
+            .as("cum_cents_ppm"))
+        .localCheckpoint(true)
+    } finally { cells.unpersist(blocking = false); () }
+  }
+
   /** Benford expected first-digit frequencies, ppm-quantized — computed
     * ONCE in Scala and shared verbatim between the Spark literal frame
     * and the oracle's interpolated VALUES (the ringPoints one-definition

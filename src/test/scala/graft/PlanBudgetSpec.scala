@@ -232,7 +232,13 @@ class PlanBudgetSpec extends SparkSpec {
     "l_moments" -> 2,
     "type_cosine" -> 0,
     "ks_matrix" -> 0,
-    "hll_sliding_7d" -> 0)
+    "hll_sliding_7d" -> 0,
+    // r13p: funnel rides one user_id keying (assignment window +
+    // session fold; final one-row fold is the SinglePartition pair);
+    // the other two checkpoint bounded tails
+    "session_funnel" -> 2,
+    "revenue_lorenz" -> 0,
+    "minhash_estimate" -> 0)
   // r13j: bfs_hosts / theil_sen are eagerly checkpointed — BFS is 2
   // host-table shuffles per round (join + min-fold), checkpointed per
   // round like every iterative operator; theil_sen's tail runs entirely
