@@ -157,6 +157,12 @@ object SparkEntry {
     "session_funnel" -> (RefOps.sessionFunnel _),
     "revenue_lorenz" -> (Relational.revenueLorenz _),
     "minhash_estimate" -> (DataOps.minhashEstimate _),
+    // r13q: mergeable bitmap exact-distinct, t-closeness privacy audit,
+    // seasonal-naive forecast backtest, exact dyadic EWMA smoothing.
+    "bitmap_distinct" -> (Relational.bitmapDistinct _),
+    "t_closeness" -> (DataOps.tCloseness _),
+    "forecast_backtest" -> (Relational.forecastBacktest _),
+    "ewma_daily" -> (Relational.ewmaDaily _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),
@@ -923,6 +929,60 @@ object SparkEntry {
               CASE WHEN sum(sgn) > 0 THEN 'inc'
                    WHEN sum(sgn) < 0 THEN 'dec' ELSE 'none' END AS trend
        FROM p GROUP BY 1""",
+    // r13q: mergeable bitmap exact-distinct — 32-bit words, bit_or
+    // cells, popcount-sum recovery
+    "bitmap_distinct" -> """
+       WITH w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              user_id // 32 AS word,
+              bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+            FROM events GROUP BY 1, 2)
+       SELECT day, count(*)::BIGINT AS n_words,
+              sum(bit_count(mask))::BIGINT AS n_users
+       FROM w GROUP BY 1""",
+    // r13q: seasonal-naive backtest — lags over the zero-filled
+    // (type × day) spine, MAE micro + MASE ppm by integer div
+    "forecast_backtest" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       spine AS (SELECT DISTINCT d FROM daily),
+       types AS (SELECT DISTINCT event_type FROM daily),
+       filled AS (SELECT t.event_type, s.d, coalesce(dd.n, 0)::BIGINT AS n
+                  FROM types t CROSS JOIN spine s
+                  LEFT JOIN daily dd
+                    ON dd.event_type = t.event_type AND dd.d = s.d),
+       l AS (SELECT event_type, d, n,
+               lag(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1,
+               lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS f7
+             FROM filled)
+       SELECT event_type, count(*)::BIGINT AS n_eval,
+              ((1000000 * sum(abs(n - f1))) // count(*))::BIGINT
+                AS mae_naive_micro,
+              ((1000000 * sum(abs(n - f7))) // count(*))::BIGINT
+                AS mae_seasonal_micro,
+              (CASE WHEN sum(abs(n - f1)) > 0
+                    THEN (1000000 * sum(abs(n - f7))) // sum(abs(n - f1))
+               END)::BIGINT AS mase_ppm
+       FROM l WHERE f7 IS NOT NULL GROUP BY 1""",
+    // r13q: exact dyadic EWMA — alpha = 1/2 closed form as a trailing
+    // 31-day bounded range join, one integer div at the edge
+    "ewma_daily" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       j AS (SELECT a.event_type, a.d, a.n,
+               (1::BIGINT << CAST(30 - (a.d - b.d) AS INT)) AS wgt,
+               b.n * (1::BIGINT << CAST(30 - (a.d - b.d) AS INT)) AS contrib
+             FROM daily a JOIN daily b
+               ON b.event_type = a.event_type
+              AND b.d <= a.d AND b.d > a.d - 31)
+       SELECT event_type, d, max(n)::BIGINT AS n,
+              ((1000 * sum(contrib)) // sum(wgt))::BIGINT AS ewma_milli,
+              abs(1000 * max(n)
+                - (1000 * sum(contrib)) // sum(wgt))::BIGINT AS spread_milli
+       FROM j GROUP BY 1, 2""",
     // r13m: equi-depth histogram — value-granular bucket assignment
     // over the domain-bounded whole-dollar histogram
     "equi_depth_hist" -> """

@@ -5732,6 +5732,64 @@ object DataOps {
         (col("key") % 1000000).as("fp_pos"))
   }
 
+  private[graft] val TCloseBucket = 64L
+  private[graft] val TClosePpm = 200000L
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the release-privacy ladder after [[kAnonymity]] (group
+    * size) and l-diversity (sensitive-value variety): per
+    * quasi-identifier class (lang, source), the EARTH-MOVER distance
+    * between the class's distribution over the ORDERED sensitive
+    * attribute (length bucket, n_chars div [[TCloseBucket]]) and the
+    * corpus-wide distribution. A class can be large AND diverse yet
+    * still leak — its lengths may concentrate far from the population —
+    * which is exactly what EMD sees and the first two rungs cannot.
+    * For an ordered attribute EMD is the mean |CDF gap| over the m-grid
+    * points; everything stays EXACT integer by cross-multiplying the
+    * two CDFs onto the common denominator n_c·N:
+    * emd_ppm = 10⁶·Σ|N·cumcⱼ − n_c·cumgⱼ| div ((m−1)·n_c·N).
+    *
+    * Scale shape: one corpus shuffle to the (class, bucket) cells
+    * (value-domain-bounded); the CDF windows, the grid fill and the
+    * final fold all move that bounded frame. (BIGINT headroom: the
+    * cross-product N·n_c caps at corpus², safe to ~3e9 docs.)
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $TCloseBucket").as("b"))
+      .agg(count(lit(1)).as("c"))
+    cachedScope(cells) {
+      val spine = cells.select(col("b")).distinct()
+      val m = spine.agg(count(lit(1)).as("m"))
+      val glob = cells.groupBy(col("b")).agg(sum(col("c")).as("g"))
+      val tot = glob.agg(sum(col("g")).as("tot"))
+      val classes = cells.groupBy(col("lang"), col("source"))
+        .agg(sum(col("c")).as("n_c"))
+      val gcdf = glob
+        .withColumn("cumg", sum(col("g")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("b"), col("cumg"))
+      classes.crossJoin(broadcast(spine))
+        .join(cells, Seq("lang", "source", "b"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cumc", sum(col("c")).over(
+          Window.partitionBy(col("lang"), col("source")).orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(gcdf), "b")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+        .groupBy(col("lang"), col("source"))
+        .agg(max(col("n_c")).as("n_c"),
+          sum(abs(col("tot") * col("cumc") - col("n_c") * col("cumg")))
+            .as("sd"),
+          max(col("m")).as("m"), max(col("tot")).as("tot"))
+        .select(col("lang"), col("source"), col("n_c"),
+          expr(s"CASE WHEN m > 1 THEN (1000000 * sd) div ((m - 1) * n_c * tot) ELSE 0 END")
+            .as("emd_ppm"))
+        .withColumn("exceeds_t", col("emd_ppm") > TClosePpm)
+    }
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -6527,6 +6585,38 @@ object DataOps {
         FROM cl x JOIN cl y
           ON y.n_chars = x.n_chars AND y.lang > x.lang
         GROUP BY 1, 2""",
+      // r13q t-closeness: exact-integer ordered EMD — class CDF vs the
+      // corpus CDF cross-multiplied onto the common denominator n_c*N
+      "t_closeness" -> s"""
+        WITH cells AS (SELECT lang, source,
+                         n_chars // $TCloseBucket AS b, count(*)::BIGINT AS c
+                       FROM documents GROUP BY 1, 2, 3),
+        spine AS (SELECT DISTINCT b FROM cells),
+        m AS (SELECT count(*)::BIGINT AS m FROM spine),
+        gtab AS (SELECT b, sum(c)::BIGINT AS g FROM cells GROUP BY 1),
+        tot AS (SELECT sum(g)::BIGINT AS tot FROM gtab),
+        gcdf AS (SELECT b, (sum(g) OVER (ORDER BY b))::BIGINT AS cumg
+                 FROM gtab),
+        cls AS (SELECT lang, source, sum(c)::BIGINT AS n_c
+                FROM cells GROUP BY 1, 2),
+        grid AS (SELECT cl.lang, cl.source, cl.n_c, s.b,
+                   coalesce(ce.c, 0)::BIGINT AS c
+                 FROM cls cl CROSS JOIN spine s
+                 LEFT JOIN cells ce ON ce.lang = cl.lang
+                   AND ce.source = cl.source AND ce.b = s.b),
+        cdf AS (SELECT lang, source, n_c, b,
+                  (sum(c) OVER (PARTITION BY lang, source ORDER BY b))::BIGINT
+                    AS cumc FROM grid),
+        e AS (SELECT c.lang, c.source, max(c.n_c)::BIGINT AS n_c,
+                (CASE WHEN max(m.m) > 1
+                      THEN (1000000 * sum(abs(t.tot * c.cumc
+                             - c.n_c * g.cumg)))
+                           // ((max(m.m) - 1) * max(c.n_c) * max(t.tot))
+                      ELSE 0 END)::BIGINT AS emd_ppm
+              FROM cdf c JOIN gcdf g ON g.b = c.b
+              CROSS JOIN tot t CROSS JOIN m GROUP BY 1, 2)
+        SELECT lang, source, n_c, emd_ppm,
+               emd_ppm > $TClosePpm AS exceeds_t FROM e""",
       // KS two-sample: ppm-quantized CDFs on the distinct-value grid,
       // max deviation per language vs the pooled corpus
       "ks_test" -> """

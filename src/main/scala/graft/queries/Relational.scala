@@ -2236,4 +2236,119 @@ object Relational {
         .localCheckpoint(true)
     } finally { h.unpersist(blocking = false); () }
   }
+
+  /** Exact per-day distinct users via 32-bit bitmap words — the
+    * MERGEABLE exact-distinct shape (the roaring-bitmap warehouse
+    * trick, e.g. Doris/ClickHouse bitmap aggregates): user ids land in
+    * word `uid div 32`, bit `uid % 32`; `bit_or` over (day, word) is a
+    * partial-aggregable integer aggregate, and popcount-sum recovers
+    * the EXACT distinct count. Where `count(distinct)` reshuffles raw
+    * (day, user) pairs on every re-aggregation, the word cells ADD
+    * across slices (`bit_or` again) — the additive-cell contract that
+    * makes exact distincts maintainable incrementally and mergeable
+    * across partitions/days at 100 TB. n_words audits the compression
+    * (cells moved vs distincts counted).
+    *
+    * Scale shape: one partial-aggregable shuffle onto (day, word) —
+    * bounded by days × (id-domain/32), independent of event count —
+    * then a days-bounded popcount collapse.
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        expr("user_id div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+          .as("m"))
+      .groupBy(col("day"), col("word"))
+      .agg(expr("bit_or(m)").as("mask"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(bit_count(col("mask")).cast("long")).as("n_users"))
+
+  /** Seasonal-naive forecast backtest (MASE discipline, Hyndman &
+    * Koehler 2006): per event type, walk the daily-count series and
+    * score two zero-parameter forecasters — naive (yesterday's count)
+    * and seasonal-naive (the count 7 days ago) — on every day where
+    * both are defined. MAE in micro-events by integer div;
+    * `mase_ppm` = Σ|seasonal err| / Σ|naive err| in ppm, the
+    * scale-free ratio (< 1M means weekly seasonality is real signal).
+    * The lag is over the zero-filled day SPINE, so calendar gaps
+    * cannot silently shorten the horizon.
+    *
+    * Scale shape: one partial-aggregable shuffle to the (type, day)
+    * cells; the spine fill, lags and the final fold all move the
+    * days × types bounded frame.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    daily.cache()
+    try {
+      val spine = daily.select(col("d")).distinct()
+      val types = daily.select(col("event_type")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val filled = broadcast(types).crossJoin(spine)
+        .join(daily, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("n"))
+      filled
+        .withColumn("f1", lag(col("n"), 1).over(w))
+        .withColumn("f7", lag(col("n"), 7).over(w))
+        .filter(col("f7").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("n") - col("f1"))).as("ae1"),
+          sum(abs(col("n") - col("f7"))).as("ae7"))
+        .select(col("event_type"), col("n_eval"),
+          expr("(1000000 * ae1) div n_eval").as("mae_naive_micro"),
+          expr("(1000000 * ae7) div n_eval").as("mae_seasonal_micro"),
+          expr("CASE WHEN ae1 > 0 THEN (1000000 * ae7) div ae1 END")
+            .as("mase_ppm"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
+  /** Dyadic window width for [[ewmaDaily]]: weights 2⁻ᵏ beyond k = 30
+    * are < 10⁻⁹ — invisible at milli quantization — so the trailing
+    * window is truncated there, which simultaneously (a) keeps the
+    * milli-scaled numerator within BIGINT for daily cells up to ~4M
+    * events (the 2⁴⁰ first cut overflowed exactly here at sf1) and
+    * (b) bounds the join fan-out to 31 rows per cell at any horizon.
+    */
+  private[graft] val EwmaLagMax = 30
+
+  /** EWMA-smoothed daily volume per type, EXACTLY: with α = 1/2 every
+    * weight is a dyadic rational, so the trailing-[[EwmaLagMax]]-day
+    * smoother is a ratio of two BIGINTs — numerator Σ n₍d₋k₎·2⁽⁴⁰⁻ᵏ⁾,
+    * denominator Σ 2⁽⁴⁰⁻ᵏ⁾ over the PRESENT spine days — and
+    * `ewma_milli` is one integer div. No float powers, no recurrence
+    * (Spark has no running-state window), no cross-engine drift: the
+    * closed form makes the sequential filter a plain bounded
+    * range-join, the same move as the bucketed as-of join. The spread
+    * between n and its EWMA is the classic volume-drift monitor next
+    * to [[cusumDaysOn]]'s change-point scan.
+    *
+    * Scale shape: one partial-aggregable shuffle to (type, day) cells;
+    * the lag join replicates that bounded frame ≤ 41×.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    daily.cache()
+    try {
+      daily.as("a")
+        .join(daily.as("b"), col("b.event_type") === col("a.event_type") &&
+          col("b.d") <= col("a.d") && col("b.d") > col("a.d") - (EwmaLagMax + 1))
+        .select(col("a.event_type").as("event_type"), col("a.d").as("d"),
+          col("a.n").as("n"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($EwmaLagMax - (a.d - b.d) AS INT))")
+            .as("wgt"),
+          (col("b.n") * expr(s"shiftleft(CAST(1 AS BIGINT), CAST($EwmaLagMax - (a.d - b.d) AS INT))"))
+            .as("contrib"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(max(col("n")).as("n"), sum(col("contrib")).as("num"),
+          sum(col("wgt")).as("den"))
+        .select(col("event_type"), col("d"), col("n"),
+          expr("(1000 * num) div den").as("ewma_milli"),
+          expr("abs(1000 * n - (1000 * num) div den)").as("spread_milli"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
 }

@@ -238,7 +238,11 @@ class PlanBudgetSpec extends SparkSpec {
     // the other two checkpoint bounded tails
     "session_funnel" -> 2,
     "revenue_lorenz" -> 0,
-    "minhash_estimate" -> 0)
+    "minhash_estimate" -> 0,
+    // r13q: bitmap_distinct is exactly two partial-aggregable shuffles
+    // (the (day, word) bit_or cells, then the day popcount collapse);
+    // the other three r13q operators checkpoint bounded tails
+    "bitmap_distinct" -> 2)
   // r13j: bfs_hosts / theil_sen are eagerly checkpointed — BFS is 2
   // host-table shuffles per round (join + min-fold), checkpointed per
   // round like every iterative operator; theil_sen's tail runs entirely
