@@ -163,6 +163,13 @@ object SparkEntry {
     "t_closeness" -> (DataOps.tCloseness _),
     "forecast_backtest" -> (Relational.forecastBacktest _),
     "ewma_daily" -> (Relational.ewmaDaily _),
+    // r13r: the correlation family — host-graph degree assortativity
+    // (exact integer, no sqrt by symmetry), Spearman quality-vs-length
+    // (exact ranks, IEEE-pinned final ratio), lagged view→purchase
+    // cross-correlation.
+    "degree_assortativity" -> (DataOps.degreeAssortativity _),
+    "spearman_rank" -> (DataOps.spearmanRank _),
+    "xcorr_daily" -> (Relational.xcorrDaily _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),
@@ -983,6 +990,37 @@ object SparkEntry {
               abs(1000 * max(n)
                 - (1000 * sum(contrib)) // sum(wgt))::BIGINT AS spread_milli
        FROM j GROUP BY 1, 2""",
+    // r13r: lagged view→purchase cross-correlation — exact BIGINT
+    // moments on the zero-filled spine, IEEE-pinned final ratio
+    "xcorr_daily" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1, 2),
+       spine AS (SELECT DISTINCT d FROM daily),
+       x AS (SELECT s.d, coalesce(dd.n, 0)::BIGINT AS x FROM spine s
+             LEFT JOIN daily dd ON dd.d = s.d AND dd.event_type = 'view'),
+       y AS (SELECT s.d AS dy, coalesce(dd.n, 0)::BIGINT AS y FROM spine s
+             LEFT JOIN daily dd
+               ON dd.d = s.d AND dd.event_type = 'purchase'),
+       l AS (SELECT unnest(range(-3, 4))::BIGINT AS lag),
+       m AS (SELECT l.lag, count(*)::BIGINT AS n_days,
+               sum(x.x)::BIGINT AS sx, sum(y.y)::BIGINT AS sy,
+               sum(x.x * x.x)::BIGINT AS sxx, sum(y.y * y.y)::BIGINT AS syy,
+               sum(x.x * y.y)::BIGINT AS sxy
+             FROM x CROSS JOIN l JOIN y ON x.d + l.lag = y.dy
+             GROUP BY 1),
+       r AS (SELECT lag, n_days,
+               (n_days * sxy - sx * sy)::BIGINT AS num,
+               (n_days * sxx - sx * sx)::BIGINT AS denx,
+               (n_days * syy - sy * sy)::BIGINT AS deny FROM m)
+       SELECT lag, n_days,
+              (CASE WHEN denx > 0 AND deny > 0 THEN
+                 floor(1000 * num::DOUBLE
+                   / sqrt(denx::DOUBLE * deny::DOUBLE))
+               ELSE 0 END)::BIGINT AS r_milli
+       FROM r""",
     // r13m: equi-depth histogram — value-granular bucket assignment
     // over the domain-bounded whole-dollar histogram
     "equi_depth_hist" -> """

@@ -5790,6 +5790,102 @@ object DataOps {
     }
   }
 
+  /** Degree assortativity of the host graph (Newman 2002) — the fifth
+    * graph face next to components/PageRank/BFS/triangles: do
+    * well-connected hosts link to other well-connected hosts (r > 0,
+    * social-network shape) or to leaves (r < 0, hub-and-spoke crawl
+    * shape)? Computed over the SYMMETRIZED undirected edge list, where
+    * Pearson's r needs NO square root — Σx = Σy and Σx² = Σy² by
+    * symmetry, so r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) is one exact
+    * integer ratio, milli-quantized by `div` (trunc-div semantics match
+    * DuckDB's `//` on negatives — verified, not assumed).
+    *
+    * Scale shape: the graph lives on the host alphabet (the shared
+    * [[hostGraph]] bound); degrees broadcast onto the edge list and the
+    * fold is one row. (BIGINT headroom: M·Σxy caps at 4m²·dmax² —
+    * safe past 10⁶ edges of degree 10³.)
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = hostGraph(spark, dir)
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    cachedScope(und) {
+      val deg = und.select(col("a").as("h"))
+        .unionAll(und.select(col("b").as("h")))
+        .groupBy(col("h")).agg(count(lit(1)).as("dg"))
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      sym
+        .join(broadcast(deg.select(col("h").as("u"), col("dg").as("x"))), "u")
+        .join(broadcast(deg.select(col("h").as("v"), col("dg").as("y"))), "v")
+        .agg(count(lit(1)).as("m2"), sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(expr("m2 div 2").as("n_edges"),
+          expr("m2 * sxy - sx * sx").as("num"),
+          expr("m2 * sxx - sx * sx").as("den"))
+        .select(col("n_edges"), col("num"), col("den"),
+          expr("CASE WHEN den > 0 THEN (1000 * num) div den END")
+            .as("r_milli"))
+    }
+  }
+
+  /** Spearman rank correlation between document quality and length —
+    * the monotone-dependence question behind the quality-gate design
+    * ("is the score just length in disguise?"), answered exactly:
+    * average ranks with ties are computed on the VALUE-HISTOGRAM frames
+    * (doubled to stay integer: R = 2·cum_prev + c + 1), all six moment
+    * sums are exact integers off the joint (score, length) cell
+    * histogram, and only the final ratio runs in float — num, denx,
+    * deny are exact DECIMAL(38) integers (n·Σxy tops BIGINT at ~39k
+    * docs), rho_milli = floor(1000·num/√(denx·deny)) with the cast and
+    * operation order pinned identically in both engines (decimal→double
+    * and sqrt are IEEE correctly-rounded, so the doubles are equal, the
+    * kmeans order-pinned-fold argument).
+    *
+    * Scale shape: one corpus shuffle to the joint histogram (bounded by
+    * the two value domains); rank frames broadcast back onto it; the
+    * fold is one row.
+    */
+  def spearmanRank(spark: SparkSession, dir: String): DataFrame = {
+    val q = docQualityOn(toks(spark, dir))
+      .select(col("doc_id"), col("score_milli"))
+    val len = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+    val cells = q.join(len, "doc_id")
+      // NULL-score docs (zero tokens) are excluded on BOTH sides — the
+      // pareto_front lesson: encode the edge rule, don't inherit one
+      .filter(col("score_milli").isNotNull)
+      .groupBy(col("score_milli").as("s"), col("n_chars").as("l"))
+      .agg(count(lit(1)).as("c"))
+    cachedScope(cells) {
+      def rankFrame(key: String, out: String) = cells
+        .groupBy(col(key)).agg(sum(col("c")).as("ck"))
+        .withColumn("cum", sum(col("ck")).over(Window.orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col(key),
+          (lit(2L) * (col("cum") - col("ck")) + col("ck") + 1).as(out))
+      cells
+        .join(broadcast(rankFrame("s", "rx")), "s")
+        .join(broadcast(rankFrame("l", "ry")), "l")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * col("rx")).as("sx"),
+          sum(col("c") * col("ry")).as("sy"),
+          sum(col("c") * col("rx") * col("rx")).as("sxx"),
+          sum(col("c") * col("ry") * col("ry")).as("syy"),
+          sum(col("c") * col("rx") * col("ry")).as("sxy"))
+        .select(col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("denx"),
+          expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("deny"))
+        .select(col("n"),
+          expr("""CASE WHEN denx > 0 AND deny > 0 THEN
+                    CAST(floor(1000 * CAST(num AS DOUBLE)
+                      / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)))
+                      AS BIGINT)
+                  ELSE 0 END""").as("rho_milli"))
+    }
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -6762,6 +6858,54 @@ object DataOps {
         FROM hits WHERE n_terms = ${SearchTerms.length}
         QUALIFY rank <= 20"""
     base ++ Map(
+      // r13r: degree assortativity on the shared factored host graph —
+      // symmetrized edges make Pearson's r one exact integer ratio
+      "degree_assortativity" -> s"""$hostGraphCtes,
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges),
+        deg AS (SELECT h, count(*)::BIGINT AS dg FROM
+                  (SELECT a AS h FROM und UNION ALL SELECT b FROM und)
+                GROUP BY 1),
+        sym AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+        s AS (SELECT count(*)::BIGINT AS m2, sum(dx.dg)::BIGINT AS sx,
+                sum(dx.dg * dy.dg)::BIGINT AS sxy,
+                sum(dx.dg * dx.dg)::BIGINT AS sxx
+              FROM sym JOIN deg dx ON dx.h = sym.u
+              JOIN deg dy ON dy.h = sym.v),
+        f AS (SELECT m2 // 2 AS n_edges, (m2 * sxy - sx * sx)::BIGINT AS num,
+                (m2 * sxx - sx * sx)::BIGINT AS den FROM s)
+        SELECT n_edges::BIGINT AS n_edges, num, den,
+               (CASE WHEN den > 0 THEN (1000 * num) // den END)::BIGINT
+                 AS r_milli
+        FROM f""",
+      // r13r: Spearman quality-vs-length — doubled average ranks on the
+      // value-histogram frames, exact HUGEINT moments, IEEE-pinned ratio
+      "spearman_rank" -> s"""
+        WITH q AS (${base("doc_quality")}),
+        pairs AS (SELECT q.score_milli AS s, d.n_chars AS l
+                  FROM q JOIN documents d ON d.doc_id = q.doc_id
+                  WHERE q.score_milli IS NOT NULL),
+        cells AS (SELECT s, l, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+        rx AS (SELECT s, (2 * (sum(ck) OVER (ORDER BY s) - ck) + ck + 1)::BIGINT AS rx
+               FROM (SELECT s, sum(c)::BIGINT AS ck FROM cells GROUP BY 1)),
+        ry AS (SELECT l, (2 * (sum(ck) OVER (ORDER BY l) - ck) + ck + 1)::BIGINT AS ry
+               FROM (SELECT l, sum(c)::BIGINT AS ck FROM cells GROUP BY 1)),
+        m AS (SELECT sum(c)::BIGINT AS n,
+                sum(c * rx.rx)::BIGINT AS sx, sum(c * ry.ry)::BIGINT AS sy,
+                sum(c * rx.rx * rx.rx)::BIGINT AS sxx,
+                sum(c * ry.ry * ry.ry)::BIGINT AS syy,
+                sum(c * rx.rx * ry.ry)::BIGINT AS sxy
+              FROM cells JOIN rx ON rx.s = cells.s JOIN ry ON ry.l = cells.l),
+        r AS (SELECT n, n::HUGEINT * sxy - sx::HUGEINT * sy AS num,
+                n::HUGEINT * sxx - sx::HUGEINT * sx AS denx,
+                n::HUGEINT * syy - sy::HUGEINT * sy AS deny FROM m)
+        SELECT n,
+               (CASE WHEN denx > 0 AND deny > 0 THEN
+                  floor(1000 * num::DOUBLE
+                    / sqrt(denx::DOUBLE * deny::DOUBLE))
+                ELSE 0 END)::BIGINT AS rho_milli
+        FROM r""",
       // r13f: Count-Min registers on the token histogram — 4 rows x 512
       // exact BIGINT counters, estimate = min over rows for the exact
       // top-20 tokens (is_over carries the one-sided guarantee)

@@ -2329,6 +2329,55 @@ object Relational {
     * Scale shape: one partial-aggregable shuffle to (type, day) cells;
     * the lag join replicates that bounded frame ≤ 41×.
     */
+  /** Lagged cross-correlation between the view and purchase daily
+    * series (±3-day lags) — the lead/lag question behind campaign
+    * analysis: do views PREDICT purchases k days out (peak at positive
+    * lag) or trail them? Per lag, Pearson's r over all spine days where
+    * both shifted series exist: the six moment sums are exact BIGINTs
+    * off the zero-filled (day → count) cells, num/denx/deny exact, and
+    * only the final ratio runs in float — r_milli =
+    * floor(1000·num/√(denx·deny)) with cast and operation order pinned
+    * identically in both engines (IEEE-correctly-rounded double ops on
+    * equal integer inputs, the spearman/kmeans argument).
+    *
+    * Scale shape: one partial-aggregable shuffle to the two daily
+    * series; the 7-lag replication, the shifted join and the fold all
+    * move the days-bounded frame.
+    */
+  def xcorrDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeOf(t(spark, dir, "events"))
+      .filter(col("event_type").isin("view", "purchase"))
+    daily.cache()
+    try {
+      val spine = daily.select(col("d")).distinct()
+      def series(tpe: String, out: String) = spine
+        .join(daily.filter(col("event_type") === tpe), Seq("d"), "left")
+        .na.fill(0L, Seq("n")).select(col("d"), col("n").as(out))
+      val x = series("view", "x")
+      val y = series("purchase", "y").withColumnRenamed("d", "dy")
+      val lags = spark.range(-3, 4).select(col("id").as("lag"))
+      x.crossJoin(broadcast(lags))
+        .join(y, col("d") + col("lag") === col("dy"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lag"), col("n_days"),
+          expr("n_days * sxy - sx * sy").as("num"),
+          expr("n_days * sxx - sx * sx").as("denx"),
+          expr("n_days * syy - sy * sy").as("deny"))
+        .select(col("lag"), col("n_days"),
+          expr("""CASE WHEN denx > 0 AND deny > 0 THEN
+                    CAST(floor(1000 * CAST(num AS DOUBLE)
+                      / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)))
+                      AS BIGINT)
+                  ELSE 0 END""").as("r_milli"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
   def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyByTypeOf(t(spark, dir, "events"))
     daily.cache()
