@@ -170,6 +170,11 @@ object SparkEntry {
     "degree_assortativity" -> (DataOps.degreeAssortativity _),
     "spearman_rank" -> (DataOps.spearmanRank _),
     "xcorr_daily" -> (Relational.xcorrDaily _),
+    // r13s: the distributed half of PCA (exact integer moment matrix;
+    // the Jacobi projection is its spec-bounded consumer) and the
+    // graded integer face of the Stupid-Backoff LM gate.
+    "embedding_moments" -> (DataOps.embeddingMoments _),
+    "sb_doc_score" -> (DataOps.sbDocScore _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),

@@ -1863,6 +1863,23 @@ object DataOps {
     finally { counts.unpersist(blocking = false); () }
   }
 
+  /** The shared per-position lookup-key frame of the Stupid-Backoff
+    * scorers — one definition so [[sbScoreOn]] (float log-score) and
+    * [[sbDocScore]] (graded integer face) cannot drift on the
+    * position/backoff-key rules.
+    */
+  private def sbPositions(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), col("lang"), col("w"),
+        posexplode(col("w")).as(Seq("i0", "wi")))
+      .select(col("doc_id"), col("lang"), (col("i0") + 1).as("pos"), col("wi"),
+        expr("IF(i0 >= 1, element_at(w, i0), NULL)").as("prev"),
+        expr("IF(i0 >= 2, element_at(w, i0 - 1), NULL)").as("prev2"))
+      .select(col("doc_id"), col("lang"), col("pos"), col("wi"), col("prev"),
+        concat_ws(" ", col("prev"), col("wi")).as("bik"),
+        concat_ws(" ", col("prev2"), col("prev"), col("wi")).as("trik"),
+        concat_ws(" ", col("prev2"), col("prev")).as("ctx2k"))
+
   /** Pre-checkpoint body of [[sbScore]] — exposed so PlanShapeSpec can
     * pin the five BROADCAST lookups (the public operator's eager
     * checkpoint collapses its visible plan): at 100 TB a planner that
@@ -1879,16 +1896,7 @@ object DataOps {
       val tri = counts.filter(col("n") === 3)
         .select(col("gram"), col("cnt"))
       val nTotal = uni.agg(sum(col("cnt"))).head().getLong(0).toDouble
-      val pos = toks(spark, dir)
-        .select(col("doc_id"), col("lang"), col("w"),
-          posexplode(col("w")).as(Seq("i0", "wi")))
-        .select(col("doc_id"), col("lang"), (col("i0") + 1).as("pos"), col("wi"),
-          expr("IF(i0 >= 1, element_at(w, i0), NULL)").as("prev"),
-          expr("IF(i0 >= 2, element_at(w, i0 - 1), NULL)").as("prev2"))
-        .select(col("doc_id"), col("lang"), col("pos"), col("wi"), col("prev"),
-          concat_ws(" ", col("prev"), col("wi")).as("bik"),
-          concat_ws(" ", col("prev2"), col("prev"), col("wi")).as("trik"),
-          concat_ws(" ", col("prev2"), col("prev")).as("ctx2k"))
+      val pos = sbPositions(spark, dir)
       def lk(tbl: DataFrame, key: String, out: String) =
         broadcast(tbl.select(col("gram").as(key), col("cnt").as(out)))
       val scoredPos = pos
@@ -5886,6 +5894,193 @@ object DataOps {
     }
   }
 
+  /** Graded INTEGER face of [[sbScore]] (the N110/N111 "integer face"
+    * discipline): every per-position Stupid-Backoff ratio is emitted as
+    * a ppm-quantized integer — 10⁶·c(tri)/c(ctx₂), backing off to
+    * α·10⁶·c(bi)/c(ctx₁) then α²·10⁶·c(uni)/N with α = 0.4 folded into
+    * the integer multipliers (400000/160000) — and the per-doc sum and
+    * integer-div mean are exactly SQL-replayable, so the LM GATE itself
+    * grades cross-engine while the float log-score stays the
+    * spec-bounded sibling. Quantized-likelihood, not log-likelihood:
+    * monotone in each ratio, which is all a rank-and-threshold gate
+    * consumes.
+    *
+    * Scale shape = [[sbScoreOn]]'s: five BROADCAST n-gram lookups
+    * against the per-position explode (the language-bounded-table
+    * argument), one per-doc partial-aggregable re-aggregation, N one
+    * driver scalar.
+    */
+  def sbDocScore(spark: SparkSession, dir: String): DataFrame = {
+    val counts = sbNgramCounts(spark, dir)
+    counts.cache()
+    try {
+      val uni = counts.filter(col("n") === 1).select(col("gram"), col("cnt"))
+      val bi = counts.filter(col("n") === 2).select(col("gram"), col("cnt"))
+      val tri = counts.filter(col("n") === 3).select(col("gram"), col("cnt"))
+      val nTotal = uni.agg(sum(col("cnt"))).head().getLong(0)
+      def lk(tbl: DataFrame, key: String, out: String) =
+        broadcast(tbl.select(col("gram").as(key), col("cnt").as(out)))
+      sbPositions(spark, dir)
+        .join(lk(tri, "trik", "c_tri"), Seq("trik"), "left")
+        .join(lk(bi, "bik", "c_bi"), Seq("bik"), "left")
+        .join(lk(bi, "ctx2k", "c_ctx2"), Seq("ctx2k"), "left")
+        .join(lk(uni, "wi", "c_uni"), Seq("wi"), "left")
+        .join(lk(uni, "prev", "c_ctx1"), Seq("prev"), "left")
+        .select(col("doc_id"), expr(
+          s"""CASE
+              WHEN pos >= 3 AND c_tri IS NOT NULL
+                THEN (1000000 * c_tri) div c_ctx2
+              WHEN pos >= 3 AND c_bi IS NOT NULL
+                THEN (400000 * c_bi) div c_ctx1
+              WHEN pos >= 3
+                THEN (160000 * coalesce(c_uni, 1)) div ${nTotal}L
+              WHEN pos = 2 AND c_bi IS NOT NULL
+                THEN (1000000 * c_bi) div c_ctx1
+              WHEN pos = 2
+                THEN (400000 * coalesce(c_uni, 1)) div ${nTotal}L
+              ELSE (1000000 * coalesce(c_uni, 1)) div ${nTotal}L
+              END""").as("score_ppm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("score_ppm")).as("sum_ppm"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_ppm"),
+          expr("sum_ppm div n_tokens").as("avg_ppm"))
+        .localCheckpoint(true)
+    } finally { counts.unpersist(blocking = false); () }
+  }
+
+  private[graft] val EmbDim = 64
+
+  /** Exact second-moment matrix of the embedding table — the
+    * distributed half of PCA (and of any covariance consumer: whitening,
+    * Mahalanobis gates, OOD scores): per dimension pair i ≤ j, the
+    * count and the EXACT integer sums Σxᵢxⱼ, Σxᵢ, Σxⱼ in micro units.
+    * The generator's floats are exact micro-multiples, so
+    * round(x·10⁶) recovers the integer losslessly in BOTH engines
+    * (float→double is exact, the int8_codes bit-determinism argument) —
+    * the whole moment matrix grades against DuckDB with no float sums
+    * anywhere. Covariance follows as (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n² downstream.
+    *
+    * Scale shape: NO join — each vector emits its own d(d+1)/2 products
+    * in one projection (the flatten-transform pair enumeration), and the
+    * single partial-aggregable shuffle lands on the d²-bounded cell
+    * frame. At 100 TB the map side collapses everything; only 2080
+    * cells move. (BIGINT headroom: 10¹² per product — safe to ~9M
+    * vectors per cell; beyond that, per-partition DECIMAL re-aggregation.)
+    */
+  def embeddingMoments(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("q"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${EmbDim - 1}), i ->
+              transform(sequence(i, ${EmbDim - 1}), j ->
+                struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                  q[i] * q[j] AS p, q[i] AS xi, q[j] AS xj))))""")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("sxy"),
+        sum(col("c.xi")).as("si"), sum(col("c.xj")).as("sj"))
+
+  /** PCA projection onto the top-k principal components — the classic
+    * dimensionality reducer, split the only way it scales: the
+    * DISTRIBUTED half is [[embeddingMoments]] (one linear scan to d²
+    * exact cells, the graded entry), the DRIVER half is a cyclic Jacobi
+    * eigensolver on the assembled d×d covariance (d = 64 — a bounded
+    * frame by construction, the audited `.collect()` pattern), and the
+    * projection broadcasts the k eigenvector literals back into one
+    * zero-shuffle map over the corpus. Deterministic end to end: fixed
+    * sweep order, fixed rotation sign convention (largest-|component|
+    * positive), no RNG. Spec-bounded (floats): eigenvalue sum = trace,
+    * per-component projected variance = its eigenvalue, orthonormality.
+    */
+  def pcaProject(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val cells = embeddingMoments(spark, dir).collect() // ≤ d(d+1)/2 rows
+    val d = EmbDim
+    val n = cells.head.getAs[Long]("n").toDouble
+    val cov = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      val c = (n * r.getAs[Long]("sxy") -
+        r.getAs[Long]("si").toDouble * r.getAs[Long]("sj")) / (n * n) / 1e12
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (eval, evec) = jacobiEigen(cov)
+    val top = eval.zipWithIndex.sortBy(-_._1).take(k).map(_._2)
+    val vecs = top.map { c =>
+      val v = Array.tabulate(d)(r => evec(r)(c))
+      // sign convention: the largest-|component| entry is positive
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(m) < 0) v.map(-_) else v
+    }
+    val mean = {
+      val mu = Array.ofDim[Double](d)
+      cells.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j")).foreach { r =>
+        mu(r.getAs[Long]("i").toInt) = r.getAs[Long]("si") / n / 1e6
+      }
+      mu
+    }
+    val proj = vecs.zipWithIndex.map { case (v, c) =>
+      expr(s"""aggregate(zip_with(embedding, zip_with(
+          ${v.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ",", ")")},
+          ${mean.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ",", ")")},
+          (vv, mm) -> struct(vv AS v, mm AS m)),
+        (x, p) -> (CAST(x AS DOUBLE) - p.m) * p.v),
+        CAST(0 AS DOUBLE), (a, y) -> a + y)""").as(s"pc${c + 1}")
+    }
+    emb(spark, dir).select(col("vec_id") +: proj: _*)
+  }
+
+  /** Cyclic Jacobi eigensolver for a small symmetric matrix — fixed
+    * (p, q) sweep order, convergence on off-diagonal Frobenius mass;
+    * returns (eigenvalues, column eigenvectors). Driver-side only, on
+    * provably bounded frames (d = 64).
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    while (off() > 1e-18 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB 1.0 oracle SQL, one per query above, built from the same
@@ -6858,6 +7053,73 @@ object DataOps {
         FROM hits WHERE n_terms = ${SearchTerms.length}
         QUALIFY rank <= 20"""
     base ++ Map(
+      // r13s: exact integer second-moment matrix — micro units recovered
+      // losslessly from the float column in both engines
+      "embedding_moments" -> """
+        WITH e AS (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> {'i': (i - 1)::BIGINT,
+                       'q': CAST(round(embedding[i]::DOUBLE * 1000000)
+                              AS BIGINT)})) AS u
+             FROM embeddings),
+        f AS (SELECT vec_id, u.i AS i, u.q AS q FROM e)
+        SELECT a.i, b.i AS j, count(*)::BIGINT AS n,
+               sum(a.q * b.q)::BIGINT AS sxy,
+               sum(a.q)::BIGINT AS si, sum(b.q)::BIGINT AS sj
+        FROM f a JOIN f b ON b.vec_id = a.vec_id AND b.i >= a.i
+        GROUP BY 1, 2""",
+      // r13s: integer Stupid-Backoff doc score — ppm-quantized backoff
+      // ratios, alpha = 0.4 folded into the multipliers
+      "sb_doc_score" -> """
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
+                  SELECT unnest(w) AS gram FROM tk) GROUP BY 1),
+        bi AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
+                 SELECT unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS gram FROM tk) GROUP BY 1),
+        tri AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
+                  SELECT unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+                  FROM tk) GROUP BY 1),
+        tot AS (SELECT sum(cnt)::BIGINT AS nt FROM uni),
+        p AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                i -> {'pos': i, 'wi': w[i],
+                      'prev': CASE WHEN i >= 2 THEN w[i-1] END,
+                      'prev2': CASE WHEN i >= 3 THEN w[i-2] END})) AS u
+              FROM tk),
+        q AS (SELECT doc_id, u.pos AS pos, u.wi AS wi, u.prev AS prev,
+                CASE WHEN u.prev IS NOT NULL
+                     THEN u.prev || ' ' || u.wi END AS bik,
+                CASE WHEN u.prev2 IS NOT NULL
+                     THEN u.prev2 || ' ' || u.prev || ' ' || u.wi END AS trik,
+                CASE WHEN u.prev2 IS NOT NULL
+                     THEN u.prev2 || ' ' || u.prev END AS ctx2k
+              FROM p),
+        s AS (SELECT q.doc_id,
+                CASE
+                  WHEN q.pos >= 3 AND t3.cnt IS NOT NULL
+                    THEN (1000000 * t3.cnt) // c2.cnt
+                  WHEN q.pos >= 3 AND b2.cnt IS NOT NULL
+                    THEN (400000 * b2.cnt) // c1.cnt
+                  WHEN q.pos >= 3
+                    THEN (160000 * coalesce(u1.cnt, 1)) // tot.nt
+                  WHEN q.pos = 2 AND b2.cnt IS NOT NULL
+                    THEN (1000000 * b2.cnt) // c1.cnt
+                  WHEN q.pos = 2
+                    THEN (400000 * coalesce(u1.cnt, 1)) // tot.nt
+                  ELSE (1000000 * coalesce(u1.cnt, 1)) // tot.nt
+                END AS score_ppm
+              FROM q
+              LEFT JOIN tri t3 ON t3.gram = q.trik
+              LEFT JOIN bi b2 ON b2.gram = q.bik
+              LEFT JOIN bi c2 ON c2.gram = q.ctx2k
+              LEFT JOIN uni u1 ON u1.gram = q.wi
+              LEFT JOIN uni c1 ON c1.gram = q.prev
+              CROSS JOIN tot)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(score_ppm)::BIGINT AS sum_ppm,
+               (sum(score_ppm) // count(*))::BIGINT AS avg_ppm
+        FROM s GROUP BY 1""",
       // r13r: degree assortativity on the shared factored host graph —
       // symmetrized edges make Pearson's r one exact integer ratio
       "degree_assortativity" -> s"""$hostGraphCtes,
