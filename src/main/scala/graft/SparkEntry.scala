@@ -175,6 +175,12 @@ object SparkEntry {
     // graded integer face of the Stupid-Backoff LM gate.
     "embedding_moments" -> (DataOps.embeddingMoments _),
     "sb_doc_score" -> (DataOps.sbDocScore _),
+    // r13t: the hypothesis-test family — chi-squared independence on
+    // the zero-filled contingency grid, exact balanced one-way ANOVA,
+    // tie-corrected Kendall tau-b.
+    "chi2_independence" -> (DataOps.chi2Independence _),
+    "anova_types" -> (Relational.anovaTypes _),
+    "kendall_tau" -> (Relational.kendallTau _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),
@@ -995,6 +1001,54 @@ object SparkEntry {
               abs(1000 * max(n)
                 - (1000 * sum(contrib)) // sum(wgt))::BIGINT AS spread_milli
        FROM j GROUP BY 1, 2""",
+    // r13t: balanced one-way ANOVA — the zero-filled spine equalizes
+    // group sizes, making F one exact integer ratio
+    "anova_types" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       spine AS (SELECT DISTINCT d FROM daily),
+       types AS (SELECT DISTINCT event_type FROM daily),
+       filled AS (SELECT t.event_type, s.d, coalesce(dd.n, 0)::BIGINT AS n
+                  FROM types t CROSS JOIN spine s
+                  LEFT JOIN daily dd
+                    ON dd.event_type = t.event_type AND dd.d = s.d),
+       g AS (SELECT event_type, count(*)::BIGINT AS dd,
+               sum(n)::BIGINT AS sg, sum(n * n)::BIGINT AS qg
+             FROM filled GROUP BY 1),
+       agg AS (SELECT count(*)::BIGINT AS k, max(dd)::BIGINT AS d,
+                 sum(sg)::BIGINT AS s, sum(sg * sg)::BIGINT AS ssg2,
+                 sum(dd * qg - sg * sg)::BIGINT AS b FROM g),
+       f AS (SELECT k, d, (k * d)::BIGINT AS n,
+               (k * ssg2 - s * s)::BIGINT AS a, b FROM agg)
+       SELECT k, d, n, a, b,
+              (CASE WHEN b > 0 AND k > 1 THEN
+                 (1000::HUGEINT * a * (n - k))
+                   // (k::HUGEINT * (k - 1) * b) END)::BIGINT AS f_milli
+       FROM f""",
+    // r13t: Kendall tau-b — exact pair counts, IEEE-pinned ratio
+    "kendall_tau" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       p AS (SELECT a.event_type,
+               CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+                    ELSE 0 END AS sgn
+             FROM daily a JOIN daily b
+               ON b.event_type = a.event_type AND b.d > a.d),
+       m AS (SELECT event_type, count(*)::BIGINT AS n0,
+               (count(*) FILTER (sgn = 1))::BIGINT AS n_c,
+               (count(*) FILTER (sgn = -1))::BIGINT AS n_d,
+               (count(*) FILTER (sgn = 0))::BIGINT AS n_tied
+             FROM p GROUP BY 1)
+       SELECT event_type, n0, n_c, n_d, n_tied,
+              (CASE WHEN n0 > n_tied THEN
+                 floor(1000 * (n_c - n_d)::DOUBLE
+                   / sqrt(n0::DOUBLE * (n0 - n_tied)::DOUBLE))
+               END)::BIGINT AS tau_milli
+       FROM m""",
     // r13r: lagged view→purchase cross-correlation — exact BIGINT
     // moments on the zero-filled spine, IEEE-pinned final ratio
     "xcorr_daily" -> """

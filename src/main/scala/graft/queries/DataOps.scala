@@ -5948,6 +5948,41 @@ object DataOps {
     } finally { counts.unpersist(blocking = false); () }
   }
 
+  /** Chi-squared independence audit of the lang × source contingency
+    * table — the hypothesis-test face next to [[langSourceLift]]'s
+    * per-cell ratios: is source mix independent of language AT ALL, and
+    * which cells carry the dependence? Everything is EXACT integer on
+    * the zero-filled grid (absent cells contribute (r·c)²-mass — the
+    * classic bug this operator refuses): per cell,
+    * contrib_ppm = 10⁶·(O·N − r·c)² div (N·r·c), the χ²/N·10⁶ share,
+    * with DECIMAL(38)/HUGEINT intermediates (O·N squares past BIGINT at
+    * ~50k docs) and trunc-div semantics verified equal in both engines.
+    * Σcontrib_ppm/10⁶ · N = χ² with (L−1)(S−1) dof — the spec folds it.
+    *
+    * Scale shape: one corpus shuffle to the (lang, source) cells; the
+    * grid fill, margins and the per-cell arithmetic move the
+    * alphabet-bounded frame.
+    */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    cachedScope(cells) {
+      val rows = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val cols = cells.groupBy(col("source")).agg(sum(col("o")).as("cc"))
+      val tot = cells.agg(sum(col("o")).as("nt"))
+      broadcast(rows).crossJoin(broadcast(cols))
+        .join(cells, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("o"),
+          expr("(1000 * r * cc) div nt").as("e_milli"),
+          expr("""CAST((1000000 * (CAST(o AS DECIMAL(38,0)) * nt - CAST(r AS DECIMAL(38,0)) * cc)
+                    * (CAST(o AS DECIMAL(38,0)) * nt - CAST(r AS DECIMAL(38,0)) * cc))
+                  div (CAST(nt AS DECIMAL(38,0)) * r * cc) AS BIGINT)""")
+            .as("contrib_ppm"))
+    }
+  }
+
   private[graft] val EmbDim = 64
 
   /** Exact second-moment matrix of the embedding table — the
@@ -7053,6 +7088,26 @@ object DataOps {
         FROM hits WHERE n_terms = ${SearchTerms.length}
         QUALIFY rank <= 20"""
     base ++ Map(
+      // r13t: chi-squared independence on the ZERO-FILLED grid — absent
+      // cells contribute their full (r*c)^2 mass
+      "chi2_independence" -> """
+        WITH cells AS (SELECT lang, source, count(*)::BIGINT AS o
+                       FROM documents GROUP BY 1, 2),
+        rm AS (SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+        cm AS (SELECT source, sum(o)::BIGINT AS cc FROM cells GROUP BY 1),
+        tot AS (SELECT sum(o)::BIGINT AS nt FROM cells),
+        grid AS (SELECT rm.lang, cm.source, rm.r, cm.cc,
+                   coalesce(ce.o, 0)::BIGINT AS o
+                 FROM rm CROSS JOIN cm
+                 LEFT JOIN cells ce
+                   ON ce.lang = rm.lang AND ce.source = cm.source)
+        SELECT g.lang, g.source, g.o,
+               ((1000 * g.r * g.cc) // t.nt)::BIGINT AS e_milli,
+               ((1000000::HUGEINT
+                  * (g.o::HUGEINT * t.nt - g.r::HUGEINT * g.cc)
+                  * (g.o::HUGEINT * t.nt - g.r::HUGEINT * g.cc))
+                 // (t.nt::HUGEINT * g.r * g.cc))::BIGINT AS contrib_ppm
+        FROM grid g CROSS JOIN tot t""",
       // r13s: exact integer second-moment matrix — micro units recovered
       // losslessly from the float column in both engines
       "embedding_moments" -> """

@@ -2329,6 +2329,84 @@ object Relational {
     * Scale shape: one partial-aggregable shuffle to (type, day) cells;
     * the lag join replicates that bounded frame ≤ 41×.
     */
+  /** One-way ANOVA F-statistic for daily volume across event types —
+    * "do the types differ in LEVEL at all?", the omnibus question the
+    * pairwise rank/KS tests condition on. Balanced by construction (the
+    * zero-filled spine gives every type the same D days), which is what
+    * makes the statistic EXACT: with A = k·ΣS_g² − S² (= kD·SSB) and
+    * B = Σ_g(D·Q_g − S_g²) (= D·SSW) from the integer per-group sums,
+    * F = A·(n−k) / (k·(k−1)·B) — one integer ratio, milli-quantized,
+    * DECIMAL(38) intermediates for headroom.
+    *
+    * Scale shape: one partial-aggregable shuffle to (type, day) cells;
+    * the group sums, the two scalars and the fold move the bounded
+    * frame.
+    */
+  def anovaTypes(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    daily.cache()
+    try {
+      val spine = daily.select(col("d")).distinct()
+      val types = daily.select(col("event_type")).distinct()
+      val filled = broadcast(types).crossJoin(spine)
+        .join(daily, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("n"))
+      val g = filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("dd"), sum(col("n")).as("sg"),
+          sum(col("n") * col("n")).as("qg"))
+      g.agg(count(lit(1)).as("k"), max(col("dd")).as("d"),
+          sum(col("sg")).as("s"),
+          sum(col("sg") * col("sg")).as("ssg2"),
+          sum(col("dd") * col("qg") - col("sg") * col("sg")).as("b"))
+        .select(col("k"), col("d"), (col("k") * col("d")).as("n"),
+          expr("k * ssg2 - s * s").as("a"), col("b"))
+        .select(col("k"), col("d"), col("n"), col("a"), col("b"),
+          expr("""CASE WHEN b > 0 AND k > 1 THEN
+                    CAST((1000 * CAST(a AS DECIMAL(38,0)) * (n - k))
+                      div (CAST(k AS DECIMAL(38,0)) * (k - 1) * b) AS BIGINT)
+                  END""").as("f_milli"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
+  /** Kendall tau-b for the daily-volume trend, per type — the
+    * tie-corrected NORMALIZED coefficient next to [[mannKendallOn]]'s
+    * raw S statistic (S alone is not comparable across series lengths;
+    * tau-b ∈ [−1, 1] is): over all day pairs, concordant minus
+    * discordant over √(n₀(n₀ − n₂)) where n₀ = pair count and n₂ =
+    * value-tied pairs (day ties cannot exist — the x-side correction
+    * drops out). The counts are exact integers off the same pair join;
+    * only the final ratio runs in float, IEEE-pinned (the xcorr/spearman
+    * argument).
+    *
+    * Scale shape: the pair join runs on the days-bounded daily frame —
+    * quadratic in DAYS, not events, the Mann-Kendall bound.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    daily.cache()
+    try {
+      daily.as("a")
+        .join(daily.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+        .select(col("a.event_type").as("event_type"),
+          signum(col("b.n") - col("a.n")).cast("long").as("sgn"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n0"),
+          count(when(col("sgn") === 1, 1)).as("n_c"),
+          count(when(col("sgn") === -1, 1)).as("n_d"),
+          count(when(col("sgn") === 0, 1)).as("n_tied"))
+        .select(col("event_type"), col("n0"), col("n_c"), col("n_d"),
+          col("n_tied"),
+          expr("""CASE WHEN n0 > n_tied THEN
+                    CAST(floor(1000 * CAST(n_c - n_d AS DOUBLE)
+                      / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - n_tied AS DOUBLE)))
+                      AS BIGINT)
+                  END""").as("tau_milli"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
   /** Lagged cross-correlation between the view and purchase daily
     * series (±3-day lags) — the lead/lag question behind campaign
     * analysis: do views PREDICT purchases k days out (peak at positive

@@ -34,8 +34,8 @@ class EntryContractSpec extends AnyFunSuite with Matchers {
     // big literal maps) shrinks the graded surface silently — pin the
     // floor at the r13 count (the 164 r12-close entries + the r13
     // additions from N159 on, incl. the r13b batch N168-N174)
-    SparkEntry.queries.size should be >= 241
-    SparkEntry.oracleSql.size should be >= 241
+    SparkEntry.queries.size should be >= 244
+    SparkEntry.oracleSql.size should be >= 244
   }
 
   test("the committed sf1 scale-point artifact is clean and self-consistent") {
