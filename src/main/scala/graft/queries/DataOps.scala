@@ -5913,7 +5913,17 @@ object DataOps {
   def sbDocScore(spark: SparkSession, dir: String): DataFrame = {
     val counts = sbNgramCounts(spark, dir)
     counts.cache()
-    try {
+    try sbDocScoreOn(spark, dir, counts).localCheckpoint(true)
+    finally { counts.unpersist(blocking = false); () }
+  }
+
+  /** Pre-checkpoint body of [[sbDocScore]] — exposed so PlanShapeSpec
+    * can pin the five BROADCAST lookups (the [[sbScoreOn]] contract;
+    * the public operator's eager checkpoint collapses its visible plan).
+    */
+  private[graft] def sbDocScoreOn(spark: SparkSession, dir: String,
+                                  counts: DataFrame): DataFrame = {
+    {
       val uni = counts.filter(col("n") === 1).select(col("gram"), col("cnt"))
       val bi = counts.filter(col("n") === 2).select(col("gram"), col("cnt"))
       val tri = counts.filter(col("n") === 3).select(col("gram"), col("cnt"))
@@ -5944,8 +5954,7 @@ object DataOps {
         .agg(count(lit(1)).as("n_tokens"), sum(col("score_ppm")).as("sum_ppm"))
         .select(col("doc_id"), col("n_tokens"), col("sum_ppm"),
           expr("sum_ppm div n_tokens").as("avg_ppm"))
-        .localCheckpoint(true)
-    } finally { counts.unpersist(blocking = false); () }
+    }
   }
 
   /** Chi-squared independence audit of the lang × source contingency

@@ -133,4 +133,21 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally { counts.unpersist(blocking = false); () }
   }
+
+  test("sb_doc_score keeps the five n-gram lookups broadcast (the sbScore contract)") {
+    // The graded integer face rides the SAME scale argument as the
+    // float scorer: a silent flip of any lookup to SortMergeJoin would
+    // shuffle the per-position explode five times over. Pinned on the
+    // pre-checkpoint body (the public operator eagerly checkpoints).
+    val counts = DataOps.sbNgramCounts(spark, sf).cache()
+    try {
+      val df = DataOps.sbDocScoreOn(spark, sf, counts)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan.linesIterator.take(40).mkString("\n")) {
+        "BroadcastHashJoin".r.findAllIn(plan).length should be >= 5
+        plan should not include "SortMergeJoin"
+      }
+    } finally { counts.unpersist(blocking = false); () }
+  }
 }
