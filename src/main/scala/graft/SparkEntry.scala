@@ -951,20 +951,22 @@ object SparkEntry {
     // cells, popcount-sum recovery
     "bitmap_distinct" -> """
        WITH w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-              user_id // 32 AS word,
-              bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+              (user_id - ((user_id % 32 + 32) % 32)) // 32 AS word,
+              bit_or(1::BIGINT << CAST((user_id % 32 + 32) % 32 AS INT)) AS mask
             FROM events GROUP BY 1, 2)
        SELECT day, count(*)::BIGINT AS n_words,
               sum(bit_count(mask))::BIGINT AS n_users
        FROM w GROUP BY 1""",
-    // r13q: seasonal-naive backtest — lags over the zero-filled
-    // (type × day) spine, MAE micro + MASE ppm by integer div
+    // r13q: seasonal-naive backtest — lags over the zero-filled DENSE
+    // calendar (type × day) spine, MAE micro + MASE ppm by integer div
     "forecast_backtest" -> """
        WITH daily AS (SELECT event_type,
               date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
               count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2),
-       spine AS (SELECT DISTINCT d FROM daily),
+       spine AS (SELECT unnest(range(
+                (SELECT min(d) FROM daily),
+                (SELECT max(d) FROM daily) + 1))::BIGINT AS d),
        types AS (SELECT DISTINCT event_type FROM daily),
        filled AS (SELECT t.event_type, s.d, coalesce(dd.n, 0)::BIGINT AS n
                   FROM types t CROSS JOIN spine s

@@ -5759,8 +5759,11 @@ object DataOps {
     *
     * Scale shape: one corpus shuffle to the (class, bucket) cells
     * (value-domain-bounded); the CDF windows, the grid fill and the
-    * final fold all move that bounded frame. (BIGINT headroom: the
-    * cross-product N·n_c caps at corpus², safe to ~3e9 docs.)
+    * final fold all move that bounded frame. (Headroom: the graded
+    * value is 10⁶·Σⱼ|N·cumcⱼ − n_c·cumgⱼ| — an m-term sum of N²-sized
+    * products times 10⁶, past BIGINT near N ~ 10⁶ — so the per-term
+    * product, the sum and the div all run in DECIMAL(38,0) /
+    * HUGEINT, the [[chi2Independence]] discipline: exact to 10³⁸.)
     */
   def tCloseness(spark: SparkSession, dir: String): DataFrame = {
     val cells = docs(spark, dir)
@@ -5788,11 +5791,15 @@ object DataOps {
         .crossJoin(broadcast(tot)).crossJoin(broadcast(m))
         .groupBy(col("lang"), col("source"))
         .agg(max(col("n_c")).as("n_c"),
-          sum(abs(col("tot") * col("cumc") - col("n_c") * col("cumg")))
+          sum(abs(expr("CAST(tot AS DECIMAL(38,0)) * cumc")
+            - expr("CAST(n_c AS DECIMAL(38,0)) * cumg")))
             .as("sd"),
           max(col("m")).as("m"), max(col("tot")).as("tot"))
         .select(col("lang"), col("source"), col("n_c"),
-          expr(s"CASE WHEN m > 1 THEN (1000000 * sd) div ((m - 1) * n_c * tot) ELSE 0 END")
+          expr(s"""CASE WHEN m > 1
+                   THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * sd)
+                     div (CAST(m - 1 AS DECIMAL(38,0)) * n_c * tot) AS BIGINT)
+                   ELSE 0 END""")
             .as("emd_ppm"))
         .withColumn("exceeds_t", col("emd_ppm") > TClosePpm)
     }
@@ -6098,7 +6105,12 @@ object DataOps {
           val apq = a(p)(q)
           if (math.abs(apq) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // Rutishauser branch: signum(0)=0 would zero t and skip the
+            // rotation even though a(p)(q)!=0 (equal diagonal entries),
+            // leaving the pair un-annihilated until the sweep cap; the
+            // theta>=0 form degrades to t=1 (a 45° rotation) instead.
+            val t = if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                    else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0
@@ -6944,9 +6956,9 @@ object DataOps {
                     AS cumc FROM grid),
         e AS (SELECT c.lang, c.source, max(c.n_c)::BIGINT AS n_c,
                 (CASE WHEN max(m.m) > 1
-                      THEN (1000000 * sum(abs(t.tot * c.cumc
-                             - c.n_c * g.cumg)))
-                           // ((max(m.m) - 1) * max(c.n_c) * max(t.tot))
+                      THEN (1000000::HUGEINT * sum(abs(t.tot::HUGEINT * c.cumc
+                             - c.n_c::HUGEINT * g.cumg)))
+                           // ((max(m.m) - 1)::HUGEINT * max(c.n_c) * max(t.tot))
                       ELSE 0 END)::BIGINT AS emd_ppm
               FROM cdf c JOIN gcdf g ON g.b = c.b
               CROSS JOIN tot t CROSS JOIN m GROUP BY 1, 2)

@@ -2254,10 +2254,16 @@ object Relational {
     * then a days-bounded popcount collapse.
     */
   def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    // bit index via the double-% floor-mod idiom, written IDENTICALLY in
+    // the oracle: a negative user_id would otherwise make Spark's
+    // shiftleft wrap the (negative) shift amount where DuckDB's <<
+    // raises, and div/% rounding would pick different words — the
+    // word is then exact truncating division of (user_id - bit), a
+    // multiple of 32 in both engines regardless of sign.
     t(spark, dir, "events")
       .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-        expr("user_id div 32").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        expr("(user_id - ((user_id % 32 + 32) % 32)) div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST((user_id % 32 + 32) % 32 AS INT))")
           .as("m"))
       .groupBy(col("day"), col("word"))
       .agg(expr("bit_or(m)").as("mask"))
@@ -2272,8 +2278,10 @@ object Relational {
     * both are defined. MAE in micro-events by integer div;
     * `mase_ppm` = Σ|seasonal err| / Σ|naive err| in ppm, the
     * scale-free ratio (< 1M means weekly seasonality is real signal).
-    * The lag is over the zero-filled day SPINE, so calendar gaps
-    * cannot silently shorten the horizon.
+    * The spine is the FULL calendar range sequence(min d, max d) —
+    * not just observed days — so lag(n, 7) is always 7 calendar days
+    * and a day with zero events across ALL types still scores as a
+    * zero observation instead of silently compressing the horizon.
     *
     * Scale shape: one partial-aggregable shuffle to the (type, day)
     * cells; the spine fill, lags and the final fold all move the
@@ -2283,7 +2291,10 @@ object Relational {
     val daily = dailyByTypeOf(t(spark, dir, "events"))
     daily.cache()
     try {
-      val spine = daily.select(col("d")).distinct()
+      // dense calendar spine: one bounded-agg row exploded to the day
+      // range, so all-types-quiet days still appear as zeros
+      val spine = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("d"))
       val types = daily.select(col("event_type")).distinct()
       val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
       val filled = broadcast(types).crossJoin(spine)
@@ -2315,20 +2326,6 @@ object Relational {
     */
   private[graft] val EwmaLagMax = 30
 
-  /** EWMA-smoothed daily volume per type, EXACTLY: with α = 1/2 every
-    * weight is a dyadic rational, so the trailing-[[EwmaLagMax]]-day
-    * smoother is a ratio of two BIGINTs — numerator Σ n₍d₋k₎·2⁽⁴⁰⁻ᵏ⁾,
-    * denominator Σ 2⁽⁴⁰⁻ᵏ⁾ over the PRESENT spine days — and
-    * `ewma_milli` is one integer div. No float powers, no recurrence
-    * (Spark has no running-state window), no cross-engine drift: the
-    * closed form makes the sequential filter a plain bounded
-    * range-join, the same move as the bucketed as-of join. The spread
-    * between n and its EWMA is the classic volume-drift monitor next
-    * to [[cusumDaysOn]]'s change-point scan.
-    *
-    * Scale shape: one partial-aggregable shuffle to (type, day) cells;
-    * the lag join replicates that bounded frame ≤ 41×.
-    */
   /** One-way ANOVA F-statistic for daily volume across event types —
     * "do the types differ in LEVEL at all?", the omnibus question the
     * pairwise rank/KS tests condition on. Balanced by construction (the
@@ -2456,6 +2453,20 @@ object Relational {
     } finally { daily.unpersist(blocking = false); () }
   }
 
+  /** EWMA-smoothed daily volume per type, EXACTLY: with α = 1/2 every
+    * weight is a dyadic rational, so the trailing-[[EwmaLagMax]]-day
+    * smoother is a ratio of two BIGINTs — numerator Σ n₍d₋k₎·2⁽³⁰⁻ᵏ⁾,
+    * denominator Σ 2⁽³⁰⁻ᵏ⁾ over the PRESENT spine days — and
+    * `ewma_milli` is one integer div. No float powers, no recurrence
+    * (Spark has no running-state window), no cross-engine drift: the
+    * closed form makes the sequential filter a plain bounded
+    * range-join, the same move as the bucketed as-of join. The spread
+    * between n and its EWMA is the classic volume-drift monitor next
+    * to [[cusumDaysOn]]'s change-point scan.
+    *
+    * Scale shape: one partial-aggregable shuffle to (type, day) cells;
+    * the lag join replicates that bounded frame ≤ 31×.
+    */
   def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyByTypeOf(t(spark, dir, "events"))
     daily.cache()

@@ -75,6 +75,19 @@ print(json.dumps(res))
 '''
 
 
+# Zero-row ratchet: both engines agreeing on an EMPTY frame is vacuous
+# evidence (r13: training_set "passed" at sf1 on a 0-row result because
+# the synthetic vocabulary saturated the decontamination gate). A graded
+# entry may return 0 rows only if it is allowlisted here BY NAME with a
+# reason; any other 0-row "match" is recorded as a failure so silent
+# emptiness can never masquerade as correctness again.
+ZERO_ROW_ALLOW = {
+    # sf0.001/sf0.01: every customer has orders, so the anti-join is
+    # legitimately empty at small SFs (non-empty at sf0.1+).
+    "anti_join_no_orders",
+}
+
+
 def main():
     out_dir, sf_dir, result_path = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 900
@@ -130,6 +143,12 @@ def main():
                                  + p.stdout.strip()[-300:]}
                     print(f"{name}: WORKER OUTPUT UNPARSEABLE", flush=True)
                 else:
+                    if parsed.get("match") \
+                            and parsed.get("rows_spark") == 0 \
+                            and name not in ZERO_ROW_ALLOW:
+                        parsed["match"] = False
+                        parsed["error"] = ("vacuous_empty: 0-row result "
+                                           "not allowlisted")
                     results[name] = parsed
                     print(f"{name}: "
                           f"{'MATCH' if parsed['match'] else 'MISMATCH'}"
