@@ -135,14 +135,29 @@ object GenTestData {
       format_string("{\"k\": %d}",
         pmod(xxhash64(col("id"), lit(33)), lit(100))).as("props")), "events")
 
-    // documents: word salad from a fixed vocabulary, 20 round-robin
-    // sources, weighted langs (en ~40%), ~0.2% exact clones and ~1%
-    // near-clones (one appended word) of a nearby doc — the dup
-    // structure the dedup family needs to find real work at sf1
+    // documents: word salad from a scale-grown vocabulary, 20
+    // round-robin sources, weighted langs (en ~40%), ~0.2% exact clones
+    // and ~1% near-clones (one appended word) of a nearby doc — the dup
+    // structure the dedup family needs to find real work at sf1.
+    //
+    // The vocabulary MUST grow with scale (r13 verdict #1): at a fixed
+    // 29 words the whole 3-shingle space is 29³ ≈ 24k, which the
+    // ~nDocs/97 eval cohort (~515 docs × ~50 shingles at sf1) covers
+    // COMPLETELY — every training doc then carries an eval shingle,
+    // decontaminate flags the entire corpus and training_set grades a
+    // vacuous 0-row frame. Real corpora obey Heaps' law (vocabulary
+    // grows with corpus size); 20 extra tokens per scale step keeps
+    // scale=1 byte-identical to the inspected sf0.1 shape while giving
+    // sf1 a 209-word vocabulary (shingle space 9.1M, eval coverage
+    // ~0.3%, expected contamination ~13% — non-trivial on BOTH sides of
+    // the gate). The same saturation made the pairwise-monitor candidate
+    // sets quadratic artifacts (130M sf1 pairs), so this also restores
+    // honest selectivity to the n-gram/LSH recall monitors.
     val vocab = Seq("spark", "line", "column", "order", "small", "sort",
       "fast", "value", "scan", "hash", "slow", "group", "batch", "part",
       "query", "agg", "table", "vector", "stream", "filter", "big",
-      "merge", "join", "window", "key", "customer", "data", "the", "a")
+      "merge", "join", "window", "key", "customer", "data", "the", "a") ++
+      (0 until 20 * (scale - 1)).map(i => s"tok$i")
     val vocabCol = array(vocab.map(lit): _*)
     val docsBase = spark.range(nDocs).select(col("id").as("doc_id"))
       .withColumn("clone_sel", pmod(xxhash64(col("doc_id"), lit(34)), lit(1000)))
