@@ -112,6 +112,7 @@ object SparkEntry {
     // (oracle-graded, unlike the built-in binding), exact integer
     // Mann-Whitney AUC, integer-quantized reciprocal-rank fusion.
     "hll_distinct" -> (RefOps.hllDistinct _),
+    "quantile_sketch" -> (RefOps.quantileSketch _),
     "quality_auc" -> (DataOps.qualityAuc _),
     "rrf_fusion" -> (DataOps.rrfFusion _),
     "substring_spans_keep_one" -> (DataOps.substringSpansKeepOne _),
@@ -610,6 +611,50 @@ object SparkEntry {
          FROM est e JOIN (SELECT event_type,
                 count(DISTINCT user_id)::BIGINT AS n_exact
               FROM events GROUP BY 1) x USING (event_type)""",
+    // r14: register-level log-histogram quantile sketch — base-2
+    // sub-bucketed registers (HdrHistogram/DDSketch family), integer
+    // bin-length log2, rank recovery from register upper edges, exact
+    // rank value graded alongside as the fidelity line
+    "quantile_sketch" -> s"""
+       WITH cents AS (SELECT l_returnflag AS flag,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem),
+       lv AS (SELECT flag, v, length(bin(v)) - 1 AS level FROM cents),
+       keyed AS (SELECT flag,
+              greatest(level - ${RefOps.QSketchSubBits}, 0)::BIGINT AS shift,
+              (v >> CAST(greatest(level - ${RefOps.QSketchSubBits}, 0) AS INT))
+                ::BIGINT AS sub
+            FROM lv),
+       regs AS (SELECT flag, shift, sub, count(*)::BIGINT AS c
+            FROM keyed GROUP BY 1, 2, 3),
+       tot AS (SELECT flag, sum(c)::BIGINT AS n,
+              count(*)::BIGINT AS n_registers
+            FROM regs GROUP BY 1),
+       ranks AS (SELECT flag, n, n_registers, CAST(u.q AS BIGINT) AS q,
+              ((u.q * n + 99) // 100)::BIGINT AS rank
+            FROM tot CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) u),
+       cum AS (SELECT flag,
+              (sub << CAST(shift AS INT))::BIGINT AS lo,
+              (((sub + 1) << CAST(shift AS INT)) - 1)::BIGINT AS hi,
+              (sum(c) OVER (PARTITION BY flag
+                 ORDER BY (sub << CAST(shift AS INT))))::BIGINT AS cum
+            FROM regs),
+       sel AS (SELECT c.flag, r.q, min_by(c.hi, c.lo)::BIGINT AS est_hi
+            FROM cum c JOIN ranks r USING (flag)
+            WHERE c.cum >= r.rank GROUP BY 1, 2),
+       hist AS (SELECT flag, v, count(*)::BIGINT AS cv
+            FROM cents GROUP BY 1, 2),
+       cumv AS (SELECT flag, v,
+              (sum(cv) OVER (PARTITION BY flag ORDER BY v))::BIGINT AS cumv
+            FROM hist),
+       ex AS (SELECT h.flag, r.q, min(h.v)::BIGINT AS exact_v
+            FROM cumv h JOIN ranks r USING (flag)
+            WHERE h.cumv >= r.rank GROUP BY 1, 2)
+       SELECT r.flag, r.q, r.n, r.n_registers, r.rank, s.est_hi, e.exact_v,
+              ((1000000 * (s.est_hi - e.exact_v)) // e.exact_v)::BIGINT
+                AS err_ppm
+       FROM ranks r JOIN sel s ON s.flag = r.flag AND s.q = r.q
+       JOIN ex e ON e.flag = r.flag AND e.q = r.q""",
     // r13f: register-level Bloom on the KMV/HLL hash dialect — member
     // set = the user_id % 8 blocklist cohort, k=3 positions in m=16384
     // bits; probe counts per event type next to the exact membership

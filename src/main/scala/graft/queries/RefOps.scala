@@ -596,6 +596,108 @@ object RefOps {
   private[graft] val HllAlphaScaled: Double =
     0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992.0
 
+  /** Sub-bucket bits for [[quantileSketch]]: 5 ⇒ each power-of-two level
+    * splits into 32 equal cells, relative error ≤ 2⁻⁵ = 3.125%, register
+    * ceiling (64 − 5)·2⁵ ≈ 1.9k per group (in practice ≤ ~300 on the
+    * price domain — the level span is log2(max/min) ≈ 7).
+    */
+  private[graft] val QSketchSubBits = 5
+
+  /** Register-level log-histogram quantile sketch (the HdrHistogram /
+    * DDSketch family — Masson, Lee & Rhodes, VLDB 2019), ORACLE-graded:
+    * the last sketch in the suite without a register-graded face (the
+    * t-digest binding is float-centroid state, definitionally
+    * un-hashable cross-engine; a base-2 sub-bucketed histogram is
+    * all-integer, so the registers, the rank arithmetic and the
+    * recovered quantiles grade exactly). Value = l_extendedprice in
+    * exact cents (round(p·100) — the lossless integer recovery argument
+    * from embedding_moments); register key = (shift, sub) with
+    * level = ⌊log2 v⌋ as integer bin-length (the [[hllDistinct]] idiom,
+    * no float log), shift = max(level − [[QSketchSubBits]], 0),
+    * sub = v >> shift. Registers tile the value axis in disjoint
+    * [sub·2^shift, (sub+1)·2^shift) cells, so ordering by the lower
+    * edge is value order and the rank-r estimate is the upper edge of
+    * the first register whose cumulative count reaches r — always ≥ the
+    * true rank value, so err_ppm is nonnegative and ≤ 2⁻⁵ relative
+    * (spec-pinned). The EXACT rank value is graded alongside — the
+    * hash_sample_est / [[hllSliding]] fidelity discipline: the
+    * estimator's error is itself a graded value, and the exact side is
+    * precisely the cost a deployment deletes.
+    *
+    * Scale shape: the register build is ONE partial-aggregable shuffle
+    * onto the bounded (flag, shift, sub) key — the map side collapses
+    * everything, and registers MERGE by adding counts (cell-wise; the
+    * doubled-input spec pins it), so per-shard or per-day register
+    * frames roll up without re-reading rows: mergeable quantiles at
+    * 100 TB for ~300 BIGINTs per group. The derive half moves only the
+    * register frame; the exact side pays one (flag, cents) shuffle and
+    * a per-flag cumulative window — linear, absent in production.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchOn(Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))
+
+  /** The sketch on an explicit (flag, v) cents frame — split out so the
+    * doubled-input invariance (n and rank double, est/exact unmoved) is
+    * directly testable.
+    */
+  private[graft] def quantileSketchOn(cents: DataFrame): DataFrame = {
+    // the register frame is BOUNDED (~300 rows per group) yet feeds
+    // four consumers (totals, ranks, the cumulative tiling, the
+    // estimate join) — cached so the corpus-scale register build and
+    // its lineitem scan run ONCE, not once per consumer (the first
+    // plan replicated the scan 4×, measured)
+    val regs = quantileRegistersOf(cents)
+    regs.cache()
+    try {
+      val tot = regs.groupBy(col("flag"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_registers"))
+      val ranks = tot.select(col("flag"), col("n"), col("n_registers"),
+          explode(expr("array(50L, 90L, 99L)")).as("q"))
+        .withColumn("rank", expr("(q * n + 99) div 100"))
+      val rk = ranks.select(col("flag"), col("q"), col("rank"))
+      val cum = regs
+        .withColumn("lo", expr("shiftleft(sub, CAST(shift AS INT))"))
+        .withColumn("hi", expr("shiftleft(sub + 1, CAST(shift AS INT)) - 1"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("flag")).orderBy(col("lo"))))
+      val sel = cum.join(broadcast(rk), "flag")
+        .filter(col("cum") >= col("rank"))
+        .groupBy(col("flag"), col("q"))
+        .agg(expr("min_by(hi, lo)").as("est_hi"))
+      val cumv = cents.groupBy(col("flag"), col("v")).agg(count(lit(1)).as("cv"))
+        .withColumn("cumv", sum(col("cv")).over(
+          Window.partitionBy(col("flag")).orderBy(col("v"))))
+      val exact = cumv.join(broadcast(rk), "flag")
+        .filter(col("cumv") >= col("rank"))
+        .groupBy(col("flag"), col("q"))
+        .agg(min(col("v")).as("exact_v"))
+      ranks.join(broadcast(sel), Seq("flag", "q"))
+        .join(broadcast(exact), Seq("flag", "q"))
+        .select(col("flag"), col("q"), col("n"), col("n_registers"),
+          col("rank"), col("est_hi"), col("exact_v"),
+          expr("(1000000 * (est_hi - exact_v)) div exact_v").as("err_ppm"))
+        .localCheckpoint(true)
+    } finally { regs.unpersist(blocking = false); () }
+  }
+
+  /** The ADDITIVE register half on an explicit (flag, v) cents frame —
+    * counts from ANY slicing of the input merge by plain sum (the
+    * [[hllRegistersOf]] contract), which is what the doubled-input and
+    * split-merge specs pin.
+    */
+  private[graft] def quantileRegistersOf(cents: DataFrame): DataFrame =
+    cents
+      .select(col("flag"), col("v"),
+        (length(bin(col("v"))) - 1).cast("long").as("level"))
+      .select(col("flag"),
+        expr(s"greatest(level - $QSketchSubBits, 0)").as("shift"),
+        expr(s"shiftright(v, CAST(greatest(level - $QSketchSubBits, 0) AS INT))")
+          .as("sub"))
+      .groupBy(col("flag"), col("shift"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+
   private[graft] val BloomBits = 16384L
   private[graft] val BloomHashes = 3
 

@@ -134,6 +134,29 @@ class PlanShapeSpec extends SparkSpec {
     } finally { counts.unpersist(blocking = false); () }
   }
 
+  test("quantile_sketch: register build is ONE partial-aggregable shuffle over a pruned 2-column scan") {
+    // The 100 TB claim of the sketch: rows collapse map-side onto the
+    // bounded (flag, shift, sub) key in a single Exchange, and the scan
+    // reads exactly the two columns the registers need. Pinned on the
+    // register half (the public operator eagerly checkpoints its 9-row
+    // result; the register build is where corpus-scale work lives).
+    val cents = queries.Tables(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_returnflag").as("flag"),
+        org.apache.spark.sql.functions
+          .expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val df = RefOps.quantileRegistersOf(cents)
+    df.collect()
+    // AQE renders Final AND Initial plans in one string — count the
+    // Final section only or the one Exchange double-counts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    withClue(plan.linesIterator.take(30).mkString("\n")) {
+      "Exchange".r.findAllIn(plan).length shouldBe 1
+      plan should include("partial_count")
+      plan should include("ReadSchema: struct<l_extendedprice:double,l_returnflag:string>")
+    }
+  }
+
   test("sb_doc_score keeps the five n-gram lookups broadcast (the sbScore contract)") {
     // The graded integer face rides the SAME scale argument as the
     // float scorer: a silent flip of any lookup to SortMergeJoin would

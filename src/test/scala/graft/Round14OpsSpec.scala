@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{RefOps, Tables}
+
+/** r14 operator batch — the register-level quantile sketch, the one
+  * sketch family that had no register-graded face (the t-digest binding
+  * is float-centroid state). Cross-engine exactness is the driver's
+  * DuckDB oracle; these pin the sketch laws the oracle cannot see:
+  * the error bound, the disjoint register tiling, and the two merge
+  * laws (cell-wise sum; doubled-input estimate invariance).
+  */
+class Round14OpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cents = Tables(spark, sf, "lineitem")
+    .select(col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+
+  test("quantile_sketch: est >= exact and relative error within the 2^-B bound") {
+    val rows = RefOps.quantileSketch(spark, sf).collect()
+    rows.length shouldBe 9 // 3 flags x 3 quantiles
+    rows.foreach { r =>
+      val (est, exact, err) =
+        (r.getLong(5), r.getLong(6), r.getLong(7))
+      est should be >= exact
+      err should be >= 0L
+      // upper-edge estimate: (est - exact)/exact <= bucket width / lo
+      // = 2^-QSketchSubBits = 31250 ppm
+      err should be <= 31250L
+    }
+  }
+
+  test("quantile_sketch: registers tile the value axis disjointly and count every row") {
+    val regs = RefOps.quantileRegistersOf(cents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    regs.groupBy(_._1).foreach { case (_, rs) =>
+      val iv = rs.map { case (_, sh, sub, _) =>
+        (sub << sh, ((sub + 1) << sh) - 1)
+      }.sortBy(_._1)
+      iv.sliding(2).foreach {
+        case Array((_, h1), (l2, _)) => l2 should be > h1
+        case _ => ()
+      }
+    }
+    regs.map(_._4).sum shouldBe cents.count()
+  }
+
+  test("quantile_sketch: registers merge cell-wise — parity halves sum to the full frame") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      RefOps.quantileRegistersOf(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+    val full = toMap(cents)
+    val even = toMap(cents.filter(col("v") % 2 === 0))
+    val odd = toMap(cents.filter(col("v") % 2 =!= 0))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    merged shouldBe full
+  }
+
+  test("quantile_sketch: doubled input doubles n and rank but moves no estimate") {
+    def byKey(df: org.apache.spark.sql.DataFrame) =
+      RefOps.quantileSketchOn(df).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap
+    val once = byKey(cents)
+    val twice = byKey(cents.union(cents))
+    twice.keySet shouldBe once.keySet
+    once.foreach { case (k, (n1, rank1, est1, ex1)) =>
+      val (n2, rank2, est2, ex2) = twice(k)
+      n2 shouldBe 2 * n1
+      // ceiling rank: (2qn+99)div100 is 2*((qn+99)div100) or one less;
+      // either way it lands in the same register (2cum >= 2rank-1 iff
+      // cum >= rank on integers), so the estimates cannot move
+      rank2 should (be(2 * rank1) or be(2 * rank1 - 1))
+      est2 shouldBe est1
+      ex2 shouldBe ex1
+    }
+  }
+}
