@@ -552,9 +552,7 @@ object RefOps {
     * the cost whose removal is this operator's entire point.
     */
   def hllSliding(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).withColumn("d",
-      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-        .cast("long"))
+    val e = withEpochDay(events(spark, dir))
     // the daily register frame is bounded (days × types × 256) —
     // cached so the day spine and the scatter reuse ONE register build
     val daily = hllRegistersKeyed(e, Seq("d", "event_type"))
@@ -562,30 +560,52 @@ object RefOps {
     try {
       val spine = daily.select(col("d")).distinct()
         .withColumnRenamed("d", "day")
-      val tgt = daily
-        .withColumn("day", explode(sequence(col("d"), col("d") + 6)))
-        .join(broadcast(spine), "day")
-        .groupBy(col("day"), col("event_type"), col("bucket"))
-        .agg(max(col("r")).as("r"))
       val exact = e.select(col("d"), col("event_type"), col("user_id"))
         .distinct()
         .withColumn("day", explode(sequence(col("d"), col("d") + 6)))
         .join(broadcast(spine), "day")
         .groupBy(col("day"), col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
-      // small-range (linear counting) correction — the piece the raw
-      // full-corpus sketches (hll_distinct/hll_sketch_cube) never need
-      // but a 7-day window at low traffic does: with v zero registers,
-      // est = m·ln(m/v) (Flajolet et al. 2007 §4). The branch compares
-      // the ROUNDED raw estimate so both engines pick the same side.
-      hllFromRegistersKeyed(tgt, Seq("day", "event_type"))
-        .withColumn("est",
-          when(col("est_raw") <= 640.0 && col("v_zero") > 0L,
-            round(lit(256.0) * log(lit(256.0) / col("v_zero")), 2))
-            .otherwise(col("est_raw")))
+      hllServeTrailing(daily)
         .join(exact, Seq("day", "event_type"))
         .localCheckpoint(true)
     } finally { daily.unpersist(blocking = false); () }
+  }
+
+  /** Epoch-day column shared by the batch sliding face and the
+    * streaming register maintenance — ONE definition, so the maintained
+    * state and the graded query cannot drift on the day key.
+    */
+  private[graft] def withEpochDay(e: DataFrame): DataFrame =
+    e.withColumn("d",
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long"))
+
+  /** The SERVE half of [[hllSliding]] on a complete per-(d, type)
+    * register frame — the piece that runs identically over the batch
+    * build and the streaming-maintained register warehouse
+    * ([[graft.streaming.StreamingMonitors.hllSliding7d]]): scatter each
+    * daily register row to the ≤ 7 window-end days it serves (capped to
+    * observed days), max-merge per (day, type, bucket), derive. The
+    * small-range (linear counting) correction is the piece the raw
+    * full-corpus sketches never need but a 7-day window at low traffic
+    * does: with v zero registers, est = m·ln(m/v) (Flajolet et al. 2007
+    * §4); the branch compares the ROUNDED raw estimate so both engines
+    * pick the same side. Register rows only — no event is ever touched.
+    */
+  private[graft] def hllServeTrailing(daily: DataFrame): DataFrame = {
+    val spine = daily.select(col("d")).distinct()
+      .withColumnRenamed("d", "day")
+    val tgt = daily
+      .withColumn("day", explode(sequence(col("d"), col("d") + 6)))
+      .join(broadcast(spine), "day")
+      .groupBy(col("day"), col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    hllFromRegistersKeyed(tgt, Seq("day", "event_type"))
+      .withColumn("est",
+        when(col("est_raw") <= 640.0 && col("v_zero") > 0L,
+          round(lit(256.0) * log(lit(256.0) / col("v_zero")), 2))
+          .otherwise(col("est_raw")))
   }
 
   /** α_256 · 256² · 2^53 as ONE Scala-computed double constant — the
