@@ -116,6 +116,7 @@ object SparkEntry {
     "quality_auc" -> (DataOps.qualityAuc _),
     "rrf_fusion" -> (DataOps.rrfFusion _),
     "substring_spans_keep_one" -> (DataOps.substringSpansKeepOne _),
+    "substring_decontaminate" -> (DataOps.substringDecontaminate _),
     "split_leakage" -> (DataOps.splitLeakage _),
     "rendezvous_shards" -> (DataOps.rendezvousShards _),
     // r13f: the additive sketch-register family completing the r13e HLL

@@ -692,6 +692,42 @@ object DataOps {
     mergeCoveredWindows(cov)
   }
 
+  /** Exact-substring benchmark decontamination — the L-gram-level
+    * contamination gate real LLM evals demand (GPT-3's 13-gram rule,
+    * Brown et al. 2020 appx C; Lee et al. 2021 §5): a training doc is
+    * contaminated iff it shares an exact run of ≥ [[SubstringL]] tokens
+    * with ANY held-out doc (the doc_id % 97 eval cohort [[decontaminate]]
+    * uses — same cohort, stricter evidence: the shingle gate flags
+    * 3-token overlaps, this one only verbatim L-token runs, the
+    * difference between topical similarity and actual leakage).
+    * Equality is the prefix-doubling CLASS relation, not strings — a
+    * training position is a hit iff its L-gram class also contains an
+    * eval-cohort position — so the whole gate is two bounded passes over
+    * the SAME shared class frame the dedup family already built: zero
+    * additional corpus scans, one distinct on eval classes, one
+    * semi-join + per-doc count. n_eval_grams (exact hit positions) is
+    * graded alongside the boolean so threshold policies stay auditable.
+    *
+    * Scale shape: eval classes are suite-bounded (≤ eval tokens); the
+    * semi-join keys the position frame on the class id it is already
+    * partitioned by from the relabel round. At 100 TB this is the
+    * decontamination pass Lee et al. run on the suffix array they
+    * already built for dedup — amortized, not an extra engine.
+    */
+  def substringDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val rk = substringClassesShared(spark, dir)
+    val evalClasses = rk.filter(col("doc_id") % 97 === 0)
+      .select(col("r")).distinct()
+    val hits = rk.filter(col("doc_id") % 97 =!= 0)
+      .join(evalClasses, Seq("r"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_grams"))
+    docs(spark, dir).filter(col("doc_id") % 97 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_eval_grams"), lit(0L)).as("n_eval_grams"),
+        (coalesce(col("n_eval_grams"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** The "WHICH boilerplate" face of [[substringDedup]]: every
     * duplicated L-gram class with its occurrence count, distinct-doc
     * count, and the gram TEXT — reconstructed by slicing the class's
@@ -6472,6 +6508,30 @@ object DataOps {
         SELECT doc_id, min(s)::BIGINT AS span_start,
                max(e)::BIGINT AS span_end
         FROM isl GROUP BY doc_id, grp"""
+      },
+      // r14: exact-substring decontamination — the L-gram class
+      // relation replayed as materialized gram strings; eval cohort =
+      // doc_id % 97 (the decontaminate cohort), hits counted per
+      // training doc
+      "substring_decontaminate" -> {
+        val L = SubstringL
+        s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, w,
+                unnest(generate_series(1, len(w) - ${L - 1})) AS i
+              FROM t WHERE len(w) >= $L),
+        g AS (SELECT doc_id, array_to_string(w[i:i+${L - 1}], ' ') AS gram
+              FROM p),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        hits AS (SELECT doc_id, count(*)::BIGINT AS n_eval_grams
+                 FROM g WHERE doc_id % 97 <> 0
+                   AND gram IN (SELECT gram FROM ev)
+                 GROUP BY 1)
+        SELECT d.doc_id, d.lang,
+               coalesce(h.n_eval_grams, 0)::BIGINT AS n_eval_grams,
+               coalesce(h.n_eval_grams, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 97 <> 0"""
       },
       // r13: keep-one — canonical occurrence per duplicated gram =
       // first by (doc_id, position), mirrored by rn = 1 per gram

@@ -151,6 +151,29 @@ object StreamingMonitors {
       .agg(sum(col("reg")).as("reg"))
       .localCheckpoint(true)
 
+  /** r14: the streaming face of the register-graded quantile sketch
+    * (N239) — the SUM-merge register warehouse for order statistics:
+    * each micro-batch of lineitems lands its own bounded
+    * (flag, shift, sub) partial counts (the per-row bucketing paid once
+    * at ingest), the read-side merge ADDS cells (the sketch's merge
+    * law, the same one the batch spec pins on parity splits), and the
+    * full estimate derive runs over merged state — quantiles served
+    * without ever re-reading a row.
+    */
+  def maintainQuantileRegisters(lineitems: DataFrame, statePath: String,
+                                checkpointDir: String): Unit =
+    maintainCells(lineitems, statePath, checkpointDir, b =>
+      RefOps.quantileRegistersOf(b.select(
+        col("l_returnflag").as("flag"),
+        org.apache.spark.sql.functions
+          .expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))))
+
+  def quantileRegisters(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(col("flag"), col("shift"), col("sub"))
+      .agg(sum(col("c")).as("c"))
+      .localCheckpoint(true)
+
   /** r13n: the streaming face of the drift/trend family — ONE
     * maintained (event_type, d, n) daily cell state (the additive half
     * shared via [[Relational.dailyByTypeOf]]) serves all three graded

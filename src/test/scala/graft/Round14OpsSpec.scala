@@ -60,6 +60,21 @@ class Round14OpsSpec extends SparkSpec {
     merged shouldBe full
   }
 
+  test("substring_decontaminate: strictly implies the shingle gate (an L-run contains 3-shingles)") {
+    // a verbatim >= L-token overlap with an eval doc necessarily shares
+    // 3-shingles with it, so every substring-contaminated doc MUST also
+    // be shingle-contaminated — the gates are ordered by evidence
+    // strength, never contradictory
+    import graft.queries.DataOps
+    val strict = DataOps.substringDecontaminate(spark, sf)
+      .filter(col("contaminated")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val loose = DataOps.decontaminate(spark, sf)
+      .filter(col("contaminated")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    strict.diff(loose) shouldBe empty
+  }
+
   test("quantile_sketch: doubled input doubles n and rank but moves no estimate") {
     def byKey(df: org.apache.spark.sql.DataFrame) =
       RefOps.quantileSketchOn(df).collect()

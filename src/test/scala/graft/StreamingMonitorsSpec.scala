@@ -112,6 +112,20 @@ class StreamingMonitorsSpec extends SparkSpec {
       DataOps.cmsRegistersOf(DataOps.cmsTokenCounts(spark, sf)))
   }
 
+  test("streaming quantile registers equal the graded batch sketch (sum-merge)") {
+    // r14: interleaved lineitem slices each bucket their own rows into
+    // partial (flag, shift, sub) counts; the re-summed state must equal
+    // the whole-corpus register frame exactly — the same merge law the
+    // batch spec pins on parity splits, exercised across micro-batches
+    val cents = Tables(spark, sf, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    drive(Tables(spark, sf, "lineitem"), "l_orderkey",
+      StreamingMonitors.maintainQuantileRegisters,
+      StreamingMonitors.quantileRegisters(spark, _),
+      graft.queries.RefOps.quantileRegistersOf(cents))
+  }
+
   test("streaming drift/trend family equals the graded batch queries off one daily state") {
     // r13n: ONE maintained (event_type, d, n) cell state serves all
     // three derive halves — cusum peak, Theil-Sen slope, Mann-Kendall
