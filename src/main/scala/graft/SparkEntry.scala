@@ -182,6 +182,7 @@ object SparkEntry {
     // tie-corrected Kendall tau-b.
     "chi2_independence" -> (DataOps.chi2Independence _),
     "anova_types" -> (Relational.anovaTypes _),
+    "kruskal_wallis" -> (Relational.kruskalWallis _),
     "kendall_tau" -> (Relational.kendallTau _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
@@ -1049,6 +1050,42 @@ object SparkEntry {
               abs(1000 * max(n)
                 - (1000 * sum(contrib)) // sum(wgt))::BIGINT AS spread_milli
        FROM j GROUP BY 1, 2""",
+    // r14: Kruskal–Wallis H — doubled mid-ranks off the pooled value
+    // histogram (2F + c + 1, always integer), variance-identity form
+    // (N-1)*SSB_rank/SST_rank = the tie-corrected H, balanced spine
+    "kruskal_wallis" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       spine AS (SELECT DISTINCT d FROM daily),
+       types AS (SELECT DISTINCT event_type FROM daily),
+       filled AS (SELECT t.event_type, s.d, coalesce(dd.n, 0)::BIGINT AS n
+                  FROM types t CROSS JOIN spine s
+                  LEFT JOIN daily dd
+                    ON dd.event_type = t.event_type AND dd.d = s.d),
+       hist AS (SELECT n, count(*)::BIGINT AS c FROM filled GROUP BY 1),
+       ranked AS (SELECT n,
+              (2 * coalesce(sum(c) OVER (ORDER BY n
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1)::BIGINT AS r2 FROM hist),
+       wr AS (SELECT f.event_type, f.d, r.r2
+              FROM filled f JOIN ranked r USING (n)),
+       g AS (SELECT event_type, count(*)::BIGINT AS n_days,
+               sum(r2)::BIGINT AS rank_sum2 FROM wr GROUP BY 1),
+       kd AS (SELECT count(*)::BIGINT AS k, max(n_days)::BIGINT AS dd,
+                (count(*) * max(n_days))::BIGINT AS nn FROM g),
+       b AS (SELECT sum((r2 - (kd.nn + 1)) * (r2 - (kd.nn + 1)))::BIGINT
+               AS bsum
+             FROM wr CROSS JOIN kd),
+       a AS (SELECT sum((rank_sum2 - kd.dd * (kd.nn + 1))
+                 * (rank_sum2 - kd.dd * (kd.nn + 1)))::BIGINT AS asum
+             FROM g CROSS JOIN kd)
+       SELECT g.event_type, g.n_days, g.rank_sum2,
+              (CASE WHEN b.bsum > 0
+                    THEN (1000 * (kd.nn - 1) * a.asum) // (kd.dd * b.bsum)
+               END)::BIGINT AS h_milli
+       FROM g CROSS JOIN kd CROSS JOIN b CROSS JOIN a""",
     // r13t: balanced one-way ANOVA — the zero-filled spine equalizes
     // group sizes, making F one exact integer ratio
     "anova_types" -> """

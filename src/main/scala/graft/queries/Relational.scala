@@ -2366,6 +2366,67 @@ object Relational {
     } finally { daily.unpersist(blocking = false); () }
   }
 
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952) for daily volume across
+    * event types — the RANK-based omnibus companion to [[anovaTypes]]:
+    * ANOVA asks whether the type LEVELS differ assuming comparable
+    * variances; H asks whether the rank distributions differ at all —
+    * robust to the heavy-tailed daily counts the level test is not.
+    * Exact integers throughout, two tricks:
+    * (a) DOUBLED mid-ranks — the tied average rank F + (c+1)/2 is a
+    *     half-integer, so the engine carries r₂ = 2F + c + 1 (always
+    *     integer) straight off the pooled value histogram, and the
+    *     doubled pooled mean is exactly N + 1;
+    * (b) the variance-identity form H = (N−1)·SSB_rank/SST_rank, which
+    *     IS the tie-corrected H (the 12/N(N+1) textbook form divided by
+    *     the tie factor) — no separate Σ(t³−t) correction term, no
+    *     float anywhere until the one milli-quantizing div. Balanced by
+    *     the zero-filled spine (n_g = D for every type), so
+    *     h_milli = 1000·(N−1)·Σ_g(S₂g − D(N+1))² div (D·Σᵢ(r₂ᵢ − (N+1))²).
+    *
+    * Scale shape: one partial-aggregable shuffle to the (type, day)
+    * cells; the pooled histogram, the doubled-rank map-back (broadcast,
+    * value-domain-bounded), the group sums and the two scalar folds all
+    * move bounded frames. (BIGINT headroom: SSB ≤ k·(2ND)² — safe past
+    * 10⁴ days × 10² types.)
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    daily.cache()
+    try {
+      val spine = daily.select(col("d")).distinct()
+      val types = daily.select(col("event_type")).distinct()
+      val filled = broadcast(types).crossJoin(spine)
+        .join(daily, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("n"))
+      val hist = filled.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      // bounded frame (distinct daily-count values): the
+      // single-partition window is the documented qualityDeciles
+      // exception
+      val ranked = hist.withColumn("f",
+          coalesce(sum(col("c")).over(Window.orderBy(col("n"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("n"), (lit(2L) * col("f") + col("c") + 1).as("r2"))
+      val withR = filled.join(broadcast(ranked), "n")
+      val g = withR.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("r2")).as("rank_sum2"))
+      val kd = g.agg(count(lit(1)).as("k"), max(col("n_days")).as("dd"))
+        .select(col("k"), col("dd"), (col("k") * col("dd")).as("nn"))
+      val b = withR.crossJoin(broadcast(kd))
+        .agg(max(col("nn")).as("nn"), max(col("dd")).as("dd"),
+          sum(expr("(r2 - (nn + 1)) * (r2 - (nn + 1))")).as("bsum"))
+      val a = g.crossJoin(broadcast(kd))
+        .agg(sum(expr(
+          "(rank_sum2 - dd * (nn + 1)) * (rank_sum2 - dd * (nn + 1))"))
+          .as("asum"))
+      g.crossJoin(broadcast(b)).crossJoin(broadcast(a))
+        .select(col("event_type"), col("n_days"), col("rank_sum2"),
+          expr("""CASE WHEN bsum > 0
+                  THEN (1000 * (nn - 1) * asum) div (dd * bsum) END""")
+            .as("h_milli"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
   /** Kendall tau-b for the daily-volume trend, per type — the
     * tie-corrected NORMALIZED coefficient next to [[mannKendallOn]]'s
     * raw S statistic (S alone is not comparable across series lengths;

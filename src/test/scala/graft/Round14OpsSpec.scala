@@ -75,6 +75,38 @@ class Round14OpsSpec extends SparkSpec {
     strict.diff(loose) shouldBe empty
   }
 
+  test("kruskal_wallis: equals the textbook tie-corrected H recomputed driver-side") {
+    import graft.queries.Relational
+    val hMilli = Relational.kruskalWallis(spark, sf).collect()
+      .head.getLong(3)
+    // independent recomputation: float mid-ranks, the 12/N(N+1) form,
+    // the explicit Σ(t³−t) tie divisor — a different derivation path
+    // than the engine's integer variance identity
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .groupBy("event_type", "d").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val days = ev.map(_._2).distinct
+    val types = ev.map(_._1).distinct
+    val cells = ev.map { case (t, d, n) => (t, d) -> n }.toMap
+    val vals = for (t <- types; d <- days)
+      yield (t, cells.getOrElse((t, d), 0L).toDouble)
+    val n = vals.length
+    val sorted = vals.map(_._2).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.length }
+    val sG = vals.groupBy(_._1).map { case (_, g) =>
+      (g.map(x => rank(x._2)).sum, g.length) }
+    val h0 = 12.0 / (n * (n + 1.0)) *
+      sG.map { case (s, ng) => s * s / ng }.sum - 3 * (n + 1.0)
+    val ties = sorted.groupBy(identity).values.map(_.length.toDouble)
+      .map(t => t * t * t - t).sum
+    val h = h0 / (1.0 - ties / (n.toDouble * n * n - n))
+    math.abs(hMilli - 1000.0 * h) should be <= 1.5
+  }
+
   test("quantile_sketch: doubled input doubles n and rank but moves no estimate") {
     def byKey(df: org.apache.spark.sql.DataFrame) =
       RefOps.quantileSketchOn(df).collect()
