@@ -113,6 +113,7 @@ object SparkEntry {
     // Mann-Whitney AUC, integer-quantized reciprocal-rank fusion.
     "hll_distinct" -> (RefOps.hllDistinct _),
     "quantile_sketch" -> (RefOps.quantileSketch _),
+    "weighted_quantile_sketch" -> (RefOps.weightedQuantileSketch _),
     "quality_auc" -> (DataOps.qualityAuc _),
     "rrf_fusion" -> (DataOps.rrfFusion _),
     "substring_spans_keep_one" -> (DataOps.substringSpansKeepOne _),
@@ -653,6 +654,50 @@ object SparkEntry {
             FROM cumv h JOIN ranks r USING (flag)
             WHERE h.cumv >= r.rank GROUP BY 1, 2)
        SELECT r.flag, r.q, r.n, r.n_registers, r.rank, s.est_hi, e.exact_v,
+              ((1000000 * (s.est_hi - e.exact_v)) // e.exact_v)::BIGINT
+                AS err_ppm
+       FROM ranks r JOIN sel s ON s.flag = r.flag AND s.q = r.q
+       JOIN ex e ON e.flag = r.flag AND e.q = r.q""",
+    // r14: token-weighted quantile sketch — same register algebra with
+    // count generalized to a weight sum; "the median token lives in a
+    // doc of length X", per language
+    "weighted_quantile_sketch" -> s"""
+       WITH vw AS (SELECT lang AS flag, n_chars::BIGINT AS v,
+              len(string_split(text, ' '))::BIGINT AS wt
+            FROM documents),
+       lv AS (SELECT flag, v, wt, length(bin(v)) - 1 AS level FROM vw),
+       keyed AS (SELECT flag, wt,
+              greatest(level - ${RefOps.QSketchSubBits}, 0)::BIGINT AS shift,
+              (v >> CAST(greatest(level - ${RefOps.QSketchSubBits}, 0) AS INT))
+                ::BIGINT AS sub
+            FROM lv),
+       regs AS (SELECT flag, shift, sub, sum(wt)::BIGINT AS c
+            FROM keyed GROUP BY 1, 2, 3),
+       tot AS (SELECT flag, sum(c)::BIGINT AS w_total,
+              count(*)::BIGINT AS n_registers
+            FROM regs GROUP BY 1),
+       ranks AS (SELECT flag, w_total, n_registers, CAST(u.q AS BIGINT) AS q,
+              ((u.q * w_total + 99) // 100)::BIGINT AS rank
+            FROM tot CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) u),
+       cum AS (SELECT flag,
+              (sub << CAST(shift AS INT))::BIGINT AS lo,
+              (((sub + 1) << CAST(shift AS INT)) - 1)::BIGINT AS hi,
+              (sum(c) OVER (PARTITION BY flag
+                 ORDER BY (sub << CAST(shift AS INT))))::BIGINT AS cum
+            FROM regs),
+       sel AS (SELECT c.flag, r.q, min_by(c.hi, c.lo)::BIGINT AS est_hi
+            FROM cum c JOIN ranks r USING (flag)
+            WHERE c.cum >= r.rank GROUP BY 1, 2),
+       hist AS (SELECT flag, v, sum(wt)::BIGINT AS cv
+            FROM vw GROUP BY 1, 2),
+       cumv AS (SELECT flag, v,
+              (sum(cv) OVER (PARTITION BY flag ORDER BY v))::BIGINT AS cumv
+            FROM hist),
+       ex AS (SELECT h.flag, r.q, min(h.v)::BIGINT AS exact_v
+            FROM cumv h JOIN ranks r USING (flag)
+            WHERE h.cumv >= r.rank GROUP BY 1, 2)
+       SELECT r.flag, r.q, r.w_total, r.n_registers, r.rank, s.est_hi,
+              e.exact_v,
               ((1000000 * (s.est_hi - e.exact_v)) // e.exact_v)::BIGINT
                 AS err_ppm
        FROM ranks r JOIN sel s ON s.flag = r.flag AND s.q = r.q

@@ -718,6 +718,72 @@ object RefOps {
       .groupBy(col("flag"), col("shift"), col("sub"))
       .agg(count(lit(1)).as("c"))
 
+  /** WEIGHTED quantile sketch over documents — the curation statistic a
+    * token-budgeted pipeline actually thresholds on: "the median TOKEN
+    * lives in a document of length X" (length quantiles weighted by
+    * token mass), which row-quantiles get wrong by exactly the
+    * long-doc skew a web corpus always has. Same register algebra as
+    * [[quantileSketch]] with the count register generalized to a WEIGHT
+    * sum — still cell-wise mergeable, still all-integer: value =
+    * n_chars, weight = whitespace token count, per-language groups,
+    * rank_w = ceil(q·W/100) against the cumulative register weight,
+    * exact weighted rank value graded alongside (err_ppm, same 2⁻⁵
+    * bound — spec-pinned on the shared laws via the unweighted twin).
+    *
+    * Scale shape: identical to [[quantileSketch]] — one
+    * partial-aggregable shuffle onto bounded (lang, shift, sub) cells
+    * (weights SUM map-side), derive over register rows, the exact side
+    * linear and deletable.
+    */
+  def weightedQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchWeightedOn(Tables(spark, dir, "documents")
+      .select(col("lang").as("flag"), col("n_chars").cast("long").as("v"),
+        size(split(col("text"), " ")).cast("long").as("wt")))
+
+  /** The weighted core: [[quantileSketchOn]] with count → Σweight. */
+  private[graft] def quantileSketchWeightedOn(vw: DataFrame): DataFrame = {
+    val regs = vw
+      .select(col("flag"), col("v"), col("wt"),
+        (length(bin(col("v"))) - 1).cast("long").as("level"))
+      .select(col("flag"), col("wt"),
+        expr(s"greatest(level - $QSketchSubBits, 0)").as("shift"),
+        expr(s"shiftright(v, CAST(greatest(level - $QSketchSubBits, 0) AS INT))")
+          .as("sub"))
+      .groupBy(col("flag"), col("shift"), col("sub"))
+      .agg(sum(col("wt")).as("c"))
+    regs.cache()
+    try {
+      val tot = regs.groupBy(col("flag"))
+        .agg(sum(col("c")).as("w_total"), count(lit(1)).as("n_registers"))
+      val ranks = tot.select(col("flag"), col("w_total"), col("n_registers"),
+          explode(expr("array(50L, 90L, 99L)")).as("q"))
+        .withColumn("rank", expr("(q * w_total + 99) div 100"))
+      val rk = ranks.select(col("flag"), col("q"), col("rank"))
+      val cum = regs
+        .withColumn("lo", expr("shiftleft(sub, CAST(shift AS INT))"))
+        .withColumn("hi", expr("shiftleft(sub + 1, CAST(shift AS INT)) - 1"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("flag")).orderBy(col("lo"))))
+      val sel = cum.join(broadcast(rk), "flag")
+        .filter(col("cum") >= col("rank"))
+        .groupBy(col("flag"), col("q"))
+        .agg(expr("min_by(hi, lo)").as("est_hi"))
+      val cumv = vw.groupBy(col("flag"), col("v")).agg(sum(col("wt")).as("cv"))
+        .withColumn("cumv", sum(col("cv")).over(
+          Window.partitionBy(col("flag")).orderBy(col("v"))))
+      val exact = cumv.join(broadcast(rk), "flag")
+        .filter(col("cumv") >= col("rank"))
+        .groupBy(col("flag"), col("q"))
+        .agg(min(col("v")).as("exact_v"))
+      ranks.join(broadcast(sel), Seq("flag", "q"))
+        .join(broadcast(exact), Seq("flag", "q"))
+        .select(col("flag"), col("q"), col("w_total"), col("n_registers"),
+          col("rank"), col("est_hi"), col("exact_v"),
+          expr("(1000000 * (est_hi - exact_v)) div exact_v").as("err_ppm"))
+        .localCheckpoint(true)
+    } finally { regs.unpersist(blocking = false); () }
+  }
+
   private[graft] val BloomBits = 16384L
   private[graft] val BloomHashes = 3
 

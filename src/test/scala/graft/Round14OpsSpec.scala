@@ -75,6 +75,28 @@ class Round14OpsSpec extends SparkSpec {
     strict.diff(loose) shouldBe empty
   }
 
+  test("weighted_quantile_sketch: weight 1 degenerates to the unweighted sketch exactly") {
+    // count IS the weight-1 special case — every column (total, rank,
+    // registers, estimate, exact, err) must agree value-for-value
+    val w = RefOps.quantileSketchWeightedOn(cents.withColumn("wt", lit(1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2))
+      .toMap
+    val u = RefOps.quantileSketchOn(cents)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2))
+      .toMap
+    w shouldBe u
+  }
+
+  test("weighted_quantile_sketch: estimate bounds hold under token weights") {
+    val rows = RefOps.weightedQuantileSketch(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getLong(5) should be >= r.getLong(6) // est_hi >= exact_v
+      r.getLong(7) should be >= 0L
+      r.getLong(7) should be <= 31250L
+    }
+  }
+
   test("kruskal_wallis: equals the textbook tie-corrected H recomputed driver-side") {
     import graft.queries.Relational
     val hMilli = Relational.kruskalWallis(spark, sf).collect()
