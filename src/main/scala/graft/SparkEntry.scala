@@ -184,6 +184,7 @@ object SparkEntry {
     "chi2_independence" -> (DataOps.chi2Independence _),
     "anova_types" -> (Relational.anovaTypes _),
     "kruskal_wallis" -> (Relational.kruskalWallis _),
+    "friedman_test" -> (Relational.friedmanTest _),
     "kendall_tau" -> (Relational.kendallTau _),
     "source_gini" -> (DataOps.sourceGini _),
     "rank_sum" -> (DataOps.rankSumLengths _),
@@ -1131,6 +1132,42 @@ object SparkEntry {
                     THEN (1000 * (kd.nn - 1) * a.asum) // (kd.dd * b.bsum)
                END)::BIGINT AS h_milli
        FROM g CROSS JOIN kd CROSS JOIN b CROSS JOIN a""",
+    // r14: Friedman test — doubled mid-ranks WITHIN each day block
+    // (per-cell doubled mean = k+1), variance-identity tie-corrected
+    // form, balanced spine
+    "friedman_test" -> """
+       WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+              count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2),
+       spine AS (SELECT DISTINCT d FROM daily),
+       types AS (SELECT DISTINCT event_type FROM daily),
+       filled AS (SELECT t.event_type, s.d, coalesce(dd.n, 0)::BIGINT AS n
+                  FROM types t CROSS JOIN spine s
+                  LEFT JOIN daily dd
+                    ON dd.event_type = t.event_type AND dd.d = s.d),
+       hist AS (SELECT d, n, count(*)::BIGINT AS c
+                FROM filled GROUP BY 1, 2),
+       ranked AS (SELECT d, n,
+              (2 * coalesce(sum(c) OVER (PARTITION BY d ORDER BY n
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1)::BIGINT AS r2 FROM hist),
+       wr AS (SELECT f.event_type, f.d, r.r2
+              FROM filled f JOIN ranked r ON r.d = f.d AND r.n = f.n),
+       g AS (SELECT event_type, count(*)::BIGINT AS n_days,
+               sum(r2)::BIGINT AS rank_sum2 FROM wr GROUP BY 1),
+       kd AS (SELECT count(*)::BIGINT AS k, max(n_days)::BIGINT AS dd FROM g),
+       sst AS (SELECT sum((r2 - (kd.k + 1)) * (r2 - (kd.k + 1)))::BIGINT
+                 AS sst
+               FROM wr CROSS JOIN kd),
+       ssb AS (SELECT sum((rank_sum2 - kd.dd * (kd.k + 1))
+                   * (rank_sum2 - kd.dd * (kd.k + 1)))::BIGINT AS ssb
+               FROM g CROSS JOIN kd)
+       SELECT g.event_type, g.n_days, g.rank_sum2,
+              (CASE WHEN sst.sst > 0
+                    THEN (1000 * (kd.k - 1) * ssb.ssb) // (kd.dd * sst.sst)
+               END)::BIGINT AS chi2_milli
+       FROM g CROSS JOIN kd CROSS JOIN sst CROSS JOIN ssb""",
     // r13t: balanced one-way ANOVA — the zero-filled spine equalizes
     // group sizes, making F one exact integer ratio
     "anova_types" -> """

@@ -2427,6 +2427,58 @@ object Relational {
     } finally { daily.unpersist(blocking = false); () }
   }
 
+  /** Friedman test (Friedman 1937) for daily volume across event types —
+    * the WITHIN-BLOCKS companion to [[kruskalWallis]]: each DAY is a
+    * block, types are ranked against each other inside their own day,
+    * so a global volume trend (which inflates pooled-rank tests) cancels
+    * entirely and only the consistent type ordering is scored. Same two
+    * integer tricks: doubled within-day mid-ranks (2F + c + 1 off the
+    * per-day value histogram; per-cell doubled mean = k + 1 exactly) and
+    * the variance-identity tie-corrected form
+    * chi2 = (k−1)·Σ_g(S₂g − D(k+1))² / (D·Σcells(r₂ − (k+1))²)
+    * — algebraically the 12/Dk(k+1) textbook statistic when ties are
+    * absent, correct under ties, milli-quantized by one div.
+    *
+    * Scale shape: one partial-aggregable shuffle to (type, day) cells;
+    * the per-day rank histogram, the map-back join and both scalar folds
+    * move days-bounded frames (the within-day window partitions by day —
+    * k rows per partition, never a single-partition sort).
+    */
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    daily.cache()
+    try {
+      val spine = daily.select(col("d")).distinct()
+      val types = daily.select(col("event_type")).distinct()
+      val filled = broadcast(types).crossJoin(spine)
+        .join(daily, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("n"))
+      val hist = filled.groupBy(col("d"), col("n")).agg(count(lit(1)).as("c"))
+      val ranked = hist.withColumn("f",
+          coalesce(sum(col("c")).over(
+            Window.partitionBy(col("d")).orderBy(col("n"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("d"), col("n"), (lit(2L) * col("f") + col("c") + 1).as("r2"))
+      val withR = filled.join(ranked, Seq("d", "n"))
+      val g = withR.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("r2")).as("rank_sum2"))
+      val kd = g.agg(count(lit(1)).as("k"), max(col("n_days")).as("dd"))
+      val sst = withR.crossJoin(broadcast(kd))
+        .agg(max(col("k")).as("k"), max(col("dd")).as("dd"),
+          sum(expr("(r2 - (k + 1)) * (r2 - (k + 1))")).as("sst"))
+      val ssb = g.crossJoin(broadcast(kd))
+        .agg(sum(expr(
+          "(rank_sum2 - dd * (k + 1)) * (rank_sum2 - dd * (k + 1))"))
+          .as("ssb"))
+      g.crossJoin(broadcast(sst)).crossJoin(broadcast(ssb))
+        .select(col("event_type"), col("n_days"), col("rank_sum2"),
+          expr("""CASE WHEN sst > 0
+                  THEN (1000 * (k - 1) * ssb) div (dd * sst) END""")
+            .as("chi2_milli"))
+        .localCheckpoint(true)
+    } finally { daily.unpersist(blocking = false); () }
+  }
+
   /** Kendall tau-b for the daily-volume trend, per type — the
     * tie-corrected NORMALIZED coefficient next to [[mannKendallOn]]'s
     * raw S statistic (S alone is not comparable across series lengths;

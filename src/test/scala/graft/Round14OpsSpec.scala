@@ -129,6 +129,39 @@ class Round14OpsSpec extends SparkSpec {
     math.abs(hMilli - 1000.0 * h) should be <= 1.5
   }
 
+  test("friedman_test: equals a driver-side recomputation from per-day mid-ranks") {
+    import graft.queries.Relational
+    val chiMilli = Relational.friedmanTest(spark, sf).collect()
+      .head.getLong(3)
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .groupBy("event_type", "d").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val days = ev.map(_._2).distinct
+    val types = ev.map(_._1).distinct
+    val cells = ev.map { case (t, d, n) => (t, d) -> n }.toMap
+    val k = types.length
+    // independent path: float mid-ranks per day from sorted positions,
+    // then the variance-identity statistic directly
+    val ranks = days.flatMap { d =>
+      val vs = types.map(t => t -> cells.getOrElse((t, d), 0L).toDouble)
+      val sorted = vs.map(_._2).sorted
+      val mid = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.length }
+      vs.map { case (t, v) => (t, mid(v)) }
+    }
+    val dD = days.length.toDouble
+    val mean = (k + 1) / 2.0
+    // SSB for equal group sizes D: (1/D)*sum_g (S_g - D*mean)^2
+    val ssb = ranks.groupBy(_._1).values
+      .map(g => math.pow(g.map(_._2).sum - dD * mean, 2)).sum / dD
+    val sst = ranks.map(r => math.pow(r._2 - mean, 2)).sum
+    val chi = (k - 1) * ssb / sst
+    math.abs(chiMilli - 1000.0 * chi) should be <= 1.5
+  }
+
   test("quantile_sketch: doubled input doubles n and rank but moves no estimate") {
     def byKey(df: org.apache.spark.sql.DataFrame) =
       RefOps.quantileSketchOn(df).collect()
