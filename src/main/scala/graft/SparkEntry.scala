@@ -114,6 +114,7 @@ object SparkEntry {
     "hll_distinct" -> (RefOps.hllDistinct _),
     "quantile_sketch" -> (RefOps.quantileSketch _),
     "weighted_quantile_sketch" -> (RefOps.weightedQuantileSketch _),
+    "quantile_sketch_cube" -> (RefOps.quantileSketchCube _),
     "quality_auc" -> (DataOps.qualityAuc _),
     "rrf_fusion" -> (DataOps.rrfFusion _),
     "substring_spans_keep_one" -> (DataOps.substringSpansKeepOne _),
@@ -659,6 +660,44 @@ object SparkEntry {
                 AS err_ppm
        FROM ranks r JOIN sel s ON s.flag = r.flag AND s.q = r.q
        JOIN ex e ON e.flag = r.flag AND e.q = r.q""",
+    // r14: quantile-register cube — per-(month, flag) registers,
+    // month summed away, derive over the rolled-up frame; the roll-up
+    // must reproduce the direct sketch's estimates (the merge law)
+    "quantile_sketch_cube" -> s"""
+       WITH cents AS (SELECT l_returnflag AS flag,
+              strftime(l_shipdate, '%Y-%m') AS m,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem),
+       lv AS (SELECT flag, m, v, length(bin(v)) - 1 AS level FROM cents),
+       cube AS (SELECT flag, m,
+              greatest(level - ${RefOps.QSketchSubBits}, 0)::BIGINT AS shift,
+              (v >> CAST(greatest(level - ${RefOps.QSketchSubBits}, 0) AS INT))
+                ::BIGINT AS sub,
+              count(*)::BIGINT AS c
+            FROM lv GROUP BY 1, 2, 3, 4),
+       regs AS (SELECT flag, shift, sub, sum(c)::BIGINT AS c
+            FROM cube GROUP BY 1, 2, 3),
+       months AS (SELECT flag, count(DISTINCT m)::BIGINT AS n_months
+            FROM cube GROUP BY 1),
+       tot AS (SELECT flag, sum(c)::BIGINT AS n,
+              count(*)::BIGINT AS n_registers
+            FROM regs GROUP BY 1),
+       ranks AS (SELECT flag, n, n_registers, CAST(u.q AS BIGINT) AS q,
+              ((u.q * n + 99) // 100)::BIGINT AS rank
+            FROM tot CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) u),
+       cum AS (SELECT flag,
+              (sub << CAST(shift AS INT))::BIGINT AS lo,
+              (((sub + 1) << CAST(shift AS INT)) - 1)::BIGINT AS hi,
+              (sum(c) OVER (PARTITION BY flag
+                 ORDER BY (sub << CAST(shift AS INT))))::BIGINT AS cum
+            FROM regs),
+       sel AS (SELECT c.flag, r.q, min_by(c.hi, c.lo)::BIGINT AS est_hi
+            FROM cum c JOIN ranks r USING (flag)
+            WHERE c.cum >= r.rank GROUP BY 1, 2)
+       SELECT r.flag, mo.n_months, r.q, r.n, r.n_registers, r.rank,
+              s.est_hi
+       FROM ranks r JOIN sel s ON s.flag = r.flag AND s.q = r.q
+       JOIN months mo ON mo.flag = r.flag""",
     // r14: token-weighted quantile sketch — same register algebra with
     // count generalized to a weight sum; "the median token lives in a
     // doc of length X", per language

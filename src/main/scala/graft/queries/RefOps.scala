@@ -671,21 +671,8 @@ object RefOps {
     val regs = quantileRegistersOf(cents)
     regs.cache()
     try {
-      val tot = regs.groupBy(col("flag"))
-        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_registers"))
-      val ranks = tot.select(col("flag"), col("n"), col("n_registers"),
-          explode(expr("array(50L, 90L, 99L)")).as("q"))
-        .withColumn("rank", expr("(q * n + 99) div 100"))
-      val rk = ranks.select(col("flag"), col("q"), col("rank"))
-      val cum = regs
-        .withColumn("lo", expr("shiftleft(sub, CAST(shift AS INT))"))
-        .withColumn("hi", expr("shiftleft(sub + 1, CAST(shift AS INT)) - 1"))
-        .withColumn("cum", sum(col("c")).over(
-          Window.partitionBy(col("flag")).orderBy(col("lo"))))
-      val sel = cum.join(broadcast(rk), "flag")
-        .filter(col("cum") >= col("rank"))
-        .groupBy(col("flag"), col("q"))
-        .agg(expr("min_by(hi, lo)").as("est_hi"))
+      val est = quantileEstOf(regs)
+      val rk = est.select(col("flag"), col("q"), col("rank"))
       val cumv = cents.groupBy(col("flag"), col("v")).agg(count(lit(1)).as("cv"))
         .withColumn("cumv", sum(col("cv")).over(
           Window.partitionBy(col("flag")).orderBy(col("v"))))
@@ -693,13 +680,72 @@ object RefOps {
         .filter(col("cumv") >= col("rank"))
         .groupBy(col("flag"), col("q"))
         .agg(min(col("v")).as("exact_v"))
-      ranks.join(broadcast(sel), Seq("flag", "q"))
-        .join(broadcast(exact), Seq("flag", "q"))
+      est.join(broadcast(exact), Seq("flag", "q"))
         .select(col("flag"), col("q"), col("n"), col("n_registers"),
           col("rank"), col("est_hi"), col("exact_v"),
           expr("(1000000 * (est_hi - exact_v)) div exact_v").as("err_ppm"))
         .localCheckpoint(true)
     } finally { regs.unpersist(blocking = false); () }
+  }
+
+  /** The DERIVE half on a complete (flag, shift, sub, c) register
+    * frame — ceiling ranks, cumulative value-ordered tiling, upper-edge
+    * pick. Shared by the direct sketch, the cube roll-up and the
+    * streaming warehouse serve: one derive, no drift.
+    */
+  private[graft] def quantileEstOf(regs: DataFrame): DataFrame = {
+    val tot = regs.groupBy(col("flag"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_registers"))
+    val ranks = tot.select(col("flag"), col("n"), col("n_registers"),
+        explode(expr("array(50L, 90L, 99L)")).as("q"))
+      .withColumn("rank", expr("(q * n + 99) div 100"))
+    val rk = ranks.select(col("flag"), col("q"), col("rank"))
+    val cum = regs
+      .withColumn("lo", expr("shiftleft(sub, CAST(shift AS INT))"))
+      .withColumn("hi", expr("shiftleft(sub + 1, CAST(shift AS INT)) - 1"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("flag")).orderBy(col("lo"))))
+    val sel = cum.join(broadcast(rk), "flag")
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("flag"), col("q"))
+      .agg(expr("min_by(hi, lo)").as("est_hi"))
+    ranks.join(broadcast(sel), Seq("flag", "q"))
+      .select(col("flag"), col("q"), col("n"), col("n_registers"),
+        col("rank"), col("est_hi"))
+  }
+
+  /** Quantile-register CUBE with the roll-up law graded — the
+    * [[hllSketchCube]] twin for order statistics: registers are built
+    * per (ship-month, flag), the month key is summed away (counts ADD —
+    * the sketch's merge), and the derive over the rolled-up frame must
+    * reproduce the direct sketch's estimates exactly. This is the
+    * warehouse contract at 100 TB: persist per-partition register
+    * frames once, answer any coarser grouping by cell-wise addition,
+    * never re-read a row. n_months audits the cube width.
+    */
+  def quantileSketchCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val cube = li
+      .select(col("flag"), col("m"), col("v"),
+        (length(bin(col("v"))) - 1).cast("long").as("level"))
+      .select(col("flag"), col("m"),
+        expr(s"greatest(level - $QSketchSubBits, 0)").as("shift"),
+        expr(s"shiftright(v, CAST(greatest(level - $QSketchSubBits, 0) AS INT))")
+          .as("sub"))
+      .groupBy(col("flag"), col("m"), col("shift"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+    cube.cache()
+    try {
+      val merged = cube.groupBy(col("flag"), col("shift"), col("sub"))
+        .agg(sum(col("c")).as("c"))
+      val months = cube.select(col("flag"), col("m")).distinct()
+        .groupBy(col("flag")).agg(count(lit(1)).as("n_months"))
+      broadcast(months).join(quantileEstOf(merged), Seq("flag"))
+        .localCheckpoint(true)
+    } finally { cube.unpersist(blocking = false); () }
   }
 
   /** The ADDITIVE register half on an explicit (flag, v) cents frame —

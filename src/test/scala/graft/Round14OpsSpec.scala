@@ -129,6 +129,19 @@ class Round14OpsSpec extends SparkSpec {
     math.abs(hMilli - 1000.0 * h) should be <= 1.5
   }
 
+  test("quantile_sketch_cube: rolling the month away reproduces the direct sketch exactly") {
+    // the associativity law the cube grades: cell-wise summed monthly
+    // registers must yield the same n, register count, ranks and
+    // estimates as registers built directly over the whole table
+    val cube = RefOps.quantileSketchCube(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val direct = RefOps.quantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    cube shouldBe direct
+  }
+
   test("friedman_test: equals a driver-side recomputation from per-day mid-ranks") {
     import graft.queries.Relational
     val chiMilli = Relational.friedmanTest(spark, sf).collect()
