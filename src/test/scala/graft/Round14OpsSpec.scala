@@ -60,6 +60,23 @@ class Round14OpsSpec extends SparkSpec {
     merged shouldBe full
   }
 
+  test("substring family memo: every shared-frame face equals its pure un-memoized form") {
+    // the r14 sharing is a pure refactor — the five public faces read
+    // memoized class/span frames, and each must return exactly what the
+    // spec-facing On(t, L) forms compute from scratch on the same input
+    import graft.queries.DataOps
+    val t = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    rows(DataOps.substringDedup(spark, sf)) shouldBe
+      rows(DataOps.substringDedupOn(t, 16))
+    rows(DataOps.substringSpansKeepOne(spark, sf)) shouldBe
+      rows(DataOps.substringSpansKeepOneOn(t, 16))
+    rows(DataOps.topDupSubstrings(spark, sf)) shouldBe
+      rows(DataOps.topDupSubstringsOn(t, 16))
+  }
+
   test("substring_decontaminate: strictly implies the shingle gate (an L-run contains 3-shingles)") {
     // a verbatim >= L-token overlap with an eval doc necessarily shares
     // 3-shingles with it, so every substring-contaminated doc MUST also
