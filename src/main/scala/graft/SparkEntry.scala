@@ -738,8 +738,9 @@ object SparkEntry {
             WHERE h.cumv >= r.rank GROUP BY 1, 2)
        SELECT r.flag, r.q, r.w_total, r.n_registers, r.rank, s.est_hi,
               e.exact_v,
-              ((1000000 * (s.est_hi - e.exact_v)) // e.exact_v)::BIGINT
-                AS err_ppm
+              (CASE WHEN e.exact_v > 0
+                    THEN (1000000 * (s.est_hi - e.exact_v)) // e.exact_v
+               END)::BIGINT AS err_ppm
        FROM ranks r JOIN sel s ON s.flag = r.flag AND s.q = r.q
        JOIN ex e ON e.flag = r.flag AND e.q = r.q""",
     // r13f: register-level Bloom on the KMV/HLL hash dialect — member
@@ -1204,7 +1205,7 @@ object SparkEntry {
                FROM g CROSS JOIN kd)
        SELECT g.event_type, g.n_days, g.rank_sum2,
               (CASE WHEN sst.sst > 0
-                    THEN (1000 * (kd.k - 1) * ssb.ssb) // (kd.dd * sst.sst)
+                    THEN (1000 * (kd.k - 1) * ssb.ssb) // sst.sst
                END)::BIGINT AS chi2_milli
        FROM g CROSS JOIN kd CROSS JOIN sst CROSS JOIN ssb""",
     // r13t: balanced one-way ANOVA — the zero-filled spine equalizes

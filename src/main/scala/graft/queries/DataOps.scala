@@ -631,9 +631,13 @@ object DataOps {
     substringShared(spark, "classes", dir)(
       substringClasses(toks(spark, dir), SubstringL))
 
-  private def substringSpansShared(spark: SparkSession, dir: String): DataFrame =
-    substringShared(spark, "spans", dir)(
-      spansFromClasses(substringClassesShared(spark, dir), SubstringL))
+  private def substringSpansShared(spark: SparkSession, dir: String): DataFrame = {
+    // hoisted OUT of the spans mapping function: computeIfAbsent must
+    // never re-enter the same ConcurrentHashMap (JDK throws
+    // "Recursive update" when the two keys share a bin)
+    val rk = substringClassesShared(spark, dir)
+    substringShared(spark, "spans", dir)(spansFromClasses(rk, SubstringL))
+  }
 
   /** Merge overlapping/adjacent covered windows into maximal spans:
     * classic islands — a window starts a new span iff it begins past
@@ -771,9 +775,14 @@ object DataOps {
     * span report 0 (the LEFT join), giving the full distribution, not
     * just the affected tail.
     */
-  def substringDupFraction(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(spark, dir)
-    val spans = substringSpansShared(spark, dir)
+  def substringDupFraction(spark: SparkSession, dir: String): DataFrame =
+    dupFractionOver(toks(spark, dir), substringSpansShared(spark, dir))
+
+  private[graft] def substringDupFractionOn(t: DataFrame, L: Int): DataFrame =
+    dupFractionOver(t, spansFromClasses(substringClasses(t, L), L))
+
+  private def dupFractionOver(t: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
     t.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
@@ -793,9 +802,14 @@ object DataOps {
     * indexed-lambda filter, so beyond the span computation this is one
     * broadcast-size join + map work.
     */
-  def removeDupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val t0 = toks(spark, dir)
-    val spans = substringSpansShared(spark, dir)
+  def removeDupSpans(spark: SparkSession, dir: String): DataFrame =
+    removeSpansOver(toks(spark, dir), substringSpansShared(spark, dir))
+
+  private[graft] def removeDupSpansOn(t: DataFrame, L: Int): DataFrame =
+    removeSpansOver(t, spansFromClasses(substringClasses(t, L), L))
+
+  private def removeSpansOver(t0: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     t0.join(spans, Seq("doc_id"), "left")

@@ -825,7 +825,12 @@ object RefOps {
         .join(broadcast(exact), Seq("flag", "q"))
         .select(col("flag"), col("q"), col("w_total"), col("n_registers"),
           col("rank"), col("est_hi"), col("exact_v"),
-          expr("(1000000 * (est_hi - exact_v)) div exact_v").as("err_ppm"))
+          // guard: v = n_chars can legitimately be 0 (empty doc); a rank
+          // landing there must degrade to NULL in BOTH engines, not
+          // NULL-here / div-by-zero-error in DuckDB
+          expr("""CASE WHEN exact_v > 0
+                  THEN (1000000 * (est_hi - exact_v)) div exact_v END""")
+            .as("err_ppm"))
         .localCheckpoint(true)
     } finally { regs.unpersist(blocking = false); () }
   }

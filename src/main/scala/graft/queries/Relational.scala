@@ -2435,9 +2435,11 @@ object Relational {
     * integer tricks: doubled within-day mid-ranks (2F + c + 1 off the
     * per-day value histogram; per-cell doubled mean = k + 1 exactly) and
     * the variance-identity tie-corrected form
-    * chi2 = (k−1)·Σ_g(S₂g − D(k+1))² / (D·Σcells(r₂ − (k+1))²)
-    * — algebraically the 12/Dk(k+1) textbook statistic when ties are
-    * absent, correct under ties, milli-quantized by one div.
+    * chi2 = (k−1)·Σ_g(S₂g − D(k+1))² / Σcells(r₂ − (k+1))²
+    * — both sums carry the same doubled-rank factor 4, so this IS
+    * Conover's tie-corrected T = (k−1)·Σ_j(R_j − D(k+1)/2)² /
+    * Σᵢⱼ(Rᵢⱼ − (k+1)/2)², which without ties reduces to the textbook
+    * 12/(Dk(k+1))·ΣR_j² − 3D(k+1); milli-quantized by one div.
     *
     * Scale shape: one partial-aggregable shuffle to (type, day) cells;
     * the per-day rank histogram, the map-back join and both scalar folds
@@ -2473,7 +2475,7 @@ object Relational {
       g.crossJoin(broadcast(sst)).crossJoin(broadcast(ssb))
         .select(col("event_type"), col("n_days"), col("rank_sum2"),
           expr("""CASE WHEN sst > 0
-                  THEN (1000 * (k - 1) * ssb) div (dd * sst) END""")
+                  THEN (1000 * (k - 1) * ssb) div sst END""")
             .as("chi2_milli"))
         .localCheckpoint(true)
     } finally { daily.unpersist(blocking = false); () }

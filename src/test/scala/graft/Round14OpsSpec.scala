@@ -75,6 +75,10 @@ class Round14OpsSpec extends SparkSpec {
       rows(DataOps.substringSpansKeepOneOn(t, 16))
     rows(DataOps.topDupSubstrings(spark, sf)) shouldBe
       rows(DataOps.topDupSubstringsOn(t, 16))
+    rows(DataOps.substringDupFraction(spark, sf)) shouldBe
+      rows(DataOps.substringDupFractionOn(t, 16))
+    rows(DataOps.removeDupSpans(spark, sf)) shouldBe
+      rows(DataOps.removeDupSpansOn(t, 16))
   }
 
   test("substring_decontaminate: strictly implies the shingle gate (an L-run contains 3-shingles)") {
@@ -173,22 +177,27 @@ class Round14OpsSpec extends SparkSpec {
     val types = ev.map(_._1).distinct
     val cells = ev.map { case (t, d, n) => (t, d) -> n }.toMap
     val k = types.length
-    // independent path: float mid-ranks per day from sorted positions,
-    // then the variance-identity statistic directly
-    val ranks = days.flatMap { d =>
+    // independent path: float mid-ranks per day, then the TEXTBOOK
+    // chi2_0 = 12/(Dk(k+1))*Sum R_j^2 - 3D(k+1) divided by the standard
+    // tie correction 1 - Sum(t^3-t)/(Dk(k^2-1)) — Friedman 1937 /
+    // Conover form, NOT the engine's integer variance identity
+    val perDay = days.map { d =>
       val vs = types.map(t => t -> cells.getOrElse((t, d), 0L).toDouble)
       val sorted = vs.map(_._2).sorted
       val mid = sorted.zipWithIndex.groupBy(_._1)
         .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.length }
-      vs.map { case (t, v) => (t, mid(v)) }
+      (vs.map { case (t, v) => (t, mid(v)) },
+        sorted.groupBy(identity).values
+          .map(g => { val t = g.length.toDouble; t * t * t - t }).sum)
     }
     val dD = days.length.toDouble
-    val mean = (k + 1) / 2.0
-    // SSB for equal group sizes D: (1/D)*sum_g (S_g - D*mean)^2
-    val ssb = ranks.groupBy(_._1).values
-      .map(g => math.pow(g.map(_._2).sum - dD * mean, 2)).sum / dD
-    val sst = ranks.map(r => math.pow(r._2 - mean, 2)).sum
-    val chi = (k - 1) * ssb / sst
+    val rankSums = perDay.flatMap(_._1).groupBy(_._1)
+      .map { case (_, g) => g.map(_._2).sum }
+    val chi0 = 12.0 / (dD * k * (k + 1)) * rankSums.map(s => s * s).sum -
+      3.0 * dD * (k + 1)
+    val tieSum = perDay.map(_._2).sum
+    val corr = 1.0 - tieSum / (dD * k * (k.toDouble * k - 1))
+    val chi = chi0 / corr
     math.abs(chiMilli - 1000.0 * chi) should be <= 1.5
   }
 
