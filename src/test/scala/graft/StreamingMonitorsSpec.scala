@@ -126,6 +126,20 @@ class StreamingMonitorsSpec extends SparkSpec {
       graft.queries.RefOps.quantileRegistersOf(cents))
   }
 
+  test("streaming weighted quantile registers serve estimates equal to the graded batch face") {
+    // r15 (r14 verdict #8): interleaved document slices each land
+    // partial (lang, shift, sub) WEIGHT sums via the register half the
+    // batch face shares; the sum-merged state served through the shared
+    // derive must equal weighted_quantile_sketch's estimate columns
+    // (exact_v/err_ppm are the batch entry's fidelity lines — they need
+    // raw rows by definition and are dropped, not approximated)
+    drive(Tables(spark, sf, "documents"), "doc_id",
+      StreamingMonitors.maintainWeightedQuantileRegisters,
+      StreamingMonitors.weightedQuantileEstimate(spark, _),
+      graft.queries.RefOps.weightedQuantileSketch(spark, sf)
+        .drop("exact_v", "err_ppm"))
+  }
+
   test("streaming drift/trend family equals the graded batch queries off one daily state") {
     // r13n: ONE maintained (event_type, d, n) cell state serves all
     // three derive halves — cusum peak, Theil-Sen slope, Mann-Kendall
