@@ -1104,15 +1104,26 @@ object RefOps {
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType)))
     val cc = graft.source.CsvSource.CorruptColumn
-    graft.source.CsvSource.read(spark, path, schema)
-      .select(
-        when(col(cc).isNotNull, "quarantined").otherwise("clean").as("kind"),
-        col("user_id"), col(cc).as("cr"))
-      .groupBy(col("kind"))
-      .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(when(col("cr").isNull, col("user_id"))), lit(0L))
-          .as("user_sum"),
-        coalesce(sum(length(col("cr"))), lit(0L)).as("raw_chars"))
+    // CACHE before the split — the CsvSource scaladoc's own rule: a
+    // downstream count() prunes the aggregate columns away, leaving a
+    // raw-file query that references ONLY _corrupt_record, which Spark
+    // rejects at analysis (QUERY_ONLY_CORRUPT_RECORD_COLUMN). The cache
+    // materializes the parsed columns once; the split reads from it.
+    val parsed = graft.source.CsvSource.read(spark, path, schema)
+      .select(col("user_id"), col(cc).as("cr"))
+    parsed.cache()
+    try {
+      parsed.select(
+          when(col("cr").isNotNull, "quarantined").otherwise("clean")
+            .as("kind"),
+          col("user_id"), col("cr"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("cr").isNull, col("user_id"))), lit(0L))
+            .as("user_sum"),
+          coalesce(sum(length(col("cr"))), lit(0L)).as("raw_chars"))
+        .localCheckpoint(true)
+    } finally { parsed.unpersist(blocking = false); () }
   }
 
   /** Gap-based sessionization, batch form: a new session starts when the
