@@ -90,4 +90,38 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("second decade: sf10/sf1 ratios on the heavy head stay under the gate") {
+    // r15 (r14 verdict #4): one 10× step can hide a superlinear shape
+    // that two consecutive decades expose (the edit_distance_block
+    // lesson). SCALING_sf10.json carries sf10/sf1 ratios for the top-20
+    // most-expensive sf1 queries (minus already-allowlisted quadratics,
+    // whose exclusion the allowlist itself documents — re-measuring a
+    // named quadratic at 100× adds no information, only ~25 min).
+    val p = Seq("SCALING_sf10.json", "/root/repo/SCALING_sf10.json")
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_))
+    withClue("SCALING_sf10.json missing — GenTestData sf10 + top-20 " +
+      "bench + tools/scaling_ratio.py BENCH_sf10.json BENCH_sf1.json: ") {
+      p should not be empty
+    }
+    val json = java.nio.file.Files.readString(p.get)
+    val ratios: Map[String, Double] =
+      """"ratios":\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
+        .map(_.group(1)).map { body =>
+          """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(fail(s"no ratios object in ${p.get}"))
+    withClue("sf10 rung must cover the heavy head (>= 15 queries): ") {
+      ratios.size should be >= 15
+    }
+    val threshold = """"threshold":\s*([0-9.]+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(15.0)
+    val unlisted = ratios.filter(_._2 > threshold).keySet
+      .diff(superlinearAllowlist.keySet)
+    withClue(s"UNLISTED superlinear queries at the sf10 rung: " +
+      s"${unlisted.toSeq.sorted.map(n => s"$n=${ratios(n)}").mkString(", ")} ") {
+      unlisted shouldBe empty
+    }
+  }
 }
