@@ -193,6 +193,8 @@ object SparkEntry {
     "rank_sum" -> (DataOps.rankSumLengths _),
     "kn_continuation" -> (DataOps.knContinuation _),
     "exact_allocation" -> (DataOps.exactAllocation _),
+    // r15: temperature-mixture allocation, integer-graded (N246)
+    "temperature_allocation" -> (DataOps.temperatureAllocation _),
     // r13l: the second stateless router (consistent-hash ring) and the
     // integer ±1 random projection over the quantized embeddings.
     "ring_shards" -> (DataOps.ringShards _),

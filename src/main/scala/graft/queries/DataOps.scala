@@ -2667,6 +2667,46 @@ object DataOps {
       .toDF("round", "lang", "excess_ppm", "weight_ppm", "w_avg_ppm")
   }
 
+  /** Temperature-mixture token allocation, the GRADED integer face of
+    * [[mixtureTemperature]]'s apportionment (mC4 / XLM-R, τ = ½):
+    * language l's share of the output budget is ∝ √(its token mass) —
+    * the flattening that upsamples rare languages. The one non-integer
+    * step is floor(√n) on a BIGINT token mass: IEEE sqrt is correctly
+    * rounded and masses sit far below 2⁵², so both engines floor the
+    * SAME double and the result is an exact integer weight (the
+    * spearman/xcorr pinned-float argument); the budget
+    * B = ⌊total/2⌋ tokens then apportions by largest remainder
+    * ([[exactAllocation]]'s rule: remainder DESC, lang ASC), so
+    * Σ alloc = B exactly. `natural_ppm` vs `alloc_ppm` grades the
+    * flattening itself: the dominant language's allocated share must
+    * sit BELOW its natural share, rare languages above (spec-pinned).
+    *
+    * Scale shape: one partial-aggregable shuffle onto ≤ |langs| cells;
+    * everything after moves the alphabet-bounded frame (broadcast
+    * scalar, per-row arithmetic, one ≤ |langs|-row rank).
+    */
+  def temperatureAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val m = toks(spark, dir)
+      .select(col("lang"), size(col("w")).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n"))
+      .withColumn("sq", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tot = m.agg(sum(col("sq")).as("ts"), sum(col("n")).as("tn"))
+      .select(col("ts"), col("tn"), expr("tn div 2").as("b"))
+    val base = m.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(b * sq) div ts"))
+      .withColumn("rem", expr("(b * sq) % ts"))
+    val sb = base.agg(sum(col("base")).as("sb"), max(col("b")).as("b"))
+    base.crossJoin(broadcast(sb.select(col("sb"), col("b").as("bb"))))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("bb") - col("sb"), 1L).otherwise(0L))
+      .select(col("lang"), col("n").as("n_tokens"), col("sq"),
+        col("alloc").as("alloc_tokens"),
+        expr("(1000000 * n) div tn").as("natural_ppm"),
+        expr("(1000000 * alloc) div bb").as("alloc_ppm"))
+  }
+
   private val PairBlocks = 8
 
   /** Embedding-cosine near-duplicate detection: vector pairs with cosine
@@ -7209,6 +7249,32 @@ object DataOps {
         FROM rk GROUP BY 1""",
       // Largest-remainder allocation: base floor quotas + remainder-ranked
       // extra seats summing to exactly AllocK
+      // r15: temperature-mixture allocation — the same floor(sqrt) on
+      // the same BIGINT mass (IEEE sqrt correctly rounded, masses far
+      // below 2^52, so both engines floor the same double), then
+      // largest-remainder apportionment of B = total div 2
+      "temperature_allocation" -> """
+        WITH m AS (SELECT lang,
+               sum(len(string_split(text, ' ')))::BIGINT AS n
+             FROM documents GROUP BY 1),
+        s AS (SELECT lang, n, floor(sqrt(n::DOUBLE))::BIGINT AS sq FROM m),
+        t AS (SELECT sum(sq)::BIGINT AS ts, sum(n)::BIGINT AS tn,
+                (sum(n) // 2)::BIGINT AS b FROM s),
+        base AS (SELECT lang, n, sq, t.ts, t.tn, t.b,
+                   ((t.b * sq) // t.ts)::BIGINT AS base,
+                   ((t.b * sq) % t.ts)::BIGINT AS rem
+                 FROM s CROSS JOIN t),
+        g AS (SELECT sum(base)::BIGINT AS sb FROM base),
+        r AS (SELECT base.*, row_number() OVER (ORDER BY rem DESC, lang)
+                 AS rk FROM base)
+        SELECT r.lang, r.n AS n_tokens, r.sq,
+               (r.base + CASE WHEN r.rk <= r.b - g.sb THEN 1 ELSE 0 END)
+                 ::BIGINT AS alloc_tokens,
+               ((1000000 * r.n) // r.tn)::BIGINT AS natural_ppm,
+               ((1000000 * (r.base + CASE WHEN r.rk <= r.b - g.sb
+                                     THEN 1 ELSE 0 END)) // r.b)::BIGINT
+                 AS alloc_ppm
+        FROM r CROSS JOIN g""",
       "exact_allocation" -> s"""
         WITH c AS (SELECT lang, count(*)::BIGINT AS n
                    FROM documents GROUP BY 1),

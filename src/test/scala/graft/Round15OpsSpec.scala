@@ -83,6 +83,26 @@ class Round15OpsSpec extends SparkSpec {
       rows(DataOps.dedupClusterStar(spark, sf))
   }
 
+  test("temperature_allocation: exact budget partition that flattens toward rare languages") {
+    val rows = DataOps.temperatureAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val totalTokens = rows.map(_._2).sum
+    // the allocation is an exact partition of B = total div 2
+    rows.map(_._4).sum shouldBe totalTokens / 2
+    // sqrt weight is the true isqrt of the mass
+    rows.foreach { case (_, n, sq, _, _, _) =>
+      sq * sq should be <= n
+      (sq + 1) * (sq + 1) should be > n
+    }
+    // flattening: the dominant language's allocated share sits below
+    // its natural share; the rarest language's above (tau = 1/2)
+    val top = rows.maxBy(_._2)
+    val bottom = rows.minBy(_._2)
+    top._6 should be < top._5
+    bottom._6 should be > bottom._5
+  }
+
   test("csv_quarantine: the quarantine split matches the planting rule exactly") {
     val out = RefOps.csvQuarantine(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
