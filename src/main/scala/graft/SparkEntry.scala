@@ -32,6 +32,8 @@ object SparkEntry {
     "author_clean" -> (RefOps.authorClean _),
     "split_extract" -> (RefOps.splitExtract _),
     "upsert_merge" -> (RefOps.upsertMerge _),
+    // r16: N30's graded face — versioned-store reads at two snapshots
+    "time_travel" -> (RefOps.timeTravelGraded _),
     "null_filters" -> (RefOps.nullFilters _),
     "ingest_run" -> (RefOps.ingestRun _),
     "asof_join" -> (RefOps.asofJoin _),
@@ -245,6 +247,8 @@ object SparkEntry {
     "corpus_report" -> (DataOps.corpusReport _),
     "ann_cosine_topk" -> (DataOps.annCosineTopk _),
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
+    // r16: N61's graded face — IVF probe + in-list cosine rank
+    "ann_ivf" -> (DataOps.annIvfGraded _),
     // Integer faces of the quantizer family (r11: codes are exact ints,
     // only float reconstructions stay spec-bounded).
     "int8_codes" -> (DataOps.quantizeCodes _),
@@ -261,6 +265,8 @@ object SparkEntry {
     "dedup_cluster" -> (DataOps.dedupCluster _),
     // r15: N50's graded face — clustering from the persisted index
     "cluster_from_index" -> (DataOps.clusterFromIndexGraded _),
+    // r16: N56's graded face — post-compaction index state + generation
+    "index_compaction" -> (DataOps.indexCompactionGraded _),
     "dedup_cluster_star" -> (DataOps.dedupClusterStar _),
     "cluster_keep_best" -> (DataOps.clusterKeepBest _),
     "chunk_documents" -> (DataOps.chunkDocuments _),
@@ -490,6 +496,40 @@ object SparkEntry {
          UNION ALL
          SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
          FROM batch WHERE rn = 1""",
+    // r16: time travel — both retained versions replayed by the merge
+    // law (v2 = v1 rows the phase-2 batch did not touch, plus phase 2)
+    "time_travel" ->
+      """WITH mk AS (
+           SELECT doc_id,
+                  md5('tt:' || CAST(doc_id AS VARCHAR)) AS article_id,
+                  'https://example.com/tt/' || CAST(doc_id AS VARCHAR)
+                    AS news_link,
+                  CASE WHEN doc_id % 7 = 0 THEN NULL
+                       ELSE 'User ' || CAST(doc_id % 50 AS VARCHAR)
+                  END AS author_name,
+                  strftime(TIMESTAMP '2024-01-01 00:00:00'
+                             + (doc_id % 720) * INTERVAL 1 HOUR,
+                           '%Y-%m-%d %H:%M:%S') AS published_s,
+                  lang AS source_name
+           FROM documents),
+         v1 AS (
+           SELECT article_id, news_link,
+                  'v1 title ' || CAST(doc_id AS VARCHAR) AS news_title,
+                  author_name, published_s, source_name
+           FROM mk WHERE doc_id % 10 < 5),
+         v2 AS (
+           SELECT article_id, news_link,
+                  'v1 title ' || CAST(doc_id AS VARCHAR) AS news_title,
+                  author_name, published_s, source_name
+           FROM mk WHERE doc_id % 10 < 3
+           UNION ALL
+           SELECT article_id, news_link,
+                  'v2 title ' || CAST(doc_id AS VARCHAR) AS news_title,
+                  author_name, published_s, source_name
+           FROM mk WHERE doc_id % 10 BETWEEN 3 AND 7)
+         SELECT 1::BIGINT AS version, * FROM v1
+         UNION ALL
+         SELECT 2::BIGINT AS version, * FROM v2""",
     "null_filters" ->
       """SELECT nullif(event_type, 'error') AS et, count(*) AS n
          FROM events WHERE nullif(event_type, 'error') IS NOT NULL

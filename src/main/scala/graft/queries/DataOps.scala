@@ -1959,7 +1959,14 @@ object DataOps {
     * position/backoff-key rules.
     */
   private def sbPositions(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir)
+    sbPositionsOn(docs(spark, dir))
+
+  /** [[sbPositions]] on an explicit documents frame — the front the
+    * streaming DoReMi face scores micro-batches through
+    * ([[graft.streaming.StreamingMonitors.maintainDoremiCells]]).
+    */
+  private[graft] def sbPositionsOn(docsDf: DataFrame): DataFrame =
+    toksOn(docsDf)
       .select(col("doc_id"), col("lang"), col("w"),
         posexplode(col("w")).as(Seq("i0", "wi")))
       .select(col("doc_id"), col("lang"), (col("i0") + 1).as("pos"), col("wi"),
@@ -2626,15 +2633,24 @@ object DataOps {
     */
   def doremiMixture(spark: SparkSession, dir: String): DataFrame = {
     val sb = sbDocScore(spark, dir)
-    val dom = docs(spark, dir).select(col("doc_id"), col("lang"))
+    doremiFromCells(spark, docs(spark, dir).select(col("doc_id"), col("lang"))
       .join(sb, Seq("doc_id"))
       .groupBy(col("lang"))
-      .agg(sum(col("n_tokens")).as("toks"), sum(col("sum_ppm")).as("sppm"))
-      .select(col("lang"), col("toks"),
-        (lit(1000000L) - expr("sppm div toks")).as("loss_ppm"),
-        col("sppm"))
-    val rows = dom.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .agg(sum(col("n_tokens")).as("toks"), sum(col("sum_ppm")).as("sppm")))
+  }
+
+  /** The SERVE half of [[doremiMixture]] — the driver-side
+    * exponentiated-gradient loop over a complete (lang, toks, sppm)
+    * cell frame, factored so the streaming face
+    * ([[graft.streaming.StreamingMonitors.doremiMixtureServe]]) runs the
+    * IDENTICAL loop over sum-merged state cells. The collect is
+    * alphabet-bounded (≤ |langs| rows) by construction.
+    */
+  private[graft] def doremiFromCells(spark: SparkSession,
+                                     cells: DataFrame): DataFrame = {
+    val rows = cells.select(col("lang"), col("toks"), col("sppm")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        1000000L - r.getLong(2) / r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val basePpm = 1000000L - rows.map(_._4).sum / rows.map(_._2).sum
     val excess = rows.map { case (l, _, loss, _) => (l, loss - basePpm) }
@@ -2697,6 +2713,10 @@ object DataOps {
       .withColumn("rem", expr("(b * sq) % ts"))
     val sb = base.agg(sum(col("base")).as("sb"), max(col("b")).as("b"))
     base.crossJoin(broadcast(sb.select(col("sb"), col("b").as("bb"))))
+      // Unpartitioned window = the documented ALPHABET-BOUNDED frame
+      // (r15 verdict #8): it ranks remainders over ≤ |langs| rows, never
+      // the corpus — the single-partition WindowExec warning it logs is
+      // the expected cost of an exact largest-remainder apportionment.
       .withColumn("rk",
         row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
       .withColumn("alloc",
@@ -3072,6 +3092,23 @@ object DataOps {
       .drop("rk")
       .withColumn("rk", row_number().over(global)).filter(col("rk") <= topK)
   }
+
+  /** The GRADED face of [[annIvf]] (r15 verdict #2) — the
+    * [[diversitySampleCodes]] graduation applied to the IVF probe path:
+    * every float in the pipeline is order-pinned (probe distances are
+    * the same dimension-ordered folds `kmeans_assign` grades bit-exactly;
+    * the candidate cosine is the [[annCosineTopk]] fold the exhaustive
+    * entry already grades), so the probed candidate set AND its rank are
+    * cross-engine exact — the DuckDB oracle replays the unrolled-Lloyd
+    * CTE chain, ranks each query's centroids by the LAST round's
+    * distances, and scans only the [[IvfProbe]] nearest inverted lists,
+    * exactly the operator's pruning. The served cosine is rounded to 4
+    * places AFTER ranking (the ann_cosine_topk dialect).
+    */
+  def annIvfGraded(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir)
+      .select(col("q_id"), col("vec_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rk"))
 
   private val PqM = 8       // subspaces over the 64-dim embedding
   private val PqSubDim = 8  // dims per subspace
@@ -4293,6 +4330,9 @@ object DataOps {
   /** Session-scoped bootstrap paths for [[clusterFromIndexGraded]] —
     * one temp [[graft.sink.SignatureIndex]] per (session, corpus), the
     * daily-cells/substring memo discipline applied to persisted state.
+    * Temp dirs are [[SessionTemp]]-registered for shutdown cleanup
+    * (r15 ADVICE #1); the map itself holds one path string per
+    * (applicationId, corpus dir) — bounded by the dirs a session visits.
     */
   private val cfiMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -4311,13 +4351,46 @@ object DataOps {
     val path = cfiMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir",
       _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-cfi-").toString
+        val p = SessionTemp.createDir("graft-cfi-")
         new graft.sink.SignatureIndex(spark, p)
           .appendDocuments(docs(spark, dir).select(col("doc_id"), col("text")))
         p
       })
     clusterFromIndex(new graft.sink.SignatureIndex(spark, path))
+  }
+
+  /** Session-scoped COMPACTED index paths for [[indexCompactionGraded]]
+    * — kept separate from [[cfiMemo]] (whose contract is a
+    * single-append, never-compacted store).
+    */
+  private val icMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The GRADED face of [[graft.sink.SignatureIndex.compact]] (N56,
+    * r15 verdict #3): bootstrap a fresh index from the corpus, run ONE
+    * compaction, and serve the POST-COMPACTION state — every band row
+    * (doc_id, band, digest, arrival rank) plus the generation pointer
+    * the swap published. The DuckDB oracle recomputes the band rows
+    * from the documents table through the shared minhash-LSH dialect
+    * (the `dedup_minhash_lsh` CTEs) and pins the generation at 1, so a
+    * compaction that dropped, duplicated, or re-ranked ANY row — or
+    * that failed to advance the pointer — hash-mismatches. The
+    * file-count collapse itself (storage, invisible to content hashes)
+    * stays pinned by CompactionSpec.
+    */
+  def indexCompactionGraded(spark: SparkSession, dir: String): DataFrame = {
+    val path = icMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir",
+      _ => {
+        val p = SessionTemp.createDir("graft-ic-")
+        val idx = new graft.sink.SignatureIndex(spark, p)
+        idx.appendDocuments(docs(spark, dir).select(col("doc_id"), col("text")))
+        idx.compact()
+        p
+      })
+    val idx = new graft.sink.SignatureIndex(spark, path)
+    idx.bands.select(col("doc_id"), col("b"), col("h"), col("rk"))
+      .withColumn("generation", lit(idx.generation))
   }
 
   /** [[lshCandidates]] with the per-bucket rank read from the index
@@ -6183,40 +6256,64 @@ object DataOps {
     * the public operator's eager checkpoint collapses its visible plan).
     */
   private[graft] def sbDocScoreOn(spark: SparkSession, dir: String,
-                                  counts: DataFrame): DataFrame = {
-    {
-      val uni = counts.filter(col("n") === 1).select(col("gram"), col("cnt"))
-      val bi = counts.filter(col("n") === 2).select(col("gram"), col("cnt"))
-      val tri = counts.filter(col("n") === 3).select(col("gram"), col("cnt"))
-      val nTotal = uni.agg(sum(col("cnt"))).head().getLong(0)
-      def lk(tbl: DataFrame, key: String, out: String) =
-        broadcast(tbl.select(col("gram").as(key), col("cnt").as(out)))
-      sbPositions(spark, dir)
-        .join(lk(tri, "trik", "c_tri"), Seq("trik"), "left")
-        .join(lk(bi, "bik", "c_bi"), Seq("bik"), "left")
-        .join(lk(bi, "ctx2k", "c_ctx2"), Seq("ctx2k"), "left")
-        .join(lk(uni, "wi", "c_uni"), Seq("wi"), "left")
-        .join(lk(uni, "prev", "c_ctx1"), Seq("prev"), "left")
-        .select(col("doc_id"), expr(
-          s"""CASE
-              WHEN pos >= 3 AND c_tri IS NOT NULL
-                THEN (1000000 * c_tri) div c_ctx2
-              WHEN pos >= 3 AND c_bi IS NOT NULL
-                THEN (400000 * c_bi) div c_ctx1
-              WHEN pos >= 3
-                THEN (160000 * coalesce(c_uni, 1)) div ${nTotal}L
-              WHEN pos = 2 AND c_bi IS NOT NULL
-                THEN (1000000 * c_bi) div c_ctx1
-              WHEN pos = 2
-                THEN (400000 * coalesce(c_uni, 1)) div ${nTotal}L
-              ELSE (1000000 * coalesce(c_uni, 1)) div ${nTotal}L
-              END""").as("score_ppm"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("score_ppm")).as("sum_ppm"))
-        .select(col("doc_id"), col("n_tokens"), col("sum_ppm"),
-          expr("sum_ppm div n_tokens").as("avg_ppm"))
-    }
+                                  counts: DataFrame): DataFrame =
+    sbScoredPositions(sbPositions(spark, dir), counts)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("score_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_ppm"),
+        expr("sum_ppm div n_tokens").as("avg_ppm"))
+
+  /** The five-broadcast-lookup scoring body shared by the graded
+    * [[sbDocScore]] (per-doc fold) and the streaming DoReMi cells
+    * (per-lang fold): (doc_id, lang, score_ppm) per position against a
+    * frozen [[sbNgramCounts]] model — ONE definition, so the batch loss
+    * signal and the streamed one cannot drift.
+    */
+  private[graft] def sbScoredPositions(pos: DataFrame,
+                                       counts: DataFrame): DataFrame = {
+    val uni = counts.filter(col("n") === 1).select(col("gram"), col("cnt"))
+    val bi = counts.filter(col("n") === 2).select(col("gram"), col("cnt"))
+    val tri = counts.filter(col("n") === 3).select(col("gram"), col("cnt"))
+    val nTotal = uni.agg(sum(col("cnt"))).head().getLong(0)
+    def lk(tbl: DataFrame, key: String, out: String) =
+      broadcast(tbl.select(col("gram").as(key), col("cnt").as(out)))
+    pos
+      .join(lk(tri, "trik", "c_tri"), Seq("trik"), "left")
+      .join(lk(bi, "bik", "c_bi"), Seq("bik"), "left")
+      .join(lk(bi, "ctx2k", "c_ctx2"), Seq("ctx2k"), "left")
+      .join(lk(uni, "wi", "c_uni"), Seq("wi"), "left")
+      .join(lk(uni, "prev", "c_ctx1"), Seq("prev"), "left")
+      .select(col("doc_id"), col("lang"), expr(
+        s"""CASE
+            WHEN pos >= 3 AND c_tri IS NOT NULL
+              THEN (1000000 * c_tri) div c_ctx2
+            WHEN pos >= 3 AND c_bi IS NOT NULL
+              THEN (400000 * c_bi) div c_ctx1
+            WHEN pos >= 3
+              THEN (160000 * coalesce(c_uni, 1)) div ${nTotal}L
+            WHEN pos = 2 AND c_bi IS NOT NULL
+              THEN (1000000 * c_bi) div c_ctx1
+            WHEN pos = 2
+              THEN (400000 * coalesce(c_uni, 1)) div ${nTotal}L
+            ELSE (1000000 * coalesce(c_uni, 1)) div ${nTotal}L
+            END""").as("score_ppm"))
   }
+
+  /** The per-lang DoReMi loss cells of a documents frame scored against
+    * a FROZEN Stupid-Backoff model — the ADDITIVE half of
+    * [[doremiMixture]] (cells sum across any slicing of the corpus), so
+    * a stream can maintain them per micro-batch
+    * ([[graft.streaming.StreamingMonitors.maintainDoremiCells]]) while
+    * the exponentiated-gradient loop runs in the serve path over the
+    * merged ≤ |langs| cells. Freezing the model is DoReMi's own regime:
+    * the proxy loss is re-priced between training rounds, not per
+    * arriving document.
+    */
+  private[graft] def doremiCellsOf(docsDf: DataFrame,
+                                   counts: DataFrame): DataFrame =
+    sbScoredPositions(sbPositionsOn(docsDf), counts)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("toks"), sum(col("score_ppm")).as("sppm"))
 
   /** Chi-squared independence audit of the lang × source contingency
     * table — the hypothesis-test face next to [[langSourceLift]]'s
@@ -6847,6 +6944,58 @@ object DataOps {
       "pq_codes" -> s"""
         ${kmeansCtes(k = PqK, iters = PqIters, subDim = Some(PqSubDim))}
         SELECT vec_id, m::INT AS m, cluster::INT AS code FROM a1""",
+      // r16: the IVF ANN probe path graded end-to-end — the unrolled
+      // Lloyd chain's LAST round gives each query's centroid distances
+      // (quantizer-consistent: probes rank against the centroids the
+      // inverted lists were filed under), only the IvfProbe nearest
+      // lists are scanned, and the in-list cosine reuses the
+      // ann_cosine_topk fold (rank on the raw double, round after).
+      "ann_ivf" -> s"""
+        ${kmeansCtes(k = IvfK, iters = IvfIters, subDim = None)},
+        pr AS (SELECT q_id, cluster FROM (
+                 SELECT vec_id AS q_id, cid AS cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS prn
+                 FROM d${IvfIters - 1} WHERE vec_id < 5)
+               WHERE prn <= $IvfProbe),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        qv AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+               FROM nv WHERE vec_id < 5),
+        cand AS (SELECT p.q_id, a.vec_id
+                 FROM pr p JOIN a${IvfIters - 1} a
+                   ON a.cluster = p.cluster AND a.vec_id <> p.q_id),
+        sc AS (SELECT c.q_id, c.vec_id,
+                 ${dot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cr
+               FROM cand c JOIN qv q ON q.q_id = c.q_id
+               JOIN nv n ON n.vec_id = c.vec_id),
+        rnk AS (SELECT q_id, vec_id, cr,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cr DESC, vec_id) AS rk
+                FROM sc)
+        SELECT q_id, vec_id, round(cr, 4) + 0.0 AS cos, rk
+        FROM rnk WHERE rk <= 8""",
+      // r16: N56's graded face — the post-compaction band table
+      // replayed from the documents table through the shared
+      // minhash-LSH dialect; generation pinned at 1 (bootstrap writes
+      // gen 0, the one compaction publishes 1), so a compaction that
+      // dropped, duplicated, or re-ranked any row — or never swapped
+      // the pointer — hash-mismatches.
+      "index_compaction" -> s"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shx AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM toks WHERE len(w) >= 3),
+        sig AS (SELECT doc_id, $mh FROM shx),
+        bnd AS (SELECT doc_id, $bands FROM sig),
+        bl AS (SELECT doc_id, unnest([$bandStructs]) AS u FROM bnd),
+        gen AS (SELECT doc_id, u.b AS b, u.h AS h,
+                       row_number() OVER (PARTITION BY u.b, u.h
+                                          ORDER BY doc_id) AS rk
+                FROM bl)
+        SELECT doc_id, b::INT AS b, h, rk, 1::BIGINT AS generation
+        FROM gen""",
       "dedup_minhash_lsh" -> minhashLshSql,
       // estimator-fidelity face: per LSH candidate pair, agreeing
       // signature components next to the exact verified Jaccard

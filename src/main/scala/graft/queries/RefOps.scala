@@ -159,6 +159,82 @@ object RefOps {
       .unionByName(batch)
   }
 
+  /** Session-scoped store paths for [[timeTravelGraded]] — one temp
+    * [[graft.sink.ArticleStore]] per (session, corpus), bootstrapped
+    * with two deterministic merge batches ([[SessionTemp]]-registered
+    * for shutdown cleanup).
+    */
+  private val ttMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic articles derived from the documents table for the
+    * time-travel fixture: phase 1 covers doc_id % 10 ∈ [0, 5); phase 2
+    * overlaps it on % 10 ∈ [3, 7] with updated titles, so version 2
+    * exercises BOTH upsert outcomes (replaced keys 3–4, surviving keys
+    * 0–2, inserted keys 5–7) while version 1 must keep serving every
+    * phase-1 original. All column values are SQL-expressible so the
+    * DuckDB oracle replays both batches from the documents table alone.
+    */
+  private def ttBatch(spark: SparkSession, dir: String,
+                      phase: Int): DataFrame = {
+    import graft.model.ArticleSchema
+    val d = Tables(spark, dir, "documents")
+    val m = col("doc_id") % 10
+    val keep = if (phase == 1) m < 5 else m >= 3 && m <= 7
+    d.filter(keep).select(
+      md5(concat(lit("tt:"), col("doc_id").cast("string")))
+        .as(ArticleSchema.ArticleId),
+      concat(lit("https://example.com/tt/"), col("doc_id").cast("string"))
+        .as(ArticleSchema.NewsLink),
+      concat(lit(s"v$phase title "), col("doc_id").cast("string"))
+        .as(ArticleSchema.NewsTitle),
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("User "), (col("doc_id") % 50).cast("string")))
+        .as(ArticleSchema.AuthorName),
+      (lit("2024-01-01 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, CAST(doc_id % 720 AS INT), 0, 0)"))
+        .as(ArticleSchema.NewsPublishedTime),
+      col("lang").as(ArticleSchema.SourceName))
+  }
+
+  /** The GRADED face of [[graft.sink.ArticleStore.readAt]] time travel
+    * (N30, r15 verdict #4): two deterministic merges build versions 1
+    * and 2 of a real manifest-versioned store, and the query serves BOTH
+    * version reads — version 1 must still show every pre-update row
+    * AFTER version 2 replaced keys under it (the retained-manifest
+    * promise), and version 2 must show exactly the upsert outcome. The
+    * DuckDB oracle replays both batches from the documents table
+    * (version 2 = phase-1 rows whose key phase 2 did not touch, plus
+    * phase 2 — the anti-join-union merge law), so a store that
+    * re-pointed, leaked, or GC'd a bucket under the old manifest
+    * hash-mismatches. `Processed_at` is merge-stamped wall clock (F6,
+    * nondeterministic by design) and stays out of the graded columns.
+    */
+  def timeTravelGraded(spark: SparkSession, dir: String): DataFrame = {
+    val path = ttMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir",
+      _ => {
+        val p = SessionTemp.createDir("graft-tt-")
+        val store = new graft.sink.ArticleStore(spark, p)
+        store.merge(ttBatch(spark, dir, 1))
+        store.merge(ttBatch(spark, dir, 2))
+        p
+      })
+    val store = new graft.sink.ArticleStore(spark, path)
+    import graft.model.ArticleSchema
+    Seq(1L, 2L).map { v =>
+      store.readAt(v).select(
+        lit(v).as("version"),
+        col(ArticleSchema.ArticleId).as("article_id"),
+        col(ArticleSchema.NewsLink).as("news_link"),
+        col(ArticleSchema.NewsTitle).as("news_title"),
+        col(ArticleSchema.AuthorName).as("author_name"),
+        date_format(col(ArticleSchema.NewsPublishedTime),
+          "yyyy-MM-dd HH:mm:ss").as("published_s"),
+        col(ArticleSchema.SourceName).as("source_name"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Q1/Q2 — null-guard filters (reference: PhocusWire/PhocusWireSource.py:143-151):
     * synthesize nulls with nullif, then drop them.
     */
@@ -1084,17 +1160,29 @@ object RefOps {
     val path = csvMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir",
       _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-csvq-").toString + "/events_csv"
+        val p = SessionTemp.createDir("graft-csvq-") + "/events_csv"
+        // Clean rows render via concat over explicit casts, NOT
+        // concat_ws: concat_ws silently DROPS a null field, which would
+        // emit a 2-field line the reader quarantines while the oracle
+        // counts it clean (r15 ADVICE #3) — concat nulls the whole line
+        // instead, and the raise_error guard turns that data-contract
+        // breach into a loud failure at fixture-render time.
         val lines = events(spark, dir).select(
           when(col("event_id") % 500 === 0,
             concat(col("event_id"), lit(",noise,"), col("event_type")))
-            .otherwise(concat_ws(",",
-              col("event_id"), col("user_id"), col("event_type")))
+            .otherwise(concat(
+              col("event_id").cast("string"), lit(","),
+              when(col("user_id").isNull, raise_error(
+                lit("csvQuarantine fixture requires non-null user_id")))
+                .otherwise(col("user_id").cast("string")), lit(","),
+              col("event_type")))
             .as("line"),
           col("event_id").as("k"))
+        // Long.MinValue, not -1: the header must sort before every data
+        // row even if a corpus ever carries negative event_ids.
         val header = spark.range(1).select(
-          lit("event_id,user_id,event_type").as("line"), lit(-1L).as("k"))
+          lit("event_id,user_id,event_type").as("line"),
+          lit(Long.MinValue).as("k"))
         header.unionByName(lines)
           .coalesce(1).sortWithinPartitions(col("k"))
           .select(col("line")).write.mode("overwrite").text(p)

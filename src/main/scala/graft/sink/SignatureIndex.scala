@@ -119,6 +119,14 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
     if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** The live generation number (one atomic pointer read) — what a
+    * maintenance dashboard shows next to [[compact]], and what the
+    * graded compaction face
+    * ([[graft.queries.DataOps.indexCompactionGraded]]) pins: bootstrap
+    * writes generation 0, each successful compaction advances it by one.
+    */
+  def generation: Long = currentGen
+
   /** (doc_id, b, h, rk, pb) for every indexed document. */
   def bands: DataFrame = readOrEmpty(bandsPath, BandsSchema)
 
@@ -305,6 +313,29 @@ final class SignatureIndex(spark: SparkSession, basePath: String) {
       publishGen(next)
       compactCleanup(g)
     } finally { fs.delete(compactLock, false); () }
+  }
+
+  /** Clear a DEAD compactor's debris — the [[ArticleStore.abandonClaim]]
+    * analog for the index's maintenance lock (r15 verdict #7: the
+    * CAS/fencing recovery story extends to the index store). A compactor
+    * killed mid-run leaves `_COMPACTING` on disk, which excludes every
+    * future append (loudly, by design) and fails every future
+    * [[compact]] at its exclusive lock create; this deletes the lock
+    * plus any partial NEXT-generation directory the crash left behind.
+    * Both crash positions are safe: killed BEFORE the pointer swap, the
+    * live generation was never touched and the partial rewrite is
+    * garbage; killed AFTER the swap (before the lock release), the new
+    * generation is already live and `currentGen + 1` does not exist, so
+    * only the lock is removed. Call only once the compacting process is
+    * believed dead — the residual window (a live compactor passing its
+    * pre-swap checks while this delete lands) needs a real lock service
+    * to close completely, exactly as ArticleStore documents.
+    */
+  def abandonCompaction(): Unit = {
+    val g = currentGen
+    if (fs.exists(genRoot(g + 1))) fs.delete(genRoot(g + 1), true)
+    fs.delete(compactLock, false)
+    ()
   }
 
   private def compactCleanup(g: Long): Unit = {

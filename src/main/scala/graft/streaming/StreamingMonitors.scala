@@ -219,6 +219,35 @@ object StreamingMonitors {
   private def dailyCells(spark: SparkSession, statePath: String): DataFrame =
     mergedCells(spark, statePath, Seq("event_type", "d"), "n")
 
+  /** r16 (r15 verdict #6): the streaming face of the DoReMi
+    * excess-loss cells (N245) — the N219s pattern applied to the
+    * mixture optimizer: each micro-batch of documents is scored against
+    * a FROZEN Stupid-Backoff model (`counts` — DoReMi's own regime: the
+    * proxy loss re-prices between training rounds, not per arriving
+    * document) and lands its own ≤ |langs| partial (lang, toks, sppm)
+    * cells; the read-side merge ADDS cells, and the serve runs the
+    * IDENTICAL driver-side exponentiated-gradient loop the graded
+    * `doremi_mixture` entry runs ([[DataOps.doremiFromCells]] — shared
+    * code, so the faces cannot drift). No new shuffle shape over the
+    * batch form: the corpus-scale work (the five broadcast n-gram
+    * lookups) happens once per micro-batch at ingest; the optimizer
+    * itself only ever touches the alphabet-bounded cell frame.
+    */
+  def maintainDoremiCells(docsStream: DataFrame, counts: DataFrame,
+                          statePath: String, checkpointDir: String): Unit =
+    maintainCells(docsStream, statePath, checkpointDir,
+      b => DataOps.doremiCellsOf(b, counts))
+
+  /** Serve the full DoReMi trajectory + iterate average from maintained
+    * state alone — sum-merged (lang, toks, sppm) cells into the shared
+    * serve loop; no document is ever re-read.
+    */
+  def doremiMixtureServe(spark: SparkSession, statePath: String): DataFrame =
+    DataOps.doremiFromCells(spark,
+      spark.read.parquet(statePath)
+        .groupBy(col("lang"))
+        .agg(sum(col("toks")).as("toks"), sum(col("sppm")).as("sppm")))
+
   def cusumDays(spark: SparkSession, statePath: String): DataFrame =
     Relational.cusumDaysOn(dailyCells(spark, statePath))
 

@@ -45,12 +45,15 @@ class Round15OpsSpec extends SparkSpec {
     t.filter(_._1 == 0L).foreach { case (_, _, _, w, _) =>
       w should (be(1000000L / k) or be(1000000L / k + 1)) }
     // the argmax-excess domain's weight is non-decreasing round over
-    // round (the exponentiated-gradient direction), and the iterate
-    // average is the floor mean of rounds 1..T
+    // round (the exponentiated-gradient direction) — with a 1-ppm
+    // tolerance (r15 ADVICE #2): largest-remainder renormalization can
+    // lose the +1 seat while the floor base stays flat, so the ROUNDED
+    // weight may dip 1 ppm even though the exact rational share
+    // strictly increases.
     val hot = t.maxBy(_._3)._2
     val hotW = rounds.map(r => t.find(x => x._1 == r && x._2 == hot).get._4)
     hotW.toSeq.sliding(2).foreach {
-      case Seq(a, b) => b should be >= a
+      case Seq(a, b) => b should be >= (a - 1)
       case _ => ()
     }
     t.map(_._2).distinct.foreach { l =>

@@ -115,8 +115,22 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
     withClue("sf10 rung must cover the heavy head (>= 15 queries): ") {
       ratios.size should be >= 15
     }
+    // r15 ADVICE #4: the regex parse must fail LOUDLY, not shrink —
+    // the artifact's own n_queries count pins how many ratios the
+    // [^}]* body capture was supposed to yield, and a missing
+    // threshold key is an artifact-format break, never a default.
+    val declared = """"n_queries":\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(fail(s"no n_queries count in ${p.get} — cannot prove " +
+        "the ratios parse is complete"))
+    withClue(s"parsed ${ratios.size} ratios but the artifact declares " +
+      s"$declared — the regex parse silently shrank coverage: ") {
+      ratios.size shouldBe declared
+    }
     val threshold = """"threshold":\s*([0-9.]+)""".r
-      .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(15.0)
+      .findFirstMatchIn(json).map(_.group(1).toDouble)
+      .getOrElse(fail(s"no threshold key in ${p.get} — refusing to " +
+        "default the gate"))
     val unlisted = ratios.filter(_._2 > threshold).keySet
       .diff(superlinearAllowlist.keySet)
     withClue(s"UNLISTED superlinear queries at the sf10 rung: " +

