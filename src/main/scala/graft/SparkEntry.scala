@@ -263,6 +263,10 @@ object SparkEntry {
     "stratified_sample" -> (DataOps.stratifiedSample _),
     "priority_sample" -> (DataOps.prioritySample _),
     "dedup_cluster" -> (DataOps.dedupCluster _),
+    // r16: soft dedup — downweight by near-dup cluster size (N248)
+    "soft_dedup" -> (DataOps.softDedupWeights _),
+    // r16: CCNet terciles off the graded SB likelihood (N247)
+    "ccnet_buckets" -> (DataOps.ccnetBuckets _),
     // r15: N50's graded face — clustering from the persisted index
     "cluster_from_index" -> (DataOps.clusterFromIndexGraded _),
     // r16: N56's graded face — post-compaction index state + generation

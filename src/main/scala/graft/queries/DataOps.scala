@@ -4217,6 +4217,39 @@ object DataOps {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Soft deduplication — downweight instead of drop (the SoftDedup
+    * idea, He et al. 2024, "SoftDedup: an Efficient Data Reweighting
+    * Method for Speeding Up Language Model Pre-training": duplicated
+    * data hurts less when REWEIGHTED than when removed wholesale):
+    * every document carries weight_ppm = 10⁶ div |its near-dup
+    * cluster|, with singletons (docs in no candidate pair) at exactly
+    * 10⁶. The cluster relation is the graded [[dedupCluster]] fixpoint
+    * — oracle CTEs shared verbatim — so a sampler consuming these
+    * weights draws each near-dup FAMILY with (to within the integer
+    * division remainder, < |cluster| ppm) the total mass one clean
+    * copy would get.
+    *
+    * Scale shape: the banded-LSH + label-propagation work is the graded
+    * query's own; the weight attach adds one cluster-size partial agg
+    * (≤ one row per clustered doc) and two broadcast joins — clustered
+    * docs are the candidate-pair population, corpus-sublinear by the
+    * LSH threshold's design.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupCluster(spark, dir).select(col("doc_id"), col("cluster_rep"))
+    cachedScope(cl) {
+      val sizes = cl.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val sized = cl.join(broadcast(sizes), Seq("cluster_rep"))
+      docs(spark, dir).select(col("doc_id"), col("lang"))
+        .join(broadcast(sized), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          expr("1000000 div coalesce(cluster_size, 1L)").as("weight_ppm"))
+    }
+  }
+
   /** Chunk-hash reuse across crawl versions — the CDC payoff as a
     * number: for each CHANGED document of the [[corpusDiff]] synthesis,
     * how many of the new version's distinct chunk hashes its old version
@@ -6299,6 +6332,51 @@ object DataOps {
             END""").as("score_ppm"))
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020 —
+    * the public spec): per language, documents split into HEAD / MIDDLE /
+    * TAIL terciles of language-model likelihood — the filtering signal
+    * CCNet derives from a KenLM perplexity, here from the engine's own
+    * graded Stupid-Backoff per-doc likelihood ([[sbDocScore]]'s
+    * `avg_ppm`, an exact integer). Thresholds are SCORE thresholds, not
+    * rank cuts (CCNet's own behavior — every doc with the same score
+    * lands in the same bucket): t_head = the largest score whose
+    * descending cumulative count reaches ⌈n/3⌉, t_mid likewise at
+    * ⌈2n/3⌉; head = avg_ppm ≥ t_head, middle = ≥ t_mid, else tail. All
+    * integers, so the DuckDB twin reproduces the buckets exactly.
+    *
+    * Scale shape: one SB scoring pass (the five broadcast lookups),
+    * one (lang, score)-keyed partial agg, and the threshold scan runs
+    * over the per-lang score HISTOGRAM (distinct integer scores, ≪
+    * docs — the [[RefOps.sessionStats]] rankPick discipline), never a
+    * per-document rank window; buckets attach by one broadcast join of
+    * the ≤ |langs| threshold rows.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val dl = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(sbDocScore(spark, dir).select(col("doc_id"), col("avg_ppm")),
+        Seq("doc_id"))
+    cachedScope(dl) {
+      val hist = dl.groupBy(col("lang"), col("avg_ppm"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("avg_ppm").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      val th = cum.groupBy(col("lang")).agg(
+        max(when(lit(3) * col("cum") >= col("n"), col("avg_ppm")))
+          .as("t_head"),
+        max(when(lit(3) * col("cum") >= lit(2) * col("n"), col("avg_ppm")))
+          .as("t_mid"))
+      dl.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_ppm"),
+          when(col("avg_ppm") >= col("t_head"), "head")
+            .when(col("avg_ppm") >= col("t_mid"), "middle")
+            .otherwise("tail").as("bucket"))
+    }
+  }
+
   /** The per-lang DoReMi loss cells of a documents frame scored against
     * a FROZEN Stupid-Backoff model — the ADDITIVE half of
     * [[doremiMixture]] (cells sum across any slicing of the corpus), so
@@ -7693,6 +7771,30 @@ object DataOps {
                sum(score_ppm)::BIGINT AS sum_ppm,
                (sum(score_ppm) // count(*))::BIGINT AS avg_ppm
         FROM s GROUP BY 1""",
+      // r16: CCNet head/middle/tail terciles off the graded SB
+      // likelihood — SCORE thresholds from the per-lang histogram (ties
+      // share a bucket, CCNet's own rule), all integer
+      "ccnet_buckets" -> s"""$sbScoreCtes,
+        ds AS (SELECT doc_id, (sum(score_ppm) // count(*))::BIGINT AS avg_ppm
+               FROM s GROUP BY 1),
+        dl AS (SELECT ds.doc_id, d.lang, ds.avg_ppm
+               FROM ds JOIN documents d USING (doc_id)),
+        hist AS (SELECT lang, avg_ppm, count(*)::BIGINT AS c
+                 FROM dl GROUP BY 1, 2),
+        cum AS (SELECT lang, avg_ppm,
+                  sum(c) OVER (PARTITION BY lang ORDER BY avg_ppm DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(c) OVER (PARTITION BY lang) AS n
+                FROM hist),
+        th AS (SELECT lang,
+                 max(CASE WHEN 3 * cum >= n THEN avg_ppm END) AS t_head,
+                 max(CASE WHEN 3 * cum >= 2 * n THEN avg_ppm END) AS t_mid
+               FROM cum GROUP BY 1)
+        SELECT dl.doc_id, dl.lang, dl.avg_ppm,
+               CASE WHEN dl.avg_ppm >= th.t_head THEN 'head'
+                    WHEN dl.avg_ppm >= th.t_mid THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM dl JOIN th USING (lang)""",
       // r15: DoReMi mixture reweighting — SB loss signal (shared CTEs),
       // per-domain token-weighted excess loss, then the unrolled
       // exponentiated-gradient rounds with largest-remainder ppm
@@ -8141,6 +8243,19 @@ object DataOps {
       // candidates equal the windowed LSH candidates
       // (ClusterFromIndexSpec), so the oracle is shared verbatim
       "cluster_from_index" -> clusterSql,
+      // r16: soft dedup — 10^6 div cluster size off the shared cluster
+      // fixpoint; singletons exactly 10^6
+      "soft_dedup" -> s"""
+        WITH cl AS ($clusterSql),
+        sz AS (SELECT cluster_rep, count(*)::BIGINT AS n
+               FROM cl GROUP BY 1)
+        SELECT d.doc_id, d.lang,
+               coalesce(cl.cluster_rep, d.doc_id)::BIGINT AS cluster_rep,
+               coalesce(sz.n, 1)::BIGINT AS cluster_size,
+               (1000000 // coalesce(sz.n, 1))::BIGINT AS weight_ppm
+        FROM documents d
+        LEFT JOIN cl ON cl.doc_id = d.doc_id
+        LEFT JOIN sz ON sz.cluster_rep = cl.cluster_rep""",
       // dup-family size distribution: the cluster fixpoint nested verbatim
       "cluster_sizes" -> s"""
         WITH cl AS ($clusterSql),

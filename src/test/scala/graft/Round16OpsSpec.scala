@@ -53,6 +53,54 @@ class Round16OpsSpec extends SparkSpec {
       twin.bands.select("doc_id", "b", "h", "rk").collect().map(_.toSeq).toSet
   }
 
+  test("ccnet_buckets: score-threshold terciles — ordered, exhaustive, minimal head") {
+    val rows = DataOps.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val score = DataOps.sbDocScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // the bucketed score IS the graded sb_doc_score avg_ppm
+    rows.foreach { case (d, _, a, _) => score(d) shouldBe a }
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val n = g.length
+      val byB = g.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      val head = byB.getOrElse("head", Array.empty[Long])
+      val mid = byB.getOrElse("middle", Array.empty[Long])
+      val tail = byB.getOrElse("tail", Array.empty[Long])
+      head.length + mid.length + tail.length shouldBe n
+      // buckets are score-separated: every head score beats every
+      // middle score, every middle beats every tail
+      if (head.nonEmpty && mid.nonEmpty) head.min should be > mid.max
+      if (mid.nonEmpty && tail.nonEmpty) mid.min should be > tail.max
+      // head reaches the tercile and is minimal given score ties
+      val ceil3 = (n + 2) / 3
+      head.length should be >= ceil3
+      (head.length - head.count(_ == head.min)) should be < ceil3
+    }
+  }
+
+  test("soft_dedup: per-cluster equal weights, singleton mass exact, family mass bounded") {
+    val w = DataOps.softDedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val clustered = DataOps.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    w.length shouldBe spark.read.parquet(s"$sf/documents.parquet").count()
+    w.foreach { case (d, rep, size, wp) =>
+      if (clustered.contains(d)) rep shouldBe clustered(d)
+      else { rep shouldBe d; size shouldBe 1L; wp shouldBe 1000000L }
+      wp shouldBe 1000000L / size
+    }
+    // every near-dup family's total mass is one clean copy's, short
+    // only the integer-division remainder (< |cluster| ppm)
+    val fams = w.groupBy(_._2).filter(_._2.length > 1)
+    fams should not be empty
+    fams.foreach { case (_, g) =>
+      val mass = g.map(_._4).sum
+      mass should be <= 1000000L
+      mass should be > (1000000L - g.length)
+      g.map(_._3).distinct.toSeq shouldBe Seq(g.length.toLong)
+    }
+  }
+
   test("time_travel graded face: version 1 serves pre-update rows after version 2 replaced them") {
     val t = RefOps.timeTravelGraded(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
