@@ -42,9 +42,15 @@ python3 tools/oracle_check.py /tmp/verify_r16_sf1 /root/repo/testdata-sf1 \
   CORRECTNESS_sf1.json 1800 > $OUT/06_oracle_sf1.log 2>&1
 
 # 7. sf10 second-decade rung over the heavy head + every r15/r16 addition
-SF10_SET=cluster_keep_best,cluster_sizes,containment_join,dedup_incremental,doremi_mixture,dup_windows,host_cap_ranked,html_extract,lsh_recall,minhash_estimate,ngram_novelty,pq_codes,quantile_sketch,sb_doc_score,sb_ngram_counts,simhash_recall,snm_dedup,training_set,weighted_median,temperature_allocation,cluster_from_index,diversity_sample,csv_quarantine,ann_ivf,index_compaction,time_travel
+SF10_SET=cluster_keep_best,cluster_sizes,containment_join,dedup_incremental,doremi_mixture,dup_windows,host_cap_ranked,html_extract,lsh_recall,minhash_estimate,ngram_novelty,pq_codes,quantile_sketch,sb_doc_score,sb_ngram_counts,simhash_recall,snm_dedup,training_set,weighted_median,temperature_allocation,cluster_from_index,diversity_sample,csv_quarantine,ann_ivf,index_compaction,time_travel,ccnet_buckets,soft_dedup
+# RUNS=2, not 1 (r16): with one sample a memoized-fixture entry
+# (index_compaction, csv_quarantine, cluster_from_index, time_travel)
+# pays its cold session bootstrap against the sf1 side's warm median —
+# a storage-build cost, not a query shape — and a single host-noise
+# burst has no second sample to reject it. min-of-2 measures the warm
+# query both times (scaling_ratio.py uses spread.min per side).
 SPARK_GRAFT_SF_DIR=/root/repo/testdata-sf10 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=110g \
-  SPARK_GRAFT_RUNS=1 SPARK_GRAFT_ONLY=$SF10_SET SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
+  SPARK_GRAFT_RUNS=2 SPARK_GRAFT_ONLY=$SF10_SET SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
   sbt -batch "runMain graft.Bench" > $OUT/07_bench_sf10.log 2>&1
 python3 tools/scaling_ratio.py BENCH_sf10.json BENCH_sf1.json SCALING_sf10.json \
   > $OUT/07_scaling_sf10.log 2>&1

@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
 """Per-query scale-curve artifact: the ratio of each query's sf1 time to
-its sf0.1 time (both medians from the committed bench artifacts). 10x
-data + fixed overhead should land well under ~15x; anything above is a
-superlinear shape that must either be a documented pairwise-exact
-monitor (with a graded scale-safe sibling) or a bug. The ScalingGateSpec
-ratchet reads the emitted artifact and fails the build by name when an
-unlisted query crosses the threshold — converting "the judge noticed"
-into "the build notices" (r12 verdict #1).
+its sf0.1 time. 10x data + fixed overhead should land well under ~15x;
+anything above is a superlinear shape that must either be a documented
+pairwise-exact monitor (with a graded scale-safe sibling) or a bug. The
+ScalingGateSpec ratchet reads the emitted artifact and fails the build
+by name when an unlisted query crosses the threshold — converting "the
+judge noticed" into "the build notices" (r12 verdict #1).
+
+Estimator (r16): each side of the ratio uses the MIN of the bench's
+samples (the artifact's per-query spread.min), not the median. Shared-
+host contention is ASYMMETRIC — it only ever adds wall time — so the
+minimum of k samples is the standard robust estimator of a query's
+true cost for SHAPE detection, while the committed bench artifacts
+keep medians for throughput reporting. Measured motivation: an r16
+sf1 run on a noisy hypervisor window put three linear queries' MEDIANS
+over 15x (quality_calibration 49.6x with samples {1.7s .. 37.9s} on
+shuffle counters byte-identical to r15) while min-based ratios flagged
+exactly the one genuine quadratic (edit_distance_block, 41x) — medians
+false-positive under bursts, minima do not, and a real superlinear
+shape inflates every sample including the minimum.
 
 Usage: scaling_ratio.py <BENCH_sf1.json> <bench_full.json> <out.json>
 """
@@ -20,19 +32,27 @@ def main():
     sf1 = json.load(open(sf1_path))
     sf01 = json.load(open(sf01_path))
     q1, q01 = sf1["queries"], sf01["queries"]
+    # min-of-samples per side (see docstring); fall back to the median
+    # for artifacts that predate the spread record
+    m1 = {k: sf1.get("spread", {}).get(k, {}).get("min", v)
+          for k, v in q1.items()}
+    m01 = {k: sf01.get("spread", {}).get(k, {}).get("min", v)
+           for k, v in q01.items()}
     common = sorted(set(q1) & set(q01))
     only_sf1 = sorted(set(q1) - set(q01))
     only_sf01 = sorted(set(q01) - set(q1))
     ratios = {}
     for name in common:
-        lo = q01[name]
+        lo = m01[name]
         # sub-50ms sf0.1 times sit on the scheduler-noise floor; a
         # 0.02s -> 0.35s "18x" is overhead, not a scale shape. Clamp the
         # denominator to the floor so tiny queries don't false-positive.
-        ratios[name] = round(q1[name] / max(lo, 0.05), 2)
+        ratios[name] = round(m1[name] / max(lo, 0.05), 2)
     over = sorted((n for n, r in ratios.items() if r > THRESHOLD),
                   key=lambda n: -ratios[n])
     out = {
+        "estimator": "min-of-samples per side (asymmetric-noise rule; "
+                     "see tools/scaling_ratio.py docstring)",
         "sf1_bench": sf1_path,
         "sf01_bench": sf01_path,
         "sf1_total_sec": sf1.get("value"),
