@@ -104,12 +104,32 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some((dt, counters)) else None
       }
+    // Storage-fixture bootstrap pricing (r16 verdict #2): entries whose
+    // first call at a corpus builds a persisted store (memoized by path)
+    // take ONE throwaway sample at the TARGET sfDir before the timed
+    // runs. The sf0.001 warm-dry-run above does not cover them — the
+    // fixture is keyed by dir, so without this the first timed sample
+    // pays a storage-build cost that is not the query's shape (r16's
+    // sf10 artifact graded index_compaction's cold build against sf1's
+    // warm serve: 180×; warm-vs-warm it is ~10×, linear). The bootstrap
+    // second count is REPORTED in the artifact, not discarded silently.
+    val bootstrap: Map[String, Double] = queries.collect {
+      case (name, fn) if SparkEntry.memoizedFixtureQueries(name) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+    }
     val results = queries.map { case (name, fn) =>
       var samples = sample(name, fn, TimedRuns)
       // Adaptive damping: if 3 samples still spread >1.3× (a scheduler or
       // GC hiccup landed inside the window), take 2 more so the median
       // sits on the stable majority instead of splitting the difference.
-      if (samples.size == TimedRuns &&
+      // Only in the default 3-run mode: a RUNS=2 scale rung is consumed
+      // through min-of-samples (tools/scaling_ratio.py), where extra
+      // samples can't change the answer but can double a multi-hundred-
+      // second sf10 query's wall cost.
+      if (TimedRuns >= 3 && samples.size == TimedRuns &&
           samples.map(_._1).max > 1.3 * samples.map(_._1).min)
         samples ++= sample(name, fn, 2)
       // A query that failed contributes its failure (exit code + `failed`
@@ -133,7 +153,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.values.map(_._1).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"queries":$qs,"spread":$spread,"telemetry":$telemetry,"failed":$failedJson,"sf":"$sfDir"}"""
+    val bootJson = bootstrap
+      .map { case (k, s) => s"\"$k\":$s" }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$TimedRuns,"fixture_bootstrap_sec":$bootJson,"queries":$qs,"spread":$spread,"telemetry":$telemetry,"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)
     // The full object has outgrown tail-window captures (BENCH_r04's tail
     // cut the front of the line and lost the total). A second minimal

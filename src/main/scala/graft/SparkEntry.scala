@@ -16,6 +16,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q3ShippingPriority(spark, "/root/testdata/sf0.001")
 
+  /** Graded entries whose FIRST call per (session, corpus) builds and
+    * persists a storage fixture (a written parquet store memoized by
+    * path) that every later call serves from. Bench prices that
+    * bootstrap separately (a throwaway warm-up sample at the target SF,
+    * reported as `fixture_bootstrap_sec`) so scale ratios measure the
+    * SERVE path — pairing one side's cold store-build against the other
+    * side's warm serve graded `index_compaction` at a fictitious 180×
+    * in r16 (verdict #2). Frame-level memos (substring/daily families)
+    * are NOT listed: their first-call cost is a query-shaped compute,
+    * not a storage build, and the families share it by design.
+    */
+  val memoizedFixtureQueries: Set[String] =
+    Set("time_travel", "csv_quarantine", "cluster_from_index",
+      "index_compaction")
+
   /** One entry per implemented operator from SURVEY.md §2 (+ general
     * relational surface). Keys are stable operator ids.
     */
@@ -249,6 +264,10 @@ object SparkEntry {
     "ann_lsh_bucket" -> (DataOps.annLshBucket _),
     // r16: N61's graded face — IVF probe + in-list cosine rank
     "ann_ivf" -> (DataOps.annIvfGraded _),
+    // r17: the PQ/ADC two-stage search graded end to end (r16 verdict
+    // #7) — shortlist by order-pinned ADC sums over the pq_codes
+    // quantizer, exact re-rank on full vectors, round after rank
+    "ann_pq" -> ((s: SparkSession, d: String) => DataOps.annPq(s, d)),
     // Integer faces of the quantizer family (r11: codes are exact ints,
     // only float reconstructions stay spec-bounded).
     "int8_codes" -> (DataOps.quantizeCodes _),

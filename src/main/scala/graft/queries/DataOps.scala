@@ -3140,7 +3140,12 @@ object DataOps {
     * Determinism: codebooks and codes are the bit-pinned k-means; the
     * per-candidate ADC sum folds its M addends in subspace order
     * (`array_sort(collect_list(struct(m, d2)))` — the order-pinned-fold
-    * discipline), and both rank windows tie-break on vec_id.
+    * discipline), and both rank windows tie-break on vec_id. That makes
+    * the WHOLE two-stage search cross-engine exact, so this is the
+    * graded `ann_pq` entry since r17 (r16 verdict #7): the DuckDB
+    * oracle reads the LUT straight out of the pq_codes CTE chain's last
+    * distance table, folds the ADC sum in the same m order, and replays
+    * shortlist + exact re-rank with round-AFTER-rank.
     *
     * Scale shape: training runs on a sample (codebooks are M·K·subdim
     * doubles — constant); encoding is the per-row assignment argmin
@@ -4231,23 +4236,36 @@ object DataOps {
     *
     * Scale shape: the banded-LSH + label-propagation work is the graded
     * query's own; the weight attach adds one cluster-size partial agg
-    * (≤ one row per clustered doc) and two broadcast joins — clustered
-    * docs are the candidate-pair population, corpus-sublinear by the
-    * LSH threshold's design.
+    * (≤ one row per clustered doc) and two keyed joins. Neither join
+    * side is broadcast-HINTED: the clustered-doc population is 30–80%
+    * of a real web corpus (near-dup rates per Wenzek et al. 2020), so
+    * a forced broadcast of `sized` — or of the per-cluster `sizes` —
+    * is corpus-proportional driver state at 100 TB. Both joins are
+    * keyed (`cluster_rep`, `doc_id`); AQE may still elect a broadcast
+    * when the measured size is small, which is the correct dynamic
+    * policy — the static hint was the bug (r16 verdict #4).
     */
   def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
     val cl = dedupCluster(spark, dir).select(col("doc_id"), col("cluster_rep"))
     cachedScope(cl) {
-      val sizes = cl.groupBy(col("cluster_rep"))
-        .agg(count(lit(1)).as("cluster_size"))
-      val sized = cl.join(broadcast(sizes), Seq("cluster_rep"))
-      docs(spark, dir).select(col("doc_id"), col("lang"))
-        .join(broadcast(sized), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
-          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
-          expr("1000000 div coalesce(cluster_size, 1L)").as("weight_ppm"))
+      softDedupWeightsCore(cl, docs(spark, dir))
     }
+  }
+
+  /** The weight-attach body, pre-checkpoint — the PlanShapeSpec hook
+    * that pins its joins hint-free (the public operator's eager
+    * localCheckpoint collapses the visible plan to an RDD scan).
+    */
+  private[graft] def softDedupWeightsCore(cl: DataFrame, docsDf: DataFrame): DataFrame = {
+    val sizes = cl.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val sized = cl.join(sizes, Seq("cluster_rep"))
+    docsDf.select(col("doc_id"), col("lang"))
+      .join(sized, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(cluster_size, 1L)").as("weight_ppm"))
   }
 
   /** Chunk-hash reuse across crawl versions — the CDC payoff as a
@@ -7054,6 +7072,51 @@ object DataOps {
                 FROM sc)
         SELECT q_id, vec_id, round(cr, 4) + 0.0 AS cos, rk
         FROM rnk WHERE rk <= 8""",
+      // r17 (r16 verdict #7): the PQ/ADC two-stage search graded end to
+      // end. The quantizer chain is the SAME subspaced unrolled-Lloyd
+      // CTE chain pq_codes already grades: d1 IS the exact ADC lookup
+      // table (every vector's per-subspace d² to every c1 centroid) —
+      // filtered to the query batch it is LUT[m][cid]; a1 IS the code
+      // table. ADC distance folds the M lookups in subspace order (the
+      // order-pinned-fold discipline), the shortlist ranks on the raw
+      // double with vec_id ties, and the exact re-rank replays the
+      // dimension-ordered (x-y)² fold on the full vectors. Rounding to
+      // 4 places happens AFTER both ranks (the ann_ivf dialect).
+      "ann_pq" -> s"""
+        ${kmeansCtes(k = PqK, iters = PqIters, subDim = Some(PqSubDim))},
+        lut AS (SELECT vec_id AS q_id, m, cid, d2
+                FROM d${PqIters - 1} WHERE vec_id < 5),
+        adc AS (SELECT l.q_id, a.vec_id,
+                  list_aggregate(list_transform(
+                    list_sort(list({'m': l.m, 's': l.d2})), x -> x.s),
+                    'sum') AS adc_d2
+                FROM a${PqIters - 1} a
+                JOIN lut l ON l.m = a.m AND l.cid = a.cluster
+                WHERE a.vec_id <> l.q_id
+                GROUP BY l.q_id, a.vec_id),
+        sl AS (SELECT q_id, vec_id, adc_d2 FROM (
+                 SELECT q_id, vec_id, adc_d2,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_d2, vec_id) AS srn
+                 FROM adc)
+               WHERE srn <= $PqShortlist),
+        fv AS (SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS fe
+               FROM embeddings),
+        rer AS (SELECT s.q_id, s.vec_id, s.adc_d2,
+                  list_aggregate(list_transform(
+                    range(1, len(q.fe) + 1),
+                    i -> (q.fe[i] - x.fe[i]) * (q.fe[i] - x.fe[i])),
+                    'sum') AS d2
+                FROM sl s JOIN fv q ON q.vec_id = s.q_id
+                JOIN fv x ON x.vec_id = s.vec_id),
+        prnk AS (SELECT q_id, vec_id, d2, adc_d2,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY d2, vec_id) AS rk
+                 FROM rer)
+        SELECT q_id, vec_id, round(d2, 4) AS d2,
+               round(adc_d2, 4) AS adc_d2, rk
+        FROM prnk WHERE rk <= 8""",
       // r16: N56's graded face — the post-compaction band table
       // replayed from the documents table through the shared
       // minhash-LSH dialect; generation pinned at 1 (bootstrap writes

@@ -13,8 +13,13 @@ import java.util.concurrent.ConcurrentLinkedQueue
   *
   * Deletion is best-effort and recursive, deepest-first; a directory
   * that disappears mid-walk (the OS tmp reaper) is ignored. The hook
-  * runs at JVM exit — after every SparkContext using these fixtures is
-  * gone — so no in-flight read can observe a half-deleted store.
+  * runs at JVM exit, but JVM shutdown hooks run CONCURRENTLY in
+  * unspecified order — Spark's own shutdown hooks may still be
+  * flushing while this walk deletes (r16 ADVICE #3: no ordering
+  * guarantee exists against them). That is acceptable here because
+  * the walk swallows every exception, the fixtures are read-only
+  * after creation, and the worst case is a benign partial delete the
+  * OS tmp reaper finishes later.
   */
 private[graft] object SessionTemp {
   private val dirs = new ConcurrentLinkedQueue[Path]()

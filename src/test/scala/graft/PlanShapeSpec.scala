@@ -157,6 +157,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("soft_dedup: no static broadcast HINT on the corpus-proportional weight joins") {
+    // r16 verdict #4: the weight attach joined `broadcast(sized)` — one
+    // row per clustered doc, 30–80% of a real web corpus — forcing a
+    // driver-killing broadcast at 100 TB. The joins must reach the
+    // optimizer UNHINTED; AQE electing a broadcast from MEASURED size at
+    // a small SF is the correct dynamic policy, so the pin is on the
+    // optimized logical plan's hints, not the physical join choice.
+    // Pinned on the pre-checkpoint core (the public operator eagerly
+    // localCheckpoints) with a synthetic cluster frame, so the pin is
+    // exactly the weight-attach joins, free of upstream LSH lineage.
+    import spark.implicits._
+    val cl = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster_rep")
+    val docsDf = Seq((1L, "en"), (2L, "en"), (3L, "de"), (5L, "fr"))
+      .toDF("doc_id", "lang")
+    val df = DataOps.softDedupWeightsCore(cl, docsDf)
+    df.collect()
+    val logical = df.queryExecution.optimizedPlan.toString
+    withClue(logical.linesIterator.take(30).mkString("\n")) {
+      logical should not include "strategy=broadcast"
+    }
+  }
+
   test("sb_doc_score keeps the five n-gram lookups broadcast (the sbScore contract)") {
     // The graded integer face rides the SAME scale argument as the
     // float scorer: a silent flip of any lookup to SortMergeJoin would

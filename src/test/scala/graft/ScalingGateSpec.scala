@@ -46,13 +46,39 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
     (java.nio.file.Files.readString(p), p)
   }
 
+  /** Shared loud parse (r15 ADVICE #4, extended to ALL gate tests in
+    * r17 per r16 ADVICE #2): the `[^}]*` body capture can silently
+    * truncate if the artifact format drifts, so every consumer
+    * cross-checks the parsed count against the artifact's own
+    * `n_queries`, and a missing `threshold` key fails instead of
+    * defaulting the gate.
+    */
+  private def parseRatios(json: String, path: Any): Map[String, Double] = {
+    val ratios = """"ratios":\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).map { body =>
+        """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(fail(s"no ratios object in $path"))
+    val declared = """"n_queries":\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(fail(s"no n_queries count in $path — cannot prove the " +
+        "ratios parse is complete"))
+    withClue(s"parsed ${ratios.size} ratios but $path declares " +
+      s"$declared — the regex parse silently shrank coverage: ") {
+      ratios.size shouldBe declared
+    }
+    ratios
+  }
+
+  private def parseThreshold(json: String, path: Any): Double =
+    """"threshold":\s*([0-9.]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+      .getOrElse(fail(s"no threshold key in $path — refusing to default " +
+        "the gate"))
+
   test("scaling artifact covers the full graded surface") {
     val (json, path) = artifact
-    val ratios = """"ratios":\s*\{([^}]*)\}""".r
-      .findFirstMatchIn(json).map(_.group(1))
-      .getOrElse(fail(s"no ratios object in $path"))
-    val covered = "\"([a-z0-9_]+)\":".r.findAllMatchIn(ratios)
-      .map(_.group(1)).toSet
+    val covered = parseRatios(json, path).keySet
     val missing = SparkEntry.queries.keySet.diff(covered)
     withClue(s"graded queries absent from $path (stale artifact — " +
       s"regenerate both benches + scaling_ratio.py): " +
@@ -63,14 +89,8 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
 
   test("every superlinear query is allowlisted with a linear graded sibling") {
     val (json, path) = artifact
-    val ratios: Map[String, Double] =
-      """"ratios":\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
-        .map(_.group(1)).map { body =>
-          """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }.getOrElse(fail(s"no ratios object in $path"))
-    val threshold = """"threshold":\s*([0-9.]+)""".r
-      .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(15.0)
+    val ratios = parseRatios(json, path)
+    val threshold = parseThreshold(json, path)
     val over = ratios.filter { case (_, r) => r > threshold }.keySet
     val unlisted = over.diff(superlinearAllowlist.keySet)
     withClue(s"UNLISTED superlinear queries (sf1/sf0.1 > $threshold) in " +
@@ -106,36 +126,63 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
       p should not be empty
     }
     val json = java.nio.file.Files.readString(p.get)
-    val ratios: Map[String, Double] =
-      """"ratios":\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
-        .map(_.group(1)).map { body =>
-          """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }.getOrElse(fail(s"no ratios object in ${p.get}"))
+    val ratios = parseRatios(json, p.get)
     withClue("sf10 rung must cover the heavy head (>= 15 queries): ") {
       ratios.size should be >= 15
     }
-    // r15 ADVICE #4: the regex parse must fail LOUDLY, not shrink —
-    // the artifact's own n_queries count pins how many ratios the
-    // [^}]* body capture was supposed to yield, and a missing
-    // threshold key is an artifact-format break, never a default.
-    val declared = """"n_queries":\s*(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt)
-      .getOrElse(fail(s"no n_queries count in ${p.get} — cannot prove " +
-        "the ratios parse is complete"))
-    withClue(s"parsed ${ratios.size} ratios but the artifact declares " +
-      s"$declared — the regex parse silently shrank coverage: ") {
-      ratios.size shouldBe declared
-    }
-    val threshold = """"threshold":\s*([0-9.]+)""".r
-      .findFirstMatchIn(json).map(_.group(1).toDouble)
-      .getOrElse(fail(s"no threshold key in ${p.get} — refusing to " +
-        "default the gate"))
+    val threshold = parseThreshold(json, p.get)
     val unlisted = ratios.filter(_._2 > threshold).keySet
       .diff(superlinearAllowlist.keySet)
     withClue(s"UNLISTED superlinear queries at the sf10 rung: " +
       s"${unlisted.toSeq.sorted.map(n => s"$n=${ratios(n)}").mkString(", ")} ") {
       unlisted shouldBe empty
+    }
+  }
+
+  /** r16 verdict #1/#3: the committed ratio artifacts must be computed
+    * from the committed bench artifacts they NAME — r16's SCALING_sf10
+    * carried `sf01_total_sec` from an sf1 run that a later re-run
+    * superseded, so the ratio record and the bench record disagreed at
+    * HEAD. scaling_ratio.py copies each input's top-level `value` into
+    * the output; equality here proves the pairing (a re-run of either
+    * bench without regenerating the ratios goes red by name).
+    */
+  test("ratio artifacts are computed from the committed benches they name") {
+    def total(file: String): Option[Double] = {
+      val p = Seq(file, s"/root/repo/$file").map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.exists(_))
+      p.map { f =>
+        val j = java.nio.file.Files.readString(f)
+        """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(j)
+          .map(_.group(1).toDouble)
+          .getOrElse(fail(s"no total value in $f"))
+      }
+    }
+    def field(json: String, key: String, path: Any): Double =
+      ("\"" + key + "\":\\s*([0-9.eE+-]+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toDouble)
+        .getOrElse(fail(s"no $key in $path"))
+    val (json, path) = artifact
+    for (sf1 <- total("BENCH_sf1.json"))
+      withClue(s"$path sf1_total_sec vs committed BENCH_sf1.json: ") {
+        field(json, "sf1_total_sec", path) shouldBe sf1 +- 1e-6
+      }
+    for (sf01 <- total("bench_full.json"))
+      withClue(s"$path sf01_total_sec vs committed bench_full.json: ") {
+        field(json, "sf01_total_sec", path) shouldBe sf01 +- 1e-6
+      }
+    val p10 = Seq("SCALING_sf10.json", "/root/repo/SCALING_sf10.json")
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+    for (p <- p10) {
+      val j10 = java.nio.file.Files.readString(p)
+      for (sf10 <- total("BENCH_sf10.json"))
+        withClue(s"$p sf1_total_sec (the sf10 side) vs committed BENCH_sf10.json: ") {
+          field(j10, "sf1_total_sec", p) shouldBe sf10 +- 1e-6
+        }
+      for (sf1 <- total("BENCH_sf1.json"))
+        withClue(s"$p sf01_total_sec (the sf1 side) vs committed BENCH_sf1.json: ") {
+          field(j10, "sf01_total_sec", p) shouldBe sf1 +- 1e-6
+        }
     }
   }
 }
