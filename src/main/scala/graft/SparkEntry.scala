@@ -268,6 +268,8 @@ object SparkEntry {
     // #7) — shortlist by order-pinned ADC sums over the pq_codes
     // quantizer, exact re-rank on full vectors, round after rank
     "ann_pq" -> ((s: SparkSession, d: String) => DataOps.annPq(s, d)),
+    // r17: N249 — the derandomized weighted draw consuming soft_dedup
+    "soft_dedup_sample" -> (DataOps.softDedupSample _),
     // Integer faces of the quantizer family (r11: codes are exact ints,
     // only float reconstructions stay spec-bounded).
     "int8_codes" -> (DataOps.quantizeCodes _),

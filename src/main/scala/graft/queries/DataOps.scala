@@ -4268,6 +4268,30 @@ object DataOps {
         expr("1000000 div coalesce(cluster_size, 1L)").as("weight_ppm"))
   }
 
+  /** Soft-dedup SAMPLER (N249) — the production face that CONSUMES
+    * [[softDedupWeights]]: a derandomized weighted Bernoulli draw that
+    * keeps a document iff its md5 draw (first 8 hex digits of
+    * md5("sdw:" + doc_id), mod 10⁶ — the hash_sample_est /
+    * lshRecallSampled discipline, salted so the draw is independent of
+    * every other graded sample) lands under the document's weight_ppm.
+    * Each near-dup family of size n keeps ~n·(10⁶ div n)/10⁶ ≈ one
+    * clean copy's mass in expectation, singletons are kept with
+    * certainty (draw < 10⁶ always) — the SoftDedup training-mix draw
+    * as a deterministic, restart-stable corpus pass (the same reason
+    * every sampler here derandomizes: a 1000-executor retry must not
+    * re-roll).
+    *
+    * Scale shape: [[softDedupWeights]]'s own work plus one stateless
+    * per-row hash filter — no new shuffle, no new join.
+    */
+  def softDedupSample(spark: SparkSession, dir: String): DataFrame =
+    softDedupWeights(spark, dir)
+      .withColumn("draw_ppm",
+        pmod(conv(substring(md5(concat(lit("sdw:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(1000000L)))
+      .filter(col("draw_ppm") < col("weight_ppm"))
+
   /** Chunk-hash reuse across crawl versions — the CDC payoff as a
     * number: for each CHANGED document of the [[corpusDiff]] synthesis,
     * how many of the new version's distinct chunk hashes its old version
@@ -8319,6 +8343,24 @@ object DataOps {
         FROM documents d
         LEFT JOIN cl ON cl.doc_id = d.doc_id
         LEFT JOIN sz ON sz.cluster_rep = cl.cluster_rep""",
+      // r17 (N249): the sampler face — the soft_dedup weight frame
+      // nested verbatim, filtered by the salted md5 ppm draw (the
+      // hash_sample_est dialect via hex8)
+      "soft_dedup_sample" -> s"""
+        WITH cl AS ($clusterSql),
+        sz AS (SELECT cluster_rep, count(*)::BIGINT AS n
+               FROM cl GROUP BY 1),
+        w AS (SELECT d.doc_id, d.lang,
+                coalesce(cl.cluster_rep, d.doc_id)::BIGINT AS cluster_rep,
+                coalesce(sz.n, 1)::BIGINT AS cluster_size,
+                (1000000 // coalesce(sz.n, 1))::BIGINT AS weight_ppm,
+                (${hex8("'sdw:' || d.doc_id::VARCHAR")} % 1000000)::BIGINT
+                  AS draw_ppm
+              FROM documents d
+              LEFT JOIN cl ON cl.doc_id = d.doc_id
+              LEFT JOIN sz ON sz.cluster_rep = cl.cluster_rep)
+        SELECT doc_id, lang, cluster_rep, cluster_size, weight_ppm, draw_ppm
+        FROM w WHERE draw_ppm < weight_ppm""",
       // dup-family size distribution: the cluster fixpoint nested verbatim
       "cluster_sizes" -> s"""
         WITH cl AS ($clusterSql),
