@@ -113,12 +113,22 @@ object Bench {
     // sf10 artifact graded index_compaction's cold build against sf1's
     // warm serve: 180×; warm-vs-warm it is ~10×, linear). The bootstrap
     // second count is REPORTED in the artifact, not discarded silently.
+    // A FAILED bootstrap records -1.0, not a plausible duration (r17
+    // ADVICE: a swallowed build exception would otherwise let the first
+    // timed sample silently repay the build cost — the exact mispricing
+    // this feature exists to prevent). The query itself then fails or
+    // repays honestly in the timed pass, where it is recorded loudly.
     val bootstrap: Map[String, Double] = queries.collect {
       case (name, fn) if SparkEntry.memoizedFixtureQueries(name) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name fixture bootstrap FAILED: ${e.getMessage}")
+            false
+          }
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val results = queries.map { case (name, fn) =>
       var samples = sample(name, fn, TimedRuns)

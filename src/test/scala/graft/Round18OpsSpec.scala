@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.{DataOps, Relational}
+import graft.streaming.StreamingMonitors
+
+/** r18 additions (r17 verdict #5): the GRADED streaming-monitor faces —
+  * a full corpus replay through the maintain half, served by the shared
+  * derive half. StreamingMonitorsSpec already pins the additive-cell
+  * equivalence under interleaved checkpointed drains; this spec pins the
+  * graded ENTRY contract: the replay fixture's output equals the batch
+  * query exactly, and the fixture is memoized (a second call serves the
+  * same state instead of re-draining the corpus).
+  */
+class Round18OpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("lang_confusion_stream equals the graded batch query after replay") {
+    rows(StreamingMonitors.langConfusionStream(spark, sf)) shouldBe
+      rows(DataOps.langConfusion(spark, sf))
+  }
+
+  test("hourly_profile_stream equals the graded batch query after replay") {
+    rows(StreamingMonitors.hourlyProfileStream(spark, sf)) shouldBe
+      rows(Relational.hourlyProfile(spark, sf))
+  }
+
+  test("the replay fixture is memoized: a second call is a pure serve") {
+    val first = rows(StreamingMonitors.langConfusionStream(spark, sf))
+    // a re-drain would also be correct (checkpointed AvailableNow finds
+    // no new files), but the memo must short-circuit it: time the serve
+    val t0 = System.nanoTime()
+    val second = rows(StreamingMonitors.langConfusionStream(spark, sf))
+    val dt = (System.nanoTime() - t0) / 1e9
+    second shouldBe first
+    // a full streaming drain at this SF costs multiple seconds; a pure
+    // state read + bounded derive stays well under
+    assert(dt < 5.0, s"second call took $dt s — fixture not memoized?")
+  }
+}

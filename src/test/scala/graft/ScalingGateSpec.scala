@@ -148,41 +148,40 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
     * bench without regenerating the ratios goes red by name).
     */
   test("ratio artifacts are computed from the committed benches they name") {
-    def total(file: String): Option[Double] = {
+    // r17 ADVICE: a MISSING named bench must fail the pairing, not skip
+    // it — the gate could otherwise be defeated by deleting the artifact
+    // it cross-checks.
+    def total(file: String): Double = {
       val p = Seq(file, s"/root/repo/$file").map(java.nio.file.Paths.get(_))
         .find(java.nio.file.Files.exists(_))
-      p.map { f =>
-        val j = java.nio.file.Files.readString(f)
-        """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(j)
-          .map(_.group(1).toDouble)
-          .getOrElse(fail(s"no total value in $f"))
-      }
+        .getOrElse(fail(s"$file absent — a committed scaling artifact " +
+          "names it; the pairing cross-check cannot be skipped"))
+      val j = java.nio.file.Files.readString(p)
+      """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(j)
+        .map(_.group(1).toDouble)
+        .getOrElse(fail(s"no total value in $p"))
     }
     def field(json: String, key: String, path: Any): Double =
       ("\"" + key + "\":\\s*([0-9.eE+-]+)").r.findFirstMatchIn(json)
         .map(_.group(1).toDouble)
         .getOrElse(fail(s"no $key in $path"))
     val (json, path) = artifact
-    for (sf1 <- total("BENCH_sf1.json"))
-      withClue(s"$path sf1_total_sec vs committed BENCH_sf1.json: ") {
-        field(json, "sf1_total_sec", path) shouldBe sf1 +- 1e-6
-      }
-    for (sf01 <- total("bench_full.json"))
-      withClue(s"$path sf01_total_sec vs committed bench_full.json: ") {
-        field(json, "sf01_total_sec", path) shouldBe sf01 +- 1e-6
-      }
+    withClue(s"$path sf1_total_sec vs committed BENCH_sf1.json: ") {
+      field(json, "sf1_total_sec", path) shouldBe total("BENCH_sf1.json") +- 1e-6
+    }
+    withClue(s"$path sf01_total_sec vs committed bench_full.json: ") {
+      field(json, "sf01_total_sec", path) shouldBe total("bench_full.json") +- 1e-6
+    }
     val p10 = Seq("SCALING_sf10.json", "/root/repo/SCALING_sf10.json")
       .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
-    for (p <- p10) {
-      val j10 = java.nio.file.Files.readString(p)
-      for (sf10 <- total("BENCH_sf10.json"))
-        withClue(s"$p sf1_total_sec (the sf10 side) vs committed BENCH_sf10.json: ") {
-          field(j10, "sf1_total_sec", p) shouldBe sf10 +- 1e-6
-        }
-      for (sf1 <- total("BENCH_sf1.json"))
-        withClue(s"$p sf01_total_sec (the sf1 side) vs committed BENCH_sf1.json: ") {
-          field(j10, "sf01_total_sec", p) shouldBe sf1 +- 1e-6
-        }
+      .getOrElse(fail("SCALING_sf10.json absent — the second-decade gate " +
+        "names it; regenerate via the round chain"))
+    val j10 = java.nio.file.Files.readString(p10)
+    withClue(s"$p10 sf1_total_sec (the sf10 side) vs committed BENCH_sf10.json: ") {
+      field(j10, "sf1_total_sec", p10) shouldBe total("BENCH_sf10.json") +- 1e-6
+    }
+    withClue(s"$p10 sf01_total_sec (the sf1 side) vs committed BENCH_sf1.json: ") {
+      field(j10, "sf01_total_sec", p10) shouldBe total("BENCH_sf1.json") +- 1e-6
     }
   }
 }
