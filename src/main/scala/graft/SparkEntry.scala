@@ -32,7 +32,11 @@ object SparkEntry {
       "index_compaction",
       // r18: streaming-monitor replay states (drain priced as bootstrap,
       // timed samples measure the serve-from-state path)
-      "lang_confusion_stream", "hourly_profile_stream")
+      "lang_confusion_stream", "hourly_profile_stream",
+      // r19: the anomaly + drift/trend monitors' replay states (the
+      // trend trio shares ONE drained daily-cell state)
+      "anomalous_days_stream", "cusum_days_stream", "theil_sen_stream",
+      "mann_kendall_stream")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ general
     * relational surface). Keys are stable operator ids.
@@ -363,6 +367,16 @@ object SparkEntry {
       (graft.streaming.StreamingMonitors.langConfusionStream _),
     "hourly_profile_stream" ->
       (graft.streaming.StreamingMonitors.hourlyProfileStream _),
+    // r19: the remaining monitor faces — anomaly detection plus the
+    // drift/trend trio served from one shared replayed daily-cell state
+    "anomalous_days_stream" ->
+      (graft.streaming.StreamingMonitors.anomalousDaysStream _),
+    "cusum_days_stream" ->
+      (graft.streaming.StreamingMonitors.cusumDaysStream _),
+    "theil_sen_stream" ->
+      (graft.streaming.StreamingMonitors.theilSenStream _),
+    "mann_kendall_stream" ->
+      (graft.streaming.StreamingMonitors.mannKendallStream _),
     "dup_degree_hist" -> (DataOps.dupDegreeHist _),
     "mad_outliers" -> (DataOps.madOutliers _),
     "basket_affinity" -> (Relational.basketAffinity _),
@@ -2317,6 +2331,10 @@ object SparkEntry {
     val base = batchOracleSql
     base ++ Map(
       "lang_confusion_stream" -> base("lang_confusion"),
-      "hourly_profile_stream" -> base("hourly_profile"))
+      "hourly_profile_stream" -> base("hourly_profile"),
+      "anomalous_days_stream" -> base("anomalous_days"),
+      "cusum_days_stream" -> base("cusum_days"),
+      "theil_sen_stream" -> base("theil_sen"),
+      "mann_kendall_stream" -> base("mann_kendall"))
   }
 }

@@ -30,13 +30,22 @@ class Round18OpsSpec extends SparkSpec {
   test("the replay fixture is memoized: a second call is a pure serve") {
     val first = rows(StreamingMonitors.langConfusionStream(spark, sf))
     // a re-drain would also be correct (checkpointed AvailableNow finds
-    // no new files), but the memo must short-circuit it: time the serve
-    val t0 = System.nanoTime()
+    // no new files), but the memo must short-circuit it: assert the memo
+    // DIRECTLY via the drain counter (r18 ADVICE: wall-clock asserts
+    // flake under host contention and pass spuriously on a fast re-drain)
+    val drains = StreamingMonitors.drainCount.get()
     val second = rows(StreamingMonitors.langConfusionStream(spark, sf))
-    val dt = (System.nanoTime() - t0) / 1e9
     second shouldBe first
-    // a full streaming drain at this SF costs multiple seconds; a pure
-    // state read + bounded derive stays well under
-    assert(dt < 5.0, s"second call took $dt s — fixture not memoized?")
+    StreamingMonitors.drainCount.get() shouldBe drains
+  }
+
+  test("the memo key is path-normalized: a respelled dir does not re-drain") {
+    rows(StreamingMonitors.langConfusionStream(spark, sf)) // ensure drained
+    val drains = StreamingMonitors.drainCount.get()
+    // trailing slash + a redundant ./ segment — same corpus, new spelling
+    val respelled = rows(
+      StreamingMonitors.langConfusionStream(spark, s"$sf/./"))
+    respelled shouldBe rows(DataOps.langConfusion(spark, sf))
+    StreamingMonitors.drainCount.get() shouldBe drains
   }
 }
