@@ -42,4 +42,30 @@ class Round19OpsSpec extends SparkSpec {
     StreamingMonitors.mannKendallStream(spark, sf).collect()
     StreamingMonitors.drainCount.get() shouldBe drains
   }
+
+  // -- r20 candidates: the sketch monitors' replay faces equal their
+  // batch siblings minus the exact-side fidelity columns (which need
+  // raw rows by definition — the graded form will carry subset oracles)
+
+  test("hll_distinct replay face equals the batch sketch half") {
+    rows(StreamingMonitors.hllDistinctStream(spark, sf)) shouldBe
+      rows(graft.queries.RefOps.hllDistinct(spark, sf).drop("n_exact"))
+  }
+
+  test("hll_sliding_7d replay face equals the batch serving half") {
+    rows(StreamingMonitors.hllSliding7dStream(spark, sf)) shouldBe
+      rows(graft.queries.RefOps.hllSliding(spark, sf).drop("n_exact"))
+  }
+
+  test("quantile_sketch replay face equals the batch estimate half") {
+    rows(StreamingMonitors.quantileSketchStream(spark, sf)) shouldBe
+      rows(graft.queries.RefOps.quantileSketch(spark, sf)
+        .drop("exact_v", "err_ppm"))
+  }
+
+  test("weighted quantile replay face equals the batch estimate half") {
+    rows(StreamingMonitors.weightedQuantileStream(spark, sf)) shouldBe
+      rows(graft.queries.RefOps.weightedQuantileSketch(spark, sf)
+        .drop("exact_v", "err_ppm"))
+  }
 }
