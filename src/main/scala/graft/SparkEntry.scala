@@ -2337,4 +2337,34 @@ object SparkEntry {
       "theil_sen_stream" -> base("theil_sen"),
       "mann_kendall_stream" -> base("mann_kendall"))
   }
+
+  /** r20 graduation candidates, pre-validated: the sketch monitors'
+    * replay faces ([[graft.streaming.StreamingMonitors]], r19) paired
+    * with SUBSET oracles that NEST the graded batch SQL verbatim (the
+    * N122 discipline — drift in the batch oracle fails both entries)
+    * and project away only the exact-side fidelity columns, which need
+    * raw rows by definition. Every pair was validated cross-engine at
+    * sf0.01 in r19 with the driver's own compare semantics (column-
+    * sorted, dtype-normalized, value-exact) — MATCH on all four. To
+    * graduate: fold into [[queries]]/[[oracleSql]], add the names to
+    * [[memoizedFixtureQueries]] and the chain's SF10_SET, re-run the
+    * round chain.
+    */
+  private[graft] def r20StreamFaces
+      : Map[String, ((SparkSession, String) => DataFrame, String)] = {
+    val base = batchOracleSql
+    Map(
+      "hll_distinct_stream" ->
+        ((graft.streaming.StreamingMonitors.hllDistinctStream _,
+          s"SELECT event_type, v_zero, sum_pow, est_raw FROM (${base("hll_distinct")}) t")),
+      "hll_sliding_7d_stream" ->
+        ((graft.streaming.StreamingMonitors.hllSliding7dStream _,
+          s"SELECT day, event_type, v_zero, sum_pow, est_raw, est FROM (${base("hll_sliding_7d")}) t")),
+      "quantile_sketch_stream" ->
+        ((graft.streaming.StreamingMonitors.quantileSketchStream _,
+          s"SELECT flag, q, n, n_registers, rank, est_hi FROM (${base("quantile_sketch")}) t")),
+      "weighted_quantile_stream" ->
+        ((graft.streaming.StreamingMonitors.weightedQuantileStream _,
+          s"SELECT flag, q, w_total, n_registers, rank, est_hi FROM (${base("weighted_quantile_sketch")}) t")))
+  }
 }

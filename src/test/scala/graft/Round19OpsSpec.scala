@@ -68,4 +68,21 @@ class Round19OpsSpec extends SparkSpec {
       rows(graft.queries.RefOps.weightedQuantileSketch(spark, sf)
         .drop("exact_v", "err_ppm"))
   }
+
+  test("r20 candidates are wiring-ready: disjoint keys, runnable, subset columns") {
+    val cands = SparkEntry.r20StreamFaces
+    cands.keySet.intersect(SparkEntry.queries.keySet) shouldBe empty
+    cands.foreach { case (name, (fn, sql)) =>
+      val df = fn(spark, sf)
+      withClue(s"$name: ") { df.count() should be > 0L }
+      // the subset oracle's projection must name exactly the face's
+      // columns (the driver compare sorts by name — a drift here is the
+      // exact mismatch class the graduation would hit)
+      val projected = sql.drop("SELECT ".length).takeWhile(_ != 'F')
+        .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+      withClue(s"$name subset projection vs face schema: ") {
+        projected shouldBe df.columns.map(_.toLowerCase).toSet
+      }
+    }
+  }
 }
