@@ -36,7 +36,11 @@ object SparkEntry {
       // r19: the anomaly + drift/trend monitors' replay states (the
       // trend trio shares ONE drained daily-cell state)
       "anomalous_days_stream", "cusum_days_stream", "theil_sen_stream",
-      "mann_kendall_stream")
+      "mann_kendall_stream",
+      // r20: the sketch monitors' replay states (HLL register warehouse
+      // + quantile-register states; drains priced as bootstrap)
+      "hll_distinct_stream", "hll_sliding_7d_stream",
+      "quantile_sketch_stream", "weighted_quantile_stream")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ general
     * relational surface). Keys are stable operator ids.
@@ -394,7 +398,7 @@ object SparkEntry {
     // Multimodal BINARY-column plumbing (decode is a documented stub).
     "multimodal_meta" -> (graft.multimodal.MultimodalOps.multimodalMeta _),
     "frame_sample" -> (graft.multimodal.MultimodalOps.frameSample _),
-  )
+  ) ++ r20StreamFaces.map { case (k, (fn, _)) => k -> fn }
 
   /** The md5-hex → 60-bit BIGINT hash fraction numerator shared by the
     * KMV oracles (approx_distinct_kmv, kmv_union_est) — factored so the
@@ -2335,20 +2339,20 @@ object SparkEntry {
       "anomalous_days_stream" -> base("anomalous_days"),
       "cusum_days_stream" -> base("cusum_days"),
       "theil_sen_stream" -> base("theil_sen"),
-      "mann_kendall_stream" -> base("mann_kendall"))
+      "mann_kendall_stream" -> base("mann_kendall")) ++
+      r20StreamFaces.map { case (k, (_, sql)) => k -> sql }
   }
 
-  /** r20 graduation candidates, pre-validated: the sketch monitors'
-    * replay faces ([[graft.streaming.StreamingMonitors]], r19) paired
-    * with SUBSET oracles that NEST the graded batch SQL verbatim (the
-    * N122 discipline — drift in the batch oracle fails both entries)
-    * and project away only the exact-side fidelity columns, which need
-    * raw rows by definition. Every pair was validated cross-engine at
+  /** GRADUATED r20 (pre-validated in r19): the sketch monitors' replay
+    * faces ([[graft.streaming.StreamingMonitors]]) paired with SUBSET
+    * oracles that NEST the graded batch SQL verbatim (the N122
+    * discipline — drift in the batch oracle fails both entries) and
+    * project away only the exact-side fidelity columns, which need raw
+    * rows by definition. Every pair was validated cross-engine at
     * sf0.01 in r19 with the driver's own compare semantics (column-
-    * sorted, dtype-normalized, value-exact) — MATCH on all four. To
-    * graduate: fold into [[queries]]/[[oracleSql]], add the names to
-    * [[memoizedFixtureQueries]] and the chain's SF10_SET, re-run the
-    * round chain.
+    * sorted, dtype-normalized, value-exact) — MATCH on all four. Folded
+    * into [[queries]]/[[oracleSql]] above and listed in
+    * [[memoizedFixtureQueries]]; the chain's SF10_SET carries all four.
     */
   private[graft] def r20StreamFaces
       : Map[String, ((SparkSession, String) => DataFrame, String)] = {

@@ -34,6 +34,10 @@ object StreamingMonitors {
 
   /** Drain `stream` with Trigger.AvailableNow, landing each micro-batch's
     * partial cells under `statePath/batch=<id>` (replay-safe overwrite).
+    * The `coalesce(1)` single-task write is safe ONLY because every
+    * `cellsOf` here produces an alphabet/calendar-bounded cell frame
+    * (types × hours, days, langs², ≤256 registers) — do not copy the
+    * pattern for state that grows with the data.
     */
   def maintainCells(stream: DataFrame, statePath: String,
                     checkpointDir: String,
@@ -270,15 +274,27 @@ object StreamingMonitors {
     */
   private[graft] val drainCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Canonical memo-key spelling of a corpus dir: the symlink-resolved
+    * real path when the dir exists, else the absolute normalized form.
+    */
+  private def canonical(dir: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(dir)
+    try p.toRealPath()
+    catch { case _: java.io.IOException => p.toAbsolutePath.normalize }
+  }
+
   private def replayState(spark: SparkSession, dir: String, table: String,
                           kind: String,
                           maintain: (DataFrame, String, String) => Unit): String =
     replayMemo.computeIfAbsent(
       // normalize the corpus path (r18 ADVICE): trailing slashes or
       // relative spellings of the same dir must not trigger a second
-      // drain — the memo key is the canonical absolute path
-      s"${spark.sparkContext.applicationId}|" +
-        s"${java.nio.file.Paths.get(dir).toAbsolutePath.normalize}|$kind",
+      // drain — the memo key is the canonical REAL path (r19 ADVICE:
+      // toRealPath also unifies symlinked spellings; falls back to the
+      // absolute-normalized form when the path doesn't exist yet).
+      // Relative dirs resolve against the JVM cwd by design — callers
+      // in other launch contexts should pass absolute corpus dirs.
+      s"${spark.sparkContext.applicationId}|${canonical(dir)}|$kind",
       _ => {
         drainCount.incrementAndGet()
         val root = graft.queries.SessionTemp.createDir(s"graft-mon-$kind-")

@@ -69,16 +69,27 @@ class Round19OpsSpec extends SparkSpec {
         .drop("exact_v", "err_ppm"))
   }
 
-  test("r20 candidates are wiring-ready: disjoint keys, runnable, subset columns") {
-    val cands = SparkEntry.r20StreamFaces
-    cands.keySet.intersect(SparkEntry.queries.keySet) shouldBe empty
-    cands.foreach { case (name, (fn, sql)) =>
+  test("r20 graduated faces: wired, memoized, subset columns match schema") {
+    val faces = SparkEntry.r20StreamFaces
+    faces.foreach { case (name, (fn, sql)) =>
+      withClue(s"$name graded wiring: ") {
+        SparkEntry.queries.keySet should contain(name)
+        SparkEntry.oracleSql(name) shouldBe sql
+        SparkEntry.memoizedFixtureQueries should contain(name)
+      }
       val df = fn(spark, sf)
       withClue(s"$name: ") { df.count() should be > 0L }
       // the subset oracle's projection must name exactly the face's
       // columns (the driver compare sorts by name — a drift here is the
-      // exact mismatch class the graduation would hit)
-      val projected = sql.drop("SELECT ".length).takeWhile(_ != 'F')
+      // exact mismatch class the graduation would hit). Parse up to the
+      // FROM keyword, not the first 'F' (r19 ADVICE): these projections
+      // are plain identifier lists by construction, so the comma split
+      // is safe once the FROM boundary is found correctly.
+      val fromIdx = sql.indexOf(" FROM ")
+      withClue(s"$name subset oracle has no FROM clause: ") {
+        fromIdx should be > 0
+      }
+      val projected = sql.substring("SELECT ".length, fromIdx)
         .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
       withClue(s"$name subset projection vs face schema: ") {
         projected shouldBe df.columns.map(_.toLowerCase).toSet

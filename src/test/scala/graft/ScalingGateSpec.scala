@@ -151,15 +151,34 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
     // r17 ADVICE: a MISSING named bench must fail the pairing, not skip
     // it — the gate could otherwise be defeated by deleting the artifact
     // it cross-checks.
-    def total(file: String): Double = {
+    // r20 (r19 What's-wrong #1): the driver's post-close re-bench
+    // overwrites working-tree bench files AFTER the chain paired them,
+    // turning this gate red on a dirty tree even though the committed
+    // state is green. When the working-tree bench postdates the scaling
+    // artifact that names it, fall back to the committed blob
+    // (`git show HEAD:<file>`) — the chain itself always writes the
+    // bench BEFORE its ratio artifact, so an in-chain run never takes
+    // the fallback.
+    def total(file: String, pairedWith: java.nio.file.Path): Double = {
       val p = Seq(file, s"/root/repo/$file").map(java.nio.file.Paths.get(_))
         .find(java.nio.file.Files.exists(_))
         .getOrElse(fail(s"$file absent — a committed scaling artifact " +
           "names it; the pairing cross-check cannot be skipped"))
-      val j = java.nio.file.Files.readString(p)
+      val overwritten = java.nio.file.Files.getLastModifiedTime(p)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(pairedWith)) > 0
+      val j = if (overwritten) {
+        val committed =
+          try {
+            val proc = new ProcessBuilder("git", "show", s"HEAD:$file")
+              .directory(new java.io.File("/root/repo")).start()
+            val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+            if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
+          } catch { case _: Exception => None }
+        committed.getOrElse(java.nio.file.Files.readString(p))
+      } else java.nio.file.Files.readString(p)
       """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(j)
         .map(_.group(1).toDouble)
-        .getOrElse(fail(s"no total value in $p"))
+        .getOrElse(fail(s"no total value in $file"))
     }
     def field(json: String, key: String, path: Any): Double =
       ("\"" + key + "\":\\s*([0-9.eE+-]+)").r.findFirstMatchIn(json)
@@ -167,10 +186,12 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
         .getOrElse(fail(s"no $key in $path"))
     val (json, path) = artifact
     withClue(s"$path sf1_total_sec vs committed BENCH_sf1.json: ") {
-      field(json, "sf1_total_sec", path) shouldBe total("BENCH_sf1.json") +- 1e-6
+      field(json, "sf1_total_sec", path) shouldBe
+        total("BENCH_sf1.json", path) +- 1e-6
     }
     withClue(s"$path sf01_total_sec vs committed bench_full.json: ") {
-      field(json, "sf01_total_sec", path) shouldBe total("bench_full.json") +- 1e-6
+      field(json, "sf01_total_sec", path) shouldBe
+        total("bench_full.json", path) +- 1e-6
     }
     val p10 = Seq("SCALING_sf10.json", "/root/repo/SCALING_sf10.json")
       .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
@@ -178,10 +199,12 @@ class ScalingGateSpec extends AnyFunSuite with Matchers {
         "names it; regenerate via the round chain"))
     val j10 = java.nio.file.Files.readString(p10)
     withClue(s"$p10 sf1_total_sec (the sf10 side) vs committed BENCH_sf10.json: ") {
-      field(j10, "sf1_total_sec", p10) shouldBe total("BENCH_sf10.json") +- 1e-6
+      field(j10, "sf1_total_sec", p10) shouldBe
+        total("BENCH_sf10.json", p10) +- 1e-6
     }
     withClue(s"$p10 sf01_total_sec (the sf1 side) vs committed BENCH_sf1.json: ") {
-      field(j10, "sf01_total_sec", p10) shouldBe total("BENCH_sf1.json") +- 1e-6
+      field(j10, "sf01_total_sec", p10) shouldBe
+        total("BENCH_sf1.json", p10) +- 1e-6
     }
   }
 }

@@ -16,10 +16,14 @@
 #     start ($OUT/t0), so a bench that crashed before writing cannot
 #     pass against the previous round's committed artifact at the same
 #     path (the exact r16/r17 stale-artifact failure class).
-# SF10_SET adds the four r20 monitor faces (anomalous_days_stream +
-# the trend trio — their serve path is the scale claim; the trio shares
-# ONE drained state, priced once as fixture bootstrap). Runs serially
-# on an idle box; logs in /tmp/r20_chain.
+# SF10_SET already carries the r19 monitor faces (anomalous_days_stream
+# + the trend trio, which shares ONE drained state priced once as
+# fixture bootstrap). r20 graduation DONE: the four sketch replay faces
+# (hll_distinct_stream, hll_sliding_7d_stream, quantile_sketch_stream,
+# weighted_quantile_stream) are appended at the end of SF10_SET, plus
+# the next sf1-ratio band (r19 verdict #5): ring_shards, set_ops_parts,
+# top_dup_substrings, chunk_cdc, salted_join. Runs serially on an idle
+# box; logs in /tmp/r20_chain.
 set -ex
 cd /root/repo
 OUT=/tmp/r20_chain
@@ -97,7 +101,7 @@ python3 tools/scaling_ratio.py BENCH_sf1.json bench_full.json SCALING_r20.json \
 # burst, and Bench prices the memoized fixtures' store bootstrap as a
 # separate warm-up sample (fixture_bootstrap_sec), so the timed samples
 # measure the SERVE path at both rungs.
-SF10_SET=cluster_keep_best,cluster_sizes,containment_join,dedup_incremental,doremi_mixture,dup_windows,host_cap_ranked,html_extract,lsh_recall,minhash_estimate,ngram_novelty,pq_codes,quantile_sketch,sb_doc_score,sb_ngram_counts,simhash_recall,snm_dedup,training_set,weighted_median,temperature_allocation,cluster_from_index,diversity_sample,csv_quarantine,ann_ivf,index_compaction,time_travel,ccnet_buckets,soft_dedup,dedup_cluster,sessionize,ann_pq,soft_dedup_sample,lang_confusion_stream,hourly_profile_stream,anomalous_days_stream,cusum_days_stream,theil_sen_stream,mann_kendall_stream
+SF10_SET=cluster_keep_best,cluster_sizes,containment_join,dedup_incremental,doremi_mixture,dup_windows,host_cap_ranked,html_extract,lsh_recall,minhash_estimate,ngram_novelty,pq_codes,quantile_sketch,sb_doc_score,sb_ngram_counts,simhash_recall,snm_dedup,training_set,weighted_median,temperature_allocation,cluster_from_index,diversity_sample,csv_quarantine,ann_ivf,index_compaction,time_travel,ccnet_buckets,soft_dedup,dedup_cluster,sessionize,ann_pq,soft_dedup_sample,lang_confusion_stream,hourly_profile_stream,anomalous_days_stream,cusum_days_stream,theil_sen_stream,mann_kendall_stream,hll_distinct_stream,hll_sliding_7d_stream,quantile_sketch_stream,weighted_quantile_stream,ring_shards,set_ops_parts,top_dup_substrings,chunk_cdc,salted_join
 SPARK_GRAFT_SF_DIR=/root/repo/testdata-sf10 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=110g \
   SPARK_GRAFT_RUNS=2 SPARK_GRAFT_ONLY=$SF10_SET SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
   sbt -batch "runMain graft.Bench" > $OUT/05_bench_sf10.log 2>&1
